@@ -1,0 +1,274 @@
+"""[REF] Click-through-rate pipeline — the reference's entire query surface.
+
+The reference (``/root/reference/ClickThru.java``) is a two-stage MapReduce
+job: stage 1 unifies impression/click JSON-lines and computes an existence
+join on ``impressionId`` (reducer folds each id-group into the impression
+payload plus a clicked-flag, ``ClickThru.java:130-151``); stage 2 re-keys on
+``(referrer, adId)`` and emits ``clicks/impressions`` as the grouped mean
+(``ClickThru.java:174-189``).  Relationally:
+
+    SELECT i.referrer, i.ad_id, AVG(flag) FROM impressions i
+    LEFT JOIN (SELECT DISTINCT impression_id FROM clicks) c USING (impression_id)
+    GROUP BY i.referrer, i.ad_id
+
+Semantics preserved here (SURVEY.md §2.3):
+  * E2 — N clicks on one impression count ONCE (the reducer sets a flag, never
+    increments, ``ClickThru.java:137,145``) → ``DISTINCT`` on the click side
+    before the join.
+  * E4 — clicks with no matching impression crash the reference; we drop them
+    gracefully via the left join.
+
+Spark-first notes: the two MapReduce jobs (with a full HDFS materialization
+between them, ``ClickThru.java:57,75``) collapse into one lazy DAG.  The
+click side is deduped *before* the join so the join build side is minimal;
+at 100 TB both sides shuffle-partition on the join key and AQE converts to
+broadcast when the deduped click side fits, and the grouped mean runs as
+partial+final hash aggregation (the reference ships every flag across the
+network — it never sets a combiner).
+
+The fixture mapping (SURVEY.md §7 step 0): ``events`` rows with
+``event_type='view'`` are impressions, ``event_type='click'`` are clicks,
+joined on ``user_id``; the grouping dimension is the view's calendar date
+(role of the reference's ``(referrer, adId)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+
+def _views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # filter + projection push down to the parquet scan
+    return ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.to_date("ts").alias("view_date")
+    )
+
+
+def _clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # E2: dedupe clicks BEFORE the join — one click is as good as N
+    return (
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+
+
+def _flagged_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """views left-join deduped clickers → per-impression 0/1 clicked flag."""
+    views = _views(spark, sf_dir)
+    clickers = _clickers(spark, sf_dir).withColumn("has_click", F.lit(1))
+    return views.join(clickers, "user_id", "left").withColumn(
+        "clicked",
+        F.when(F.col("has_click").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+
+
+@query(
+    "ctr_flagship",
+    oracle="""
+    SELECT CAST(i.ts AS DATE)                                    AS view_date,
+           AVG(CASE WHEN c.user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ctr,
+           COUNT(*)                                              AS n_impressions
+    FROM events i
+    LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+      ON i.user_id = c.user_id
+    WHERE i.event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def ctr_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTR per view-date: scan → filter → distinct → left join → flag → avg.
+
+    Exercises every [REF] operator in one query.  The 0/1 flag mean is exact
+    in IEEE arithmetic (integer-valued sums), so plain ``avg`` is
+    deterministic and hash-stable against the oracle.
+    """
+    return (
+        _flagged_views(spark, sf_dir)
+        .groupBy("view_date")
+        .agg(
+            F.avg("clicked").alias("ctr"),
+            F.count(F.lit(1)).alias("n_impressions"),
+        )
+    )
+
+
+@query(
+    "existence_join",
+    oracle="""
+    SELECT v.user_id,
+           CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS clicked
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+    """,
+)
+def existence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] the reducer's id-group fold (``ClickThru.java:130-151``) as a
+    left join against a deduplicated build side: per distinct viewer, did any
+    click exist.  Spark plans this as shuffle/broadcast hash join chosen by
+    AQE; no per-group imperative fold needed."""
+    views = _views(spark, sf_dir).select("user_id").distinct()
+    clickers = _clickers(spark, sf_dir).withColumn("has_click", F.lit(1))
+    return views.join(clickers, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("has_click").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("clicked"),
+    )
+
+
+@query(
+    "group_avg_ctr",
+    oracle="""
+    SELECT i.user_id % 10 AS cohort,
+           AVG(CASE WHEN c.user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ctr,
+           COUNT(*) AS n_impressions
+    FROM events i
+    LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+      ON i.user_id = c.user_id
+    WHERE i.event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def group_avg_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] stage-2 grouped mean (``ClickThru.java:174-189``) on a composite
+    cohort key.  The reference packs the key as the formatted string
+    ``"[url, adID]"`` (``ClickThru.java:166``); here it is a real grouping
+    column and the mean runs partial+final (the reference has no combiner)."""
+    flagged = _flagged_views(spark, sf_dir)
+    return (
+        flagged.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .agg(
+            F.avg("clicked").alias("ctr"),
+            F.count(F.lit(1)).alias("n_impressions"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines scan fidelity ops
+# ---------------------------------------------------------------------------
+
+# Reconstruct the reference's native input shape (junk-prefixed JSON line,
+# FIXTURES.md §A) from the events fixture, then parse it back the way the
+# reference does: scan to the first '{' (ClickThru.java:98) and extract fields
+# (ClickThru.java:105,114-115). Building the line inside the query keeps the
+# oracle bit-identical — both engines format from the same integer/string
+# columns.
+
+@query(
+    "scan_jsonlines",
+    oracle="""
+    WITH lines AS (
+      SELECT CAST(event_id AS VARCHAR) || chr(9) ||
+             '{"impressionId": "imp-' || CAST(event_id AS VARCHAR) ||
+             '", "adId": "ad-' || CAST(user_id % 50 AS VARCHAR) || '"}' AS value
+      FROM events WHERE event_type = 'view'
+    ),
+    parsed AS (
+      SELECT json_extract_string(substr(value, strpos(value, '{')), '$.impressionId') AS impression_id,
+             json_extract_string(substr(value, strpos(value, '{')), '$.adId')        AS ad_id
+      FROM lines
+    )
+    SELECT ad_id, COUNT(*) AS n, COUNT(DISTINCT impression_id) AS n_ids
+    FROM parsed GROUP BY ad_id
+    """,
+)
+def scan_jsonlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] tolerant JSON-line parse: substring from the first ``{`` then
+    JSON-extract (``ClickThru.java:98,104-105``).  Junk prefixes (e.g. a
+    ``key\\t`` left by a prior job's TextOutputFormat) are skipped exactly as
+    the reference does."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    lines = ev.select(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit("\t"),
+            F.lit('{"impressionId": "imp-'),
+            F.col("event_id").cast("string"),
+            F.lit('", "adId": "ad-'),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit('"}'),
+        ).alias("value")
+    )
+    payload = F.expr("substring(value, instr(value, '{'))")
+    parsed = lines.select(
+        F.get_json_object(payload, "$.impressionId").alias("impression_id"),
+        F.get_json_object(payload, "$.adId").alias("ad_id"),
+    )
+    return parsed.groupBy("ad_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("impression_id").alias("n_ids"),
+    )
+
+
+@query(
+    "tag_by_schema_sniff",
+    oracle="""
+    SELECT CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 'impression' ELSE 'click' END AS kind,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def tag_by_schema_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] per-record provenance sniffing: the reference classifies a record
+    as an impression iff the JSON has a ``referrer`` key
+    (``jsnObj.has("referrer")``, ``ClickThru.java:111``) — not by input path.
+    Here: probe the ``events.props`` JSON string for key ``k``."""
+    ev = load_table(spark, sf_dir, "events")
+    kind = (
+        F.when(F.get_json_object(F.col("props"), "$.k").isNotNull(), F.lit("impression"))
+        .otherwise(F.lit("click"))
+        .alias("kind")
+    )
+    return ev.select(kind).groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sink_textkv",
+    oracle="""
+    WITH ctr AS (
+      SELECT CAST(i.ts AS DATE) AS view_date,
+             i.user_id % 10     AS cohort,
+             AVG(CASE WHEN c.user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ctr
+      FROM events i
+      LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type='click') c
+        ON i.user_id = c.user_id
+      WHERE i.event_type = 'view'
+      GROUP BY 1, 2
+    )
+    SELECT '[' || CAST(view_date AS VARCHAR) || ', ' || CAST(cohort AS VARCHAR)
+           || ']' || chr(9) || CAST(CAST(ROUND(ctr * 10000) AS BIGINT) AS VARCHAR)
+           AS line
+    FROM ctr
+    """,
+)
+def sink_textkv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] the tab-separated ``key\\tvalue`` text sink shape: job 2 emits
+    lines ``[url, adID]\\t0.25`` (``ClickThru.java:166,186-187``).  CTR is
+    fixed-pointed to basis points before formatting — float-to-string
+    rendering differs across engines, integer rendering doesn't."""
+    flagged = _flagged_views(spark, sf_dir)
+    ctr = (
+        flagged.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("view_date", "cohort")
+        .agg(F.avg("clicked").alias("ctr"))
+    )
+    return ctr.select(
+        F.concat(
+            F.lit("["),
+            F.col("view_date").cast("string"),
+            F.lit(", "),
+            F.col("cohort").cast("string"),
+            F.lit("]\t"),
+            F.round(F.col("ctr") * 10000, 0).cast("bigint").cast("string"),
+        ).alias("line")
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode testing config that still encodes the knobs that matter on a real
+1000-executor cluster: AQE for runtime re-planning (broadcast conversion, skew
+join splitting, partition coalescing), UTC session timezone (required for
+oracle parity — DuckDB timestamps are UTC-naive), and Arrow for every
+Python-boundary crossing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadoopmapreduce-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all cores.  Shuffle
+    partitions default to the core count: on local mode there is no network,
+    so more partitions than threads only adds scheduling overhead; at cluster
+    scale this knob is instead sized so each shuffle partition is
+    ~100-200 MB (AQE coalescing trims the long tail either way).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
