@@ -1,0 +1,218 @@
+"""[GEN] Aggregation family.
+
+The reference's only aggregate is a reduce-side count+sum→quotient with no
+combiner (``ClickThru.java:174-189`` — every 0/1 flag crosses the network).
+Spark's HashAggregateExec gives partial (map-side) + final aggregation for
+free on every query below; the float-summing queries route through the
+decimal domain (see functions/numeric.py) so results are order-independent
+and hash-stable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from hadoopmapreduce_spark.registry import query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           {sql_dsum('l_quantity', 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregate with 8 aggregates over a
+    date filter.  The filter and the 7-column projection push down to the
+    parquet scan; the 6-group output makes the shuffle negligible — at
+    100 TB this query is I/O-bound, which is the right bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-09-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(DISTINCT l_suppkey)  AS n_supps
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct aggregation.  Spark expands multiple
+    DISTINCT aggregates via the `expand` operator (one shuffle per distinct
+    set after partial dedup) — at extreme cardinality switch to
+    approx_count_distinct (see agg_approx_count_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_count_distinct")  # HLL sketches are engine-specific: rows-only check
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
+    distinct counts (constant memory per group, single shuffle, mergeable
+    sketches).  No oracle: DuckDB's approx_count_distinct uses a different
+    sketch; correctness is covered by a unit test bounding relative error
+    against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two grouping columns (all 4 grouping sets in one pass via
+    Spark's Expand operator — input is replicated once per set, then a single
+    partial+final aggregate; no per-set rescans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", 2).alias("sum_qty"))
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           o_orderstatus   AS status,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (priority → status → grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice', 2)} AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame cube/rollup — Expand + single aggregate)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag,
+               l_linestatus AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_stats_acctbal",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           MIN(c.c_acctbal) AS min_bal,
+           MAX(c.c_acctbal) AS max_bal,
+           {sql_davg('c.c_acctbal')} AS avg_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count/avg summary per nation (min/max/count are IEEE-exact and
+    order-independent; avg goes through the decimal domain)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            davg("c_acctbal").alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "agg_histogram_totalprice",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucketing — the scale-safe way to
+    profile a distribution (single partial+final aggregate, no sort, no
+    collect; floor(x/width) is exact for these magnitudes)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,244 @@
+"""[GEN] Join family.
+
+The reference has exactly one join shape: a reduce-side existence join on
+``impressionId`` (``ClickThru.java:130-151``) — MapReduce gives it no
+broadcast/sort-merge choice and no other join types.  Here the full
+relational family is expressed declaratively; Catalyst + AQE pick the
+physical strategy (broadcast-hash for dims under the threshold, sort-merge
+for large-large, runtime skew-splitting).
+
+100 TB notes per query are in the docstrings: the recurring themes are
+(a) broadcast every dimension that fits, (b) non-equi joins only against
+broadcastable sides (a non-equi shuffle join is a cross-join in disguise),
+(c) aggregate before join when the join is only needed for labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.functions.numeric import dsum, sql_dsum
+from hadoopmapreduce_spark.registry import query
+
+
+@query(
+    "join_inner_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_inner_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer, grouped revenue per market segment.
+
+    Scale: customer is the smaller side but both grow with SF — this is the
+    canonical sort-merge-join-on-key shape; AQE converts to broadcast when
+    the filtered build side fits. Aggregation is partial+final."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "join_left_customer_orders",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({sql_dsum('o.o_totalprice')}, 0.0) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (the reference's E4
+    failure mode — an unmatched probe row crashes it — handled gracefully)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 urgent order, counted per
+    nation. Semi joins never duplicate probe rows — cheaper than join+distinct
+    at scale. Nation dim is broadcast."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti_orderless_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def join_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders per segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_broadcast_dim_chain",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_suppliers,
+           {sql_dsum('s.s_acctbal')} AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def join_broadcast_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim chain supplier→nation→region with explicit broadcast
+    hints: at 100 TB the fact side streams through two map-side hash joins
+    with zero shuffle (both dims are KB-sized)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+_BANDS = [
+    ("p00_low", 0.0, 20_000.0),
+    ("p01_mid", 20_000.0, 60_000.0),
+    ("p02_high", 60_000.0, 120_000.0),
+    ("p03_very_high", 120_000.0, 1e18),
+]
+
+_BANDS_SQL = "(VALUES " + ", ".join(
+    f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS
+) + ") AS b(band, lo, hi)"
+
+
+@query(
+    "join_range_price_bands",
+    oracle=f"""
+    SELECT b.band AS band,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l
+    JOIN {_BANDS_SQL}
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY 1
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: lineitem against an inline band dimension on a
+    half-open interval condition.  Physical plan: BroadcastNestedLoopJoin —
+    correct at any fact-side scale *because* the band side is a constant
+    handful of rows; a non-equi join between two large sides would instead
+    need banding/bucketing of the range key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (F.col("l_extendedprice") >= F.col("lo")) & (
+        F.col("l_extendedprice") < F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_customers,
+           COALESCE(s.n_supp, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides.  Aggregate-then-join:
+    shuffling two 25-row aggregates beats full-outer-joining two fact tables
+    and aggregating after — the standard scale inversion."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_cross_region_flags",
+    oracle="""
+    SELECT r.r_name AS region, f.l_returnflag AS returnflag
+    FROM region r CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+    """,
+)
+def join_cross_region_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — only ever legitimate between provably tiny
+    inputs (here 5 regions × 3 distinct flags).  The LLM-data operators
+    never cross-join at scale; candidate generation is always banded."""
+    region = load_table(spark, sf_dir, "region")
+    flags = load_table(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    return region.crossJoin(flags).select(
+        F.col("r_name").alias("region"), F.col("l_returnflag").alias("returnflag")
+    )

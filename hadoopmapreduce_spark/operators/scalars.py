@@ -1,0 +1,266 @@
+"""[GEN] Scalar function suites.
+
+The reference's entire expression language is: substring/indexOf, string
+concat, contains, regex split, float parse/format, and JSON field get/has
+(cited per-op in SURVEY.md §2.4).  Each query below exercises one function
+family over the fixtures with a DuckDB twin; all run inside whole-stage
+codegen (no Python).
+
+Cross-engine parity traps handled here:
+  * DuckDB ``regexp_replace`` replaces the FIRST match unless given the 'g'
+    flag; Spark replaces all → oracle always passes 'g'.
+  * Only IEEE-exact math (abs/floor/ceil/round/sqrt/x*x/mod) is compared —
+    libm-dependent fns (exp/ln/pow) differ in last ulps between JVM and C++.
+  * Day-of-week conventions differ → not used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+
+@query(
+    "fn_string_suite",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_type, 1, 5) AS type_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN strpos(p_type, 'BRUSHED') > 0 THEN 1 ELSE 0 END AS is_brushed,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           trim(concat('  ', p_name, '  ')) AS name_trimmed,
+           len(string_split(p_type, ' ')) AS type_words
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/substr/length/replace/contains(instr)/
+    lpad/trim/concat/split — the reference's substring+indexOf+concat
+    vocabulary (``ClickThru.java:98,116,142,160-166``) generalized."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.instr(F.col("p_type"), "BRUSHED") > 0, 1).otherwise(0).alias("is_brushed"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+    )
+
+
+@query(
+    "fn_date_suite",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           quarter(o_orderdate) AS qtr,
+           day(o_orderdate) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (none exists in the reference): extract parts,
+    truncate, diff, last_day.  These all stay in codegen and fold into
+    partition pruning when the table is date-partitioned."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.quarter(d).alias("qtr"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "fn_math_suite",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           abs(l_extendedprice - 50000.0) AS abs_dev,
+           floor(l_extendedprice / 1000) AS price_floor_k,
+           ceil(l_discount * 100) AS disc_pct_ceil,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_round1,
+           l_extendedprice - floor(l_extendedprice) AS price_frac,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_discount * l_discount AS disc_sq,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family restricted to IEEE-deterministic ops (sqrt is correctly
+    rounded by both engines; exp/ln/pow are libm-dependent and excluded from
+    oracle-checked surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_floor_k"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_round1"),
+        (F.col("l_extendedprice") - F.floor("l_extendedprice")).alias("price_frac"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_array_suite",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+           list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                       (a, b) -> a + b) AS norm_sq
+    FROM embeddings
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size, index, min/max, and a
+    fused transform+aggregate (squared L2 norm).  Both engines fold the
+    lambda sequentially over the same element order in double precision, so
+    the result is bit-stable.  This is the JVM-side primitive the similarity
+    operators build on — no Python in the loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x).alias("norm_sq"),
+    )
+
+
+@query(
+    "fn_json_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k,
+           length(props) AS raw_len
+    FROM events
+    """,
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: field get + has-key — the reference's entire JSON usage
+    (``jsnObj.get``/``has``, ``ClickThru.java:105,111``) over the events
+    props column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("bigint").alias("k_val"),
+        F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
+        F.length("props").alias("raw_len"),
+    )
+
+
+@query(
+    "fn_conditional_suite",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'pending' END AS status_label,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'was_p') AS coalesced,
+           CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_label
+    FROM orders
+    """,
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE/coalesce/nullif — null-safe branching (the
+    reference's analogue is the has-key probe + silent stale-value bug E1,
+    which typed null propagation eliminates)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.col("o_orderstatus")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.when(s == "F", "finished").when(s == "O", "open").otherwise("pending").alias(
+            "status_label"
+        ),
+        F.coalesce(F.nullif(s, F.lit("P")), F.lit("was_p")).alias("coalesced"),
+        F.when(F.col("o_totalprice") > 150000, "big").otherwise("small").alias(
+            "size_label"
+        ),
+    )
+
+
+@query(
+    "fn_regex_suite",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^(\\w+)', 1) AS first_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS deveoweled_len,
+           len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+           CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark
+    FROM documents
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family (generalizing the reference's delimiter-regex split,
+    ``ClickThru.java:163``).  Patterns restricted to the RE2∩Java-regex
+    common subset; DuckDB's replace needs the 'g' flag for parity."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, r"^(\w+)", 1).alias("first_word"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).alias("deveoweled_len"),
+        F.size(F.split(t, r"\s+")).alias("ws_tokens"),
+        F.when(t.rlike("spark"), 1).otherwise(0).alias("mentions_spark"),
+    )
+
+
+@query(
+    "fn_cast_suite",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) AS price_int_str,
+           CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 2) AS BIGINT) AS key_prefix,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+    FROM orders
+    """,
+)
+def fn_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family (the reference's Float.parseFloat/toString,
+    ``ClickThru.java:183,186``).  Integer↔string casts are representation-
+    stable across engines; double→string is not and is never emitted."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("bigint").cast("string").alias("price_int_str"),
+        F.substring(F.col("o_orderkey").cast("string"), 1, 2)
+        .cast("bigint")
+        .alias("key_prefix"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )

@@ -1,0 +1,169 @@
+"""[GEN] Window-function family (absent from the reference — SURVEY.md §2.4).
+
+Determinism rule: every ORDER BY inside a window spec is a *total* order
+(explicit tie-break columns), otherwise row_number/lag results depend on
+partition-internal arrival order and the value-hash flips between engines.
+
+Scale note: a window over PARTITION BY k is one shuffle on k plus a per-key
+sort — same cost class as groupBy(k).  The anti-pattern is a window with no
+PARTITION BY (single-partition global sort); the only global-order op we ship
+is top-k, which uses TakeOrderedAndProject (per-partition heaps + driver
+merge of k rows), not a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT custkey, orderkey, totalprice, rn FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the canonical distributed top-k-per-group
+    (one shuffle on the partition key; rank filter prunes before any further
+    stage)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_rank_parts",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           p_brand   AS brand,
+           RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank,
+           NTILE(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile
+    FROM part
+    """,
+)
+def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile within brand.  rank ties share a value (so
+    no tie-break needed for determinism); ntile requires the total order."""
+    p = load_table(spark, sf_dir, "part")
+    by_price = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    total = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_brand").alias("brand"),
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_price).alias("price_dense_rank"),
+        F.ntile(4).over(total).alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_extendedprice AS price,
+           LAG(l_extendedprice)  OVER w AS prev_price,
+           LEAD(l_extendedprice) OVER w AS next_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-supplier shipment timeline (total order via the
+    (shipdate, orderkey, linenumber) composite)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_extendedprice").alias("price"),
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           COUNT(*) OVER w AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count + running spend per customer.  The running sum is over
+    exact decimals so every prefix is order-independent-exact, then cast back
+    to double (prefix sums of raw doubles would drift from the oracle in the
+    last ulps)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS qty_trailing_7d
+    FROM lineitem
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing-7-day shipped quantity per supplier, ordered by
+    an integer day index (RANGE frames need a numeric order key; the epoch-day
+    index is the standard trick and is what a hypertable rollup would
+    pre-compute)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day_idx = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(day_idx)
+        .rangeBetween(-6, W.currentRow)
+    )
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_trailing_7d"),
+    )
