@@ -1,0 +1,366 @@
+"""[EXT] Deduplication operators — exact and near-duplicate detection over
+the documents/embeddings tables, each built the way it has to be built at
+100 TB: candidate generation is always *banded* (equi-join on a bucket key),
+never all-pairs; the exact all-pairs variants exist as the differential
+oracle for the banded ones and carry explicit scale warnings.
+
+Pipeline shapes:
+  exact_dedup          hash → groupBy                    1 shuffle, linear
+  ngram_jaccard_pairs  shingle → self-equi-join → ratio  oracle/baseline only
+  minhash_lsh_dedup    shingle → minhash sig → band join exact-verify; linear-ish
+  simhash_dedup        token hash → bit-vote → band join rows-only (xxhash)
+  embedding_near_dup   exact pairwise cosine             oracle/baseline only
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keeping the minimum doc_id as
+    the deterministic canonical representative.  One shuffle on the 128-bit
+    content hash (never on the text itself — shuffle bytes stay tiny no
+    matter how long documents get)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "exact_dedup_normalized",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase, whitespace collapse) —
+    catches trivially-reformatted copies that byte-exact hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.select(F.md5(norm.cast("binary")).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact) — the ground truth the sketch-based ops approximate
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.65
+
+_NGRAM_ORACLE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS s
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+           LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-token shingles per document."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 2),
+        lambda i: F.concat_ws(" ", F.slice(ts, i, 3)),
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+    )
+
+
+@query("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-equi-join.
+
+    Scale warning (by design): the equi-join on the raw shingle key produces
+    one intermediate row per *co-occurring shingle pair*, which is quadratic
+    in per-shingle document frequency — fine up to ~10^5 docs with this
+    fixture's vocabulary, unusable at 100 TB.  This query is the recall
+    oracle; the production path is minhash_lsh_dedup below, whose banded
+    join bounds fan-out by construction."""
+    sh = _shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding — the scale path
+# --------------------------------------------------------------------------
+
+MINHASH_ROWS_PER_BAND = 3  # r
+MINHASH_BANDS = 24         # b ; k = r*b = 72 hash functions
+# P(candidate | jaccard j) = 1 - (1 - j^r)^b :
+#   j=0.65 → 0.9996 ;  j=0.9 → ~1-2e-14 ;  j=0.14 (fixture background) → 0.06
+
+
+@query("minhash_lsh_dedup", oracle=_NGRAM_ORACLE)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH banding + exact verification.
+
+    shingle → 72 xxhash64 minhashes per doc (one groupBy) → 24 bands of 3 →
+    explode bands → self-equi-join on (band_id, band_hash) → exact Jaccard
+    check on the candidate pairs only.
+
+    This is the 100 TB near-dup shape: every join key is a fixed-width band
+    hash, fan-out per bucket is bounded by collision probability (not by
+    document frequency), and the expensive exact verification runs only on
+    candidates.  Because verification is exact and the banding parameters
+    put recall at ~1-1e-13 for the fixture's ≥0.9-Jaccard duplicates, the
+    output equals the exact-pairs oracle (same SQL twin as
+    ngram_jaccard_pairs)."""
+    sh = _shingles(spark, sf_dir)
+    k = MINHASH_ROWS_PER_BAND * MINHASH_BANDS
+    sig = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    # band hash = xxhash of the r minhashes in the band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{band * MINHASH_ROWS_PER_BAND + r}")
+                        for r in range(MINHASH_ROWS_PER_BAND)
+                    ]
+                ).alias("band_hash"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.explode(bands).alias("bnd")
+    ).select("doc_id", F.col("bnd.band_id").alias("band_id"), F.col("bnd.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s"))
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — Hamming-distance near-dup (rows-only; xxhash64 has no DuckDB twin)
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: ≤3 flipped bits ⇒ ≥1 of 4 bands intact
+
+
+@query("simhash_dedup")  # rows-only: fingerprint depends on xxhash64
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit fingerprints from token-frequency bit
+    votes, banded candidate join (Hamming ≤ 3 guarantees a shared 12-bit
+    band by pigeonhole), exact Hamming verification via bit_count(xor).
+
+    Stays entirely in codegen: token hashing is xxhash64, bit votes are 48
+    conditional sums in one groupBy, and the band join is equi — the same
+    bounded-fan-out property as MinHash-LSH.  Rows-only check (no DuckDB
+    xxhash64); semantic correctness is pinned by unit tests on perturbed
+    documents (tests/test_dedup_semantics.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = F.xxhash64(F.col("tok"))
+    votes = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+                .otherwise(-F.col("w"))
+            ).alias(f"v{bit}")
+            for bit in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(2 ** bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    fps = votes.select("doc_id", fp.alias("fp"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("fp"), i * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fps.select("doc_id", "fp", F.explode(band_arr).alias("bnd")).select(
+        "doc_id", "fp", F.col("bnd.band_id").alias("band_id"), F.col("bnd.band_val").alias("band_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup (exact baseline)
+# --------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4  # fixture has no >0.44 pairs; 0.4 exposes the tail
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise embedding-cosine near-dup pairs.
+
+    All-pairs by construction — the differential baseline for the LSH-bucketed
+    ANN path (similarity.ann_lsh_topk), sized for the fixtures (≤5k vectors).
+    At 100 TB this shape is replaced by random-hyperplane bucketing with the
+    same verify-exactly-on-candidates structure as minhash_lsh_dedup.
+    The dot product is a JVM-side fold (zip_with + aggregate in double) —
+    sequential order matches DuckDB's list_dot_product, so values are
+    bit-stable."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

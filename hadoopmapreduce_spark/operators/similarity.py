@@ -1,0 +1,161 @@
+"""[EXT] Similarity search over the embeddings table.
+
+Two tiers, mirroring production ANN systems:
+  * knn_cosine_topk — exact brute-force top-k for a bounded query set.
+    O(|Q|·N) with |Q| fixed → linear in N, shuffle-free (query set is
+    broadcast).  This is both a legitimate operator (batch scoring of a
+    few probes against a huge corpus) and the recall oracle for the tier
+    below.
+  * ann_lsh_topk — random-hyperplane LSH bucketing (per-table signature
+    equi-join) + exact re-rank of candidates.  The 100 TB path: candidate
+    generation cost is bounded by bucket collision rates, not N².
+
+All dot products are JVM-side `zip_with`+`aggregate` folds in double — no
+Python, sequential accumulation order matching DuckDB's list_dot_product.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+N_QUERIES = 10  # vec_id < 10 are the probe vectors
+TOP_K = 5
+
+EMBED_DIM = 64
+LSH_TABLES = 8
+LSH_BITS = 6  # bucket size ≈ N/2^bits; tune up with corpus size (see docstring)
+
+
+def _dot(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+           FROM q JOIN n c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the probe set: broadcast the probes, score the
+    corpus in one scan, take per-query bounded top-k.  Ties break on
+    neighbor_id so the selection is deterministic."""
+    n = _embeddings(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _hyperplane(table: int, bit: int) -> list[float]:
+    """Deterministic ±1 hyperplane: sign per dimension from md5 bytes —
+    reproducible across sessions/partitions with no RNG state."""
+    signs = []
+    for dim in range(EMBED_DIM):
+        digest = hashlib.md5(f"lsh:{table}:{bit}:{dim}".encode()).digest()
+        signs.append(1.0 if digest[0] & 1 else -1.0)
+    return signs
+
+
+@query("ann_lsh_topk")  # rows-only: sketch recall is probabilistic by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: 8 tables × 8-bit sign
+    signatures; candidates = corpus vectors sharing a (table, signature)
+    bucket with the probe; exact cosine re-rank of candidates.
+
+    Scale: the per-table equi-join on (table_id, signature) is the entire
+    candidate generation — no pairwise scan.  At 100 TB, bits/table tunes the
+    bucket size (≈ N / 2^bits per bucket) and tables trade recall for cost.
+    Recall vs. the exact knn_cosine_topk oracle is asserted in
+    tests/test_similarity.py."""
+    n = _embeddings(spark, sf_dir)
+
+    def signature(table: int):
+        bit_cols = []
+        for bit in range(LSH_BITS):
+            plane = F.array(*[F.lit(s) for s in _hyperplane(table, bit)])
+            proj = _dot(F.col("v"), plane)
+            bit_cols.append(F.when(proj >= 0, F.lit(1 << bit)).otherwise(F.lit(0)))
+        sig = bit_cols[0]
+        for c in bit_cols[1:]:
+            sig = sig + c
+        return sig
+
+    sigs = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), signature(t).alias("sig"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    bucketed = n.select("vec_id", "v", "nrm", F.explode(sigs).alias("b")).select(
+        "vec_id", "v", "nrm", F.col("b.table_id").alias("table_id"), F.col("b.sig").alias("sig")
+    )
+    probes = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "table_id",
+        "sig",
+    )
+    candidates = (
+        bucketed.join(F.broadcast(probes), ["table_id", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -1,0 +1,274 @@
+"""[EXT] Text-analysis operators for LLM training-data pipelines.
+
+All pure JVM-side column expressions (no Python in the hot path): tokenize /
+count / ratio arithmetic is whole-stage-codegen'd, and every query is a
+single scan + narrow transforms (+ one aggregate where noted) — the
+embarrassingly-parallel shape that scales linearly to 100 TB.
+
+Determinism: ratios are int/int double divisions (exact inputs, fixed
+operation order) and fingerprints are md5-based (identical hex output on
+both engines), so everything here is oracle-checkable bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+
+def _tokens(col):
+    return F.split(col, r"\s+")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(text, '\\s+') AS ts
+      FROM documents)
+    SELECT doc_id, lang,
+           length(text) AS n_chars,
+           len(ts) AS n_tokens,
+           len(list_distinct(ts)) AS n_distinct_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ts) AS avg_token_len,
+           CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+           list_aggregate(list_transform(ts, x -> length(x)), 'max') AS max_token_len
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char/token/distinct-token counts, mean token
+    length, type-token ratio, longest token."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    n_tokens = F.size(ts)
+    n_distinct = F.size(F.array_distinct(ts))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        F.array_max(F.transform(ts, F.length)).alias("max_token_len"),
+    )
+
+
+@query(
+    "topk_terms",
+    oracle="""
+    SELECT tok AS term, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+    GROUP BY 1
+    ORDER BY n DESC, term ASC
+    LIMIT 100
+    """,
+)
+def topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency top-k — the classic MapReduce wordcount
+    generalized from the reference's shuffle-and-count skeleton.  Partial
+    aggregation absorbs token skew map-side; the final top-k is
+    TakeOrderedAndProject (bounded heaps, no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+    )
+
+
+# marker word-lists per language for the scoring heuristic.  NOTE: the
+# synthetic fixture's text is language-agnostic term soup (identical
+# vocabulary across langs), so *accuracy* against the lang column is chance —
+# what the oracle verifies is the scoring/argmax semantics, which is the
+# operator contract.  On real corpora the lists would be stopword profiles.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "de": ("table", "join", "merge"),
+    "es": ("query", "group", "row"),
+    "fr": ("stream", "line", "sort"),
+    "zh": ("spark", "window", "scan"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(ts, t -> t IN ({lst})))"
+
+
+_GUESS_SQL = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(f"s_{a} >= s_{b}" for b in _LANG_ORDER if b != a)
+    + f" THEN '{a}'"
+    for a in _LANG_ORDER
+) + " ELSE 'en' END"
+
+
+@query(
+    "lang_id_markers",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_marker_sql(lang)} AS s_{lang}" for lang in _LANG_ORDER)}
+      FROM (SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS ts FROM documents)
+    )
+    SELECT doc_id, lang, {_GUESS_SQL} AS lang_guess,
+           CASE WHEN lang = {_GUESS_SQL} THEN 1 ELSE 0 END AS is_correct
+    FROM scored
+    """,
+)
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word scoring (n-gram/stopword-profile family):
+    count marker hits per language, argmax with a fixed preference order for
+    ties.  One narrow pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    def marker_count(markers: tuple[str, ...]):
+        # NB: the lambda must be unary — pyspark treats a second parameter
+        # (even a defaulted one) as the element-index argument
+        return F.size(F.filter(ts, lambda t: t.isin(*markers)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_count(_LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    guess = F.lit("en")
+    # build the same first-max CASE chain as the oracle
+    expr = None
+    for lang in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        )
+    guess = expr.otherwise(F.lit("en"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        F.when(F.col("lang") == guess, 1).otherwise(0).alias("is_correct"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts, length(text) AS n_chars
+      FROM documents)
+    SELECT doc_id,
+           0.4 * LEAST(CAST(len(ts) AS DOUBLE) / 60.0, 1.0)
+         + 0.4 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+         + 0.2 * LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0) AS score,
+           CASE WHEN 0.4 * LEAST(CAST(len(ts) AS DOUBLE) / 60.0, 1.0)
+                   + 0.4 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+                   + 0.2 * LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0) >= 0.6
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score — weighted blend of length saturation and
+    type-token ratio, with a keep/drop verdict (the filter stage of a
+    training-data pipeline).  Fixed-order double arithmetic over exact
+    integer inputs → bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    n_tokens = F.size(ts).cast("double")
+    distinct_ratio = F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+    n_chars = F.length("text").cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_tokens / 60.0, F.lit(1.0))
+        + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * F.least(n_chars / 300.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        F.when(score >= 0.6, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS total_tokens,
+           MAX(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS max_doc_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (word runs +
+    isolated punctuation) — the budget-estimation pass of a training
+    pipeline, aggregated per language."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+    return (
+        d.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(ts, ' ')) AS fp_full,
+           CASE WHEN len(ts) >= 3 THEN
+             list_aggregate(
+               list_transform(range(1, len(ts) - 1),
+                              i -> md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])),
+               'min')
+           ELSE md5(array_to_string(ts, ' ')) END AS fp_min_shingle
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 plus a winnowing-style
+    min-shingle fingerprint (minimum md5 over 3-token shingles — robust to
+    local edits, the 1-hash special case of the MinHash signature used by
+    minhash_dedup).  md5 hex is identical across engines, so unlike
+    xxhash-based sketches this one is oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    joined = F.array_join(ts, " ")
+    shingle_md5s = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 2),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(ts, i, 3)).cast("binary")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(joined.cast("binary")).alias("fp_full"),
+        F.when(F.size(ts) >= 3, F.array_min(shingle_md5s))
+        .otherwise(F.md5(joined.cast("binary")))
+        .alias("fp_min_shingle"),
+    )

@@ -1,0 +1,90 @@
+"""Semantic unit tests for the dedup operators on literal data — these pin
+behaviors the fixture-parity tests can't (the fixtures have no exact dupes,
+and simhash has no SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+BASE = (
+    "spark query engine scans the table and joins the rows with hash "
+    "partitioned keys before the final aggregate stage emits results"
+)
+NEAR = BASE.replace("final", "last")  # one-token edit
+FAR = (
+    "completely different content about databases vectors windows and "
+    "streams that shares almost nothing with the other documents here"
+)
+
+
+def test_exact_dedup_counts(spark, tmp_path, monkeypatch):
+    import hadoopmapreduce_spark.operators.dedup as dd
+
+    docs = _docs(spark, [BASE, BASE, FAR])
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.dedup.load_table",
+        lambda spark_, sf_dir, name: docs,
+    )
+    out = {r["canonical_doc_id"]: r["n_copies"] for r in dd.exact_dedup(spark, "x").collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_finds_near_dup(spark, monkeypatch):
+    import hadoopmapreduce_spark.operators.dedup as dd
+
+    docs = _docs(spark, [BASE, NEAR, FAR])
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.dedup.load_table",
+        lambda spark_, sf_dir, name: docs,
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_dedup(spark, "x").collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_minhash_matches_exact_jaccard(spark, monkeypatch):
+    import hadoopmapreduce_spark.operators.dedup as dd
+
+    docs = _docs(spark, [BASE, NEAR, FAR, BASE + " extra tail tokens appended"])
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.dedup.load_table",
+        lambda spark_, sf_dir, name: docs,
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in dd.ngram_jaccard_pairs(spark, "x").collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in dd.minhash_lsh_dedup(spark, "x").collect()
+    }
+    assert exact == lsh
+
+
+def test_simhash_near_vs_far(spark, monkeypatch):
+    import hadoopmapreduce_spark.operators.dedup as dd
+
+    docs = _docs(spark, [BASE, NEAR, FAR])
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.dedup.load_table",
+        lambda spark_, sf_dir, name: docs,
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dd.simhash_dedup(spark, "x").collect()}
+    assert (0, 1) in pairs  # one-token edit stays within hamming 3
+    assert all(2 not in p for p in pairs)  # unrelated doc does not pair
+
+
+def test_hll_error_bound(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.aggregates import agg_approx_count_distinct
+
+    for r in agg_approx_count_distinct(spark, sf_dir).collect():
+        rel_err = abs(r["approx_orders"] - r["exact_orders"]) / max(r["exact_orders"], 1)
+        assert rel_err < 0.1, f"HLL rel err {rel_err} for {r['returnflag']}"

@@ -1,0 +1,44 @@
+"""ANN quality: the LSH-bucketed top-k must achieve reasonable recall against
+the exact brute-force top-k (its differential oracle)."""
+
+from __future__ import annotations
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.similarity import (
+        TOP_K,
+        ann_lsh_topk,
+        knn_cosine_topk,
+    )
+
+    exact = knn_cosine_topk(spark, sf_dir).collect()
+    approx = ann_lsh_topk(spark, sf_dir).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / TOP_K for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 8 tables x 8 bits on 500 64-d vectors: expect moderate recall; this
+    # bound catches wiring regressions (empty candidates, broken signatures)
+    assert mean_recall >= 0.3, f"mean ANN recall {mean_recall:.2f} too low: {recalls}"
+
+
+def test_ann_results_are_true_cosines(spark, sf_dir):
+    """Every ANN hit must carry the same cosine the exact scorer computes
+    (re-rank is exact; only candidate generation is approximate)."""
+    from hadoopmapreduce_spark.operators.similarity import ann_lsh_topk, knn_cosine_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_cosine_topk(spark, sf_dir).collect()
+    }
+    for r in ann_lsh_topk(spark, sf_dir).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-12
