@@ -315,6 +315,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 COSINE_DUP_THRESHOLD = 0.4  # fixture has no >0.44 pairs; 0.4 exposes the tail
+COSINE_BLOCKS = 8  # B: each vector replicated B+1 times; B²/2 block tasks
 
 
 @query(
@@ -332,35 +333,87 @@ COSINE_DUP_THRESHOLD = 0.4  # fixture has no >0.44 pairs; 0.4 exposes the tail
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise embedding-cosine near-dup pairs.
+    """Exact all-pairs embedding-cosine near-dup pairs via block-paired
+    vectorized scoring.
 
-    All-pairs by construction — the differential baseline for the LSH-bucketed
-    ANN path (similarity.ann_lsh_topk), sized for the fixtures (≤5k vectors).
-    At 100 TB this shape is replaced by random-hyperplane bucketing with the
-    same verify-exactly-on-candidates structure as minhash_lsh_dedup.
-    The dot product is a JVM-side fold (zip_with + aggregate in double) —
-    sequential order matches DuckDB's list_dot_product, so values are
-    bit-stable."""
+    Shape: vectors hash into B blocks; every unordered block pair (i ≤ j)
+    becomes one task; each vector is shipped to the B block-pairs it joins
+    (replication factor B+1 — rows are tiny 64-float payloads), and an
+    ``applyInPandas`` kernel scores the block-pair's cross product
+    vectorized over pairs.  Work is O(N²·d/B²) per task with O(N·B)
+    shuffle — the exact-all-pairs layout that still load-balances on a
+    1000-executor cluster.  When N² itself is unaffordable, the LSH
+    candidate-generation of ann_lsh_topk replaces the block enumeration;
+    the verify-exactly-on-candidates kernel stays identical.
+
+    Bit-exactness vs the DuckDB oracle: the kernel accumulates dimension-
+    by-dimension (``acc += a[:,k]*b[:,k]``), the same sequential order as
+    DuckDB's list_dot_product and independent of pair batching — so the
+    doubles match to the last ulp despite crossing into numpy."""
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        (F.col("vec_id") % COSINE_BLOCKS).alias("blk"),
+    )
+    # enumerate unordered block pairs; replicate each vector into every
+    # block-pair task containing its block, tagged with which side it's on
+    block_pairs = [(i, j) for i in range(COSINE_BLOCKS) for j in range(i, COSINE_BLOCKS)]
+    pair_df = spark.createDataFrame(block_pairs, "blk_a int, blk_b int")
+    sides = e.join(
+        F.broadcast(pair_df),
+        (F.col("blk") == F.col("blk_a")) | (F.col("blk") == F.col("blk_b")),
     )
 
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    thresh = COSINE_DUP_THRESHOLD
+
+    def score_block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        blk_a, blk_b = key
+        left = pdf[pdf["blk"] == blk_a]
+        right = pdf[pdf["blk"] == blk_b]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        la = np.stack(left["v"].to_numpy())
+        rb = np.stack(right["v"].to_numpy())
+        ids_a = left["vec_id"].to_numpy()
+        ids_b = right["vec_id"].to_numpy()
+        dim = la.shape[1]
+        # Gram matrix by dimension-sequential outer-product accumulation:
+        # G[i,j] = (((a_i0*b_j0) + a_i1*b_j1) + ...) — the exact order
+        # DuckDB's list_dot_product uses, but vectorized over the whole
+        # block pair with no per-pair row materialization (GEMM-shaped loop).
+        G = np.zeros((len(la), len(rb)))
+        for k in range(dim):
+            G += la[:, k, None] * rb[None, :, k]
+
+        def seq_norm(x):
+            acc = np.zeros(len(x))
+            for k in range(dim):
+                acc += x[:, k] * x[:, k]
+            return np.sqrt(acc)
+
+        cos = G / (seq_norm(la)[:, None] * seq_norm(rb)[None, :])
+        mask = cos >= thresh
+        if blk_a == blk_b:
+            # same set on both sides: keep each unordered pair once
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ii, jj = np.nonzero(mask)
+        ia, ib = ids_a[ii], ids_b[jj]
+        # canonical orientation: vec_a = smaller id (cosine is symmetric —
+        # the k-sequential accumulation is orientation-independent)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cosine": cos[ii, jj],
+            }
         )
 
-    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
-    a = n.alias("a")
-    b = n.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        sides.groupBy("blk_a", "blk_b")
+        .applyInPandas(score_block_pair, "vec_a long, vec_b long, cosine double")
     )

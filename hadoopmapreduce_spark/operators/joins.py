@@ -182,7 +182,13 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of rows; a non-equi join between two large sides would instead
     need banding/bucketing of the range key."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    # VALUES → LocalRelation (JVM-native literals): unlike a Python-list
+    # createDataFrame (ExistingRDD), this stays inside whole-stage codegen
+    bands = spark.sql(
+        "SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi FROM (VALUES "
+        + ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+        + ") AS t(band, lo, hi)"
+    )
     cond = (F.col("l_extendedprice") >= F.col("lo")) & (
         F.col("l_extendedprice") < F.col("hi")
     )

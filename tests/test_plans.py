@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions: the scale posture is *verified*, not
+assumed — broadcast joins where intended, pushdown reaching the scans,
+column pruning, bounded top-k, and no accidental cartesian products."""
+
+from __future__ import annotations
+
+from hadoopmapreduce_spark.plans import (
+    assert_contains,
+    assert_not_contains,
+    physical_plan,
+    scan_read_schema,
+)
+
+
+def test_dim_chain_broadcasts(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.joins import join_broadcast_dim_chain
+
+    df = join_broadcast_dim_chain(spark, sf_dir)
+    assert_contains(df, "BroadcastHashJoin")
+    assert_not_contains(df, "SortMergeJoin", "CartesianProduct")
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.aggregates import agg_pricing_summary
+
+    df = agg_pricing_summary(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    schemas = scan_read_schema(df)
+    assert schemas, "no parquet scan found"
+    # projection pruning: join keys not needed by Q1 must not be read
+    assert "l_orderkey" not in schemas[0]
+    assert "l_partkey" not in schemas[0]
+
+
+def test_ctr_filter_pushdown(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.ctr import ctr_flagship
+
+    plan = physical_plan(ctr_flagship(spark, sf_dir))
+    assert "PushedFilters:" in plan and "event_type" in plan
+
+
+def test_topk_is_bounded_not_global_sort(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.sorts import sort_topk_orders
+
+    assert_contains(sort_topk_orders(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    """The reference never set a combiner (ClickThru.java job 2); Spark's
+    partial+final split must appear in the grouped-mean plan."""
+    from hadoopmapreduce_spark.operators.ctr import group_avg_ctr
+
+    plan = physical_plan(group_avg_ctr(spark, sf_dir))
+    assert "partial_avg" in plan or "partial avg" in plan.lower()
+
+
+def test_banded_joins_never_cartesian(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.dedup import minhash_lsh_dedup, simhash_dedup
+
+    assert_not_contains(minhash_lsh_dedup(spark, sf_dir), "CartesianProduct")
+    assert_not_contains(simhash_dedup(spark, sf_dir), "CartesianProduct")
+
+
+def test_payload_pruned_for_metadata_query(spark, sf_dir):
+    """mm_payload_stats must not read the text column bytes twice nor keep
+    payload in flight — the scan reads only what the metadata needs."""
+    from hadoopmapreduce_spark.operators.multimodal import mm_payload_stats
+
+    schemas = scan_read_schema(mm_payload_stats(spark, sf_dir))
+    assert schemas and "n_chars" not in schemas[0]
