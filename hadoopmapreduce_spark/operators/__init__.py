@@ -6,12 +6,14 @@ import importlib
 
 _MODULES = (
     "ctr",
+    "tpch",
     "joins",
     "aggregates",
     "windows",
     "sorts",
     "setops",
     "scalars",
+    "udfs",
     "asof",
     "textops",
     "dedup",

@@ -216,3 +216,33 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "agg_pivot_status",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority × status.  With the
+    pivot values enumerated up front Spark plans a single partial+final
+    aggregate over CASE projections — no extra pass to discover the domain,
+    which is the scalable form (discovering pivot values at 100 TB is its
+    own distinct-aggregation job)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )

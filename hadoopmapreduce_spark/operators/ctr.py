@@ -272,3 +272,87 @@ def sink_textkv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ctr") * 10000, 0).cast("bigint").cast("string"),
         ).alias("line")
     )
+
+
+@query(
+    "project_fields",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def project_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] bare projection — the reference's mapper extracts exactly 3
+    fields and drops the rest by hand (``ClickThru.java:105,114-115``);
+    here Catalyst's column pruning pushes the 3-column ReadSchema into the
+    parquet scan (asserted in tests/test_plans.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "encode_decode_kv_roundtrip",
+    oracle="""
+    WITH flagged AS (
+      SELECT CAST(CAST(i.ts AS DATE) AS VARCHAR) AS referrer,
+             CAST(i.user_id % 10 AS VARCHAR)     AS ad_id,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS flag
+      FROM events i
+      LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type='click') c
+        ON i.user_id = c.user_id
+      WHERE i.event_type = 'view'
+    ),
+    encoded AS (
+      -- job-1 output shape: 0\t{referrer/x1fadId/x1eflag (ClickThru.java:148-149)
+      SELECT '0' || chr(9) || '{' || referrer || '/x1f' || ad_id || '/x1e'
+             || CAST(flag AS VARCHAR) AS line
+      FROM flagged
+    ),
+    decoded AS (
+      -- job-2 mapper: strip to indexOf('{')+1, regex-split (ClickThru.java:160-165)
+      SELECT regexp_split_to_array(substr(line, strpos(line, '{') + 1),
+                                   '(/x1f)|(/x1e)') AS kv
+      FROM encoded
+    )
+    SELECT kv[1] AS referrer, kv[2] AS ad_id,
+           AVG(CAST(kv[3] AS DOUBLE)) AS ctr,
+           COUNT(*) AS n
+    FROM decoded GROUP BY 1, 2
+    """,
+)
+def encode_decode_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] byte-fidelity shim for the sentinel-string intermediate format.
+
+    The engine never needs string-packed intermediates (typed columns flow
+    through one DAG), but the reference's on-disk format between its two
+    jobs is observable behavior: lines ``0\\t{url/x1fadId/x1eflag`` packed
+    with literal 4-char sentinels (``ClickThru.java:116,148``), re-parsed by
+    scanning to ``{`` and regex-splitting on ``(/x1f)|(/x1e)``
+    (``ClickThru.java:160-165``).  This query encodes, decodes, and
+    re-aggregates through that exact format, proving a migration could
+    interoperate with files the reference wrote."""
+    flagged = _flagged_views(spark, sf_dir).select(
+        F.col("view_date").cast("string").alias("referrer"),
+        (F.col("user_id") % 10).cast("string").alias("ad_id"),
+        F.col("clicked").cast("int").alias("flag"),
+    )
+    encoded = flagged.select(
+        F.concat(
+            F.lit("0\t{"),
+            F.col("referrer"),
+            F.lit("/x1f"),
+            F.col("ad_id"),
+            F.lit("/x1e"),
+            F.col("flag").cast("string"),
+        ).alias("line")
+    )
+    kv = F.split(
+        F.expr("substring(line, instr(line, '{') + 1)"), r"(/x1f)|(/x1e)"
+    )
+    decoded = encoded.select(
+        F.element_at(kv, 1).alias("referrer"),
+        F.element_at(kv, 2).alias("ad_id"),
+        F.element_at(kv, 3).cast("double").alias("flag"),
+    )
+    return decoded.groupBy("referrer", "ad_id").agg(
+        F.avg("flag").alias("ctr"), F.count(F.lit(1)).alias("n")
+    )

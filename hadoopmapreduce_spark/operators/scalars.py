@@ -264,3 +264,37 @@ def fn_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key_prefix"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
     )
+
+
+@query(
+    "fn_map_suite",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey,
+             map(['status', 'priority'],
+                 [o_orderstatus, o_orderpriority]) AS props
+      FROM orders)
+    SELECT o_orderkey AS orderkey,
+           props['status'][1] AS status_val,
+           props['priority'][1] AS priority_val,
+           len(map_keys(props)) AS n_keys,
+           CASE WHEN array_contains(map_keys(props), 'status') THEN 1 ELSE 0 END AS has_status
+    FROM m
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construct, extract, keys, membership — over an ad-hoc
+    string map built from order columns (MapType columns behave like the
+    events.props JSON once parsed; this exercises the typed form)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("priority_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "status").cast("int").alias("has_status"),
+    )

@@ -1,0 +1,101 @@
+"""[GEN] User-defined function surface — the engine/user extension points
+the reference cannot have (its mapper/reducer *are* the whole program;
+SURVEY.md §2.4 UDF row).
+
+Three tiers, in preference order (see also multimodal.py's mapInPandas):
+  1. built-in column expressions        — everything else in this repo
+  2. Arrow-vectorized pandas UDFs       — udf_pandas_scalar (scalar),
+                                          udf_grouped_normalize (grouped map)
+  3. row-at-a-time Python UDFs          — deliberately NOT shipped; tested
+                                          only as an anti-benchmark in
+                                          tests/test_udfs.py
+
+Everything here is arithmetic on exact inputs in fixed order, so even the
+Python-side queries are SQL-oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+
+@F.pandas_udf(DoubleType())
+def _charge_udf(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized charge formula — one Arrow batch in, one out; identical
+    IEEE arithmetic to the SQL expression, ~10-100× a row-wise Python UDF."""
+    return price * (1 - discount) * (1 + tax)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: the charge formula evaluated in Python over Arrow
+    batches.  Exists to pin the Arrow round-trip (values must equal the
+    JVM expression bit-for-bit); production code would use the built-in
+    expression (see agg_pricing_summary) since this adds a Python boundary
+    for no semantic gain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        _charge_udf("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group min-max normalization (grouped-map kernel).  min/max are
+    exact regardless of order, and the normalization is one fixed-order
+    expression per row → deterministic across partitionings."""
+    lo = pdf["value"].min()
+    hi = pdf["value"].max()
+    span = hi - lo
+    norm = (pdf["value"] - lo) / span if span > 0 else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {
+            "event_type": pdf["event_type"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "value_norm": norm,
+        }
+    )
+
+
+@query(
+    "udf_grouped_normalize",
+    oracle="""
+    SELECT event_type, event_id, value,
+           CASE WHEN MAX(value) OVER w > MIN(value) OVER w
+                THEN (value - MIN(value) OVER w)
+                     / (MAX(value) OVER w - MIN(value) OVER w)
+                ELSE value * 0.0 END AS value_norm
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def udf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): min-max normalize event
+    values within each event_type.  The grouped-map shape is the UDAF/
+    custom-per-group escape hatch; here its output is provably equal to a
+    window-function formulation, which is exactly the check the oracle
+    performs.  Scale: one shuffle on the group key, groups stream through
+    Arrow; a group must fit in one worker's memory (event_type cardinality
+    is tiny — for high-cardinality keys this is the wrong tool and the
+    window form is used instead)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _minmax_normalize,
+        schema="event_type string, event_id long, value double, value_norm double",
+    )

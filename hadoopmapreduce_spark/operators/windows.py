@@ -167,3 +167,54 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qty_trailing_7d"),
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LAG(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR datediff('second', prev_ts, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session number,
+    then per-session bounds.  Two window passes over ONE shuffle on user_id
+    (both windows share the partitioning, so Catalyst reuses the exchange) —
+    the batch twin of streaming's session_window."""
+    from hadoopmapreduce_spark.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

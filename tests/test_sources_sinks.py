@@ -1,0 +1,66 @@
+"""Source/sink round-trips: parquet (native), csv, json, partitioned
+parquet (pruning), and the reference-shape text-KV sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.plans import physical_plan
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    from hadoopmapreduce_spark.sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_pq")
+    write_parquet(orders, out)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    from hadoopmapreduce_spark.sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_part")
+    write_parquet(orders, out, partition_by=["o_year"])
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1998)
+    plan = physical_plan(back)
+    # partition filter must prune at planning time, not post-scan
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert back.count() == orders.filter(F.col("o_year") == 1998).count()
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(nation.schema).option("header", True).csv(out)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_json")
+    region.write.mode("overwrite").json(out)
+    back = spark.read.schema(region.schema).json(out)
+    assert back.count() == region.count()
+
+
+def test_textkv_sink_shape(spark, sf_dir, tmp_path):
+    from hadoopmapreduce_spark.sources.sinks import write_textkv
+
+    df = spark.createDataFrame(
+        [("u1", "a1", "5000"), ("u2", "a1", "0")], "referrer string, ad_id string, ctr_bp string"
+    )
+    out = str(tmp_path / "ctr_text")
+    write_textkv(df, ["referrer", "ad_id"], "ctr_bp", out)
+    lines = sorted(r["value"] for r in spark.read.text(out).collect())
+    # the reference's job-2 output shape: "[url, adID]\tvalue" (ClickThru.java:166)
+    assert lines == ["[u1, a1]\t5000", "[u2, a1]\t0"]
