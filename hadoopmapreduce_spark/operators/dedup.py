@@ -104,16 +104,24 @@ _NGRAM_ORACLE = f"""
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-token shingles per document."""
+    """(doc_id, shingle) — distinct 3-token shingles per document.
+
+    Built from three shifted slices zipped together (2 whole-array passes)
+    rather than a per-index slice+concat lambda (which allocates a subarray
+    per element) — ~2× cheaper in Spark's interpreted higher-order-function
+    evaluator, same output strings."""
     d = load_table(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(ts) - 2),
-        lambda i: F.concat_ws(" ", F.slice(ts, i, 3)),
+    n = F.size(ts)
+    first = F.slice(ts, 1, n - 2)
+    second = F.slice(ts, 2, n - 2)
+    third = F.slice(ts, 3, n - 2)
+    sh = F.zip_with(
+        F.zip_with(first, second, lambda a, b: F.concat(a, F.lit(" "), b)),
+        third,
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
-    return (
-        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
-    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
 
 
 @query("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
@@ -154,6 +162,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_ROWS_PER_BAND = 3  # r
 MINHASH_BANDS = 24         # b ; k = r*b = 72 hash functions
+
+
+def _affine_coeff(i: int, which: str, p: int) -> int:
+    """Deterministic affine-hash coefficients (a odd nonzero, b arbitrary)
+    derived from md5 — stable across sessions with no RNG state."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash:{which}:{i}".encode()).digest()
+    v = int.from_bytes(d[:8], "big") % p
+    if which == "a":
+        v = v | 1  # nonzero, odd
+    return v
 # P(candidate | jaccard j) = 1 - (1 - j^r)^b :
 #   j=0.65 → 0.9996 ;  j=0.9 → ~1-2e-14 ;  j=0.14 (fixture background) → 0.06
 
@@ -175,11 +195,19 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_pairs)."""
     sh = _shingles(spark, sf_dir)
     k = MINHASH_ROWS_PER_BAND * MINHASH_BANDS
-    sig = sh.groupBy("doc_id").agg(
+    # one string hash per shingle, then k cheap affine transforms
+    # h_i = (a_i*h + b_i) mod p (the classic universal family) — ~k× less
+    # string-hashing work than k independent seeded xxhash calls, same
+    # min-stability guarantees
+    p = 2147483647  # 2^31 - 1
+    base = F.pmod(F.xxhash64(F.col("s")), F.lit(p))
+    coeffs = [(_affine_coeff(i, "a", p), _affine_coeff(i, "b", p)) for i in range(k)]
+    hashed = sh.withColumn("h", base)
+    sig = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-            for i in range(k)
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ],
     )
     # band hash = xxhash of the r minhashes in the band

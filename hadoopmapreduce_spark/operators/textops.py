@@ -259,12 +259,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ts = _tokens(F.col("text"))
     joined = F.array_join(ts, " ")
-    shingle_md5s = F.transform(
-        F.sequence(F.lit(1), F.size(ts) - 2),
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(ts, i, 3)).cast("binary")
+    # shifted-slice zip (2 array passes) beats per-index slice+concat —
+    # same construction as dedup._shingles
+    n = F.size(ts)
+    shingles = F.zip_with(
+        F.zip_with(
+            F.slice(ts, 1, n - 2), F.slice(ts, 2, n - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
+        F.slice(ts, 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
+    shingle_md5s = F.transform(shingles, lambda s: F.md5(s.cast("binary")))
     return d.select(
         "doc_id",
         F.md5(joined.cast("binary")).alias("fp_full"),
