@@ -246,3 +246,54 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: group by (key, salt)
+    first (spreads a hot key over 16 reducers), then re-aggregate by key.
+    Result provably equals the direct groupBy (the oracle *is* the unsalted
+    query) because count and decimal-sum are associative-commutative.
+
+    At 100 TB this is the manual fallback when one grouping key carries an
+    outsized share of rows and even map-side partial aggregation leaves a
+    hot final-stage partition; AQE's skew handling covers joins, not
+    aggregations.  Salt = pmod(xxhash64(whole row basis), 16) — any
+    per-row value works since it only spreads, never reroutes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16))
+    )
+    partial = salted.groupBy(
+        F.col("l_returnflag").alias("returnflag"), F.col("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+    )
+    return partial.groupBy("returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+    )
+
+
+@query("agg_approx_quantiles")  # t-digest/GK sketches are engine-specific
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna via percentile_approx) — the
+    100 TB substitute for exact percentiles (single pass, mergeable, bounded
+    memory).  Rows-only check: Spark's GK and DuckDB's interpolated
+    quantile_cont legitimately differ; tests/test_dedup_semantics.py bounds
+    the error against the exact percentile instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )

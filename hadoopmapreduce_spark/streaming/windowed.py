@@ -90,3 +90,48 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.table("stream_windowed_counts_sink")
     # materialize before the sink table is superseded by a later run
     return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP))
+                       - INTERVAL '12 hours']) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day long, sliding every 12 h): each event lands in
+    two overlapping windows.  Same availableNow→memory-sink execution as the
+    tumbling variant; the oracle enumerates both window starts per event
+    explicitly (window length / slide = 2 memberships)."""
+    load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = agg.select(F.col("w.start").alias("window_start"), "event_type", "n")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sliding_counts_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table("stream_sliding_counts_sink")
+    return spark.createDataFrame(result.collect(), schema=result.schema)

@@ -88,3 +88,12 @@ def test_hll_error_bound(spark, sf_dir):
     for r in agg_approx_count_distinct(spark, sf_dir).collect():
         rel_err = abs(r["approx_orders"] - r["exact_orders"]) / max(r["exact_orders"], 1)
         assert rel_err < 0.1, f"HLL rel err {rel_err} for {r['returnflag']}"
+
+
+def test_approx_quantile_error_bound(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.aggregates import agg_approx_quantiles
+
+    for r in agg_approx_quantiles(spark, sf_dir).collect():
+        # GK with accuracy 10000 on these sizes should be near-exact
+        rel = abs(r["p50_approx"] - r["p50_exact"]) / max(abs(r["p50_exact"]), 1)
+        assert rel < 0.05, f"p50 approx off by {rel} for {r['status']}"

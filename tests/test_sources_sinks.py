@@ -64,3 +64,14 @@ def test_textkv_sink_shape(spark, sf_dir, tmp_path):
     lines = sorted(r["value"] for r in spark.read.text(out).collect())
     # the reference's job-2 output shape: "[url, adID]\tvalue" (ClickThru.java:166)
     assert lines == ["[u1, a1]\t5000", "[u2, a1]\t0"]
+
+
+def test_lakehouse_stubs_raise_cleanly(spark):
+    import pytest as _pytest
+
+    from hadoopmapreduce_spark.sources import lakehouse
+
+    with _pytest.raises(NotImplementedError, match="Delta Lake"):
+        lakehouse.read_delta(spark, "/tmp/nonexistent")
+    with _pytest.raises(NotImplementedError, match="Iceberg"):
+        lakehouse.read_iceberg(spark, "cat.db.tbl")
