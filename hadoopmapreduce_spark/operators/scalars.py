@@ -246,7 +246,7 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) AS price_int_str,
            CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 2) AS BIGINT) AS key_prefix,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec_roundtrip
     FROM orders
     """,
 )
@@ -262,7 +262,13 @@ def fn_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("o_orderkey").cast("string"), 1, 2)
         .cast("bigint")
         .alias("key_prefix"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        # decimal→double round trip rather than a raw decimal output column:
+        # pandas dtype for DECIMAL differs between engines (object[Decimal]
+        # vs float64), which would trip a dtype-sensitive results hash
+        F.col("o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("price_dec_roundtrip"),
     )
 
 
@@ -298,3 +304,30 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.array_contains(F.map_keys(m), "status").cast("int").alias("has_status"),
     )
+
+
+@query(
+    "fn_explode_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_zip(regexp_split_to_array(text, '\\s+'),
+                             range(0, len(regexp_split_to_array(text, '\\s+'))))) AS z
+      FROM documents
+    )
+    SELECT doc_id, CAST(z[2] AS INT) AS pos, CAST(z[1] AS VARCHAR) AS tok
+    FROM t
+    """,
+)
+def fn_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating explode with ordinality (posexplode) — the typed
+    UDTF shape (one input row → N output rows with position).  Lazy and
+    JVM-side; the DuckDB twin zips tokens with their indices before
+    unnesting."""
+    from hadoopmapreduce_spark.catalog import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id", F.posexplode(ts).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
