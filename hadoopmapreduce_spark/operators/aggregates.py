@@ -297,3 +297,28 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderkey AS orderkey, metric, value FROM (
+      SELECT o_orderkey, o_totalprice AS price, CAST(o_custkey AS DOUBLE) AS custkey_num
+      FROM orders
+    ) UNPIVOT (value FOR metric IN (price, custkey_num))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long / melt): two measure columns stacked into
+    (metric, value) rows — the inverse of agg_pivot_status, planned as an
+    Expand (no shuffle at all)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey_num"),
+    )
+    return wide.unpivot(
+        ids=["orderkey"], values=["price", "custkey_num"],
+        variableColumnName="metric", valueColumnName="value",
+    )

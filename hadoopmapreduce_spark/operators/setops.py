@@ -93,3 +93,24 @@ def set_except_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "set_intersect_all_counts",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    ) GROUP BY 1
+    """,
+)
+def set_intersect_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection — min of multiplicities), aggregated
+    to stable per-key counts."""
+    return (
+        _cust_nk(spark, sf_dir)
+        .intersectAll(_supp_nk(spark, sf_dir))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -83,14 +83,22 @@ def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(l_extendedprice)  OVER w AS prev_price,
            LEAD(l_extendedprice) OVER w AS next_price
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over a per-supplier shipment timeline (total order via the
-    (shipdate, orderkey, linenumber) composite)."""
+    """lag/lead over a per-supplier shipment timeline.
+
+    Order-key note: the fixture generator reuses (orderkey, linenumber)
+    pairs at larger scale factors, so the key also includes the price —
+    rows still tied after that are identical in every output column, which
+    makes the lag/lead *multiset* deterministic (tied rows are
+    interchangeable)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     return li.select(
         F.col("l_suppkey").alias("suppkey"),
         F.col("l_orderkey").alias("orderkey"),

@@ -7,7 +7,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_SMALL = "/root/testdata/sf0.001"
+# default sf0.001 for speed; SPARK_GRAFT_TEST_SF=sf0.01 (or sf0.1) runs the
+# whole parity suite at a larger scale — worth one sweep per round since key
+# collisions and value distributions change with sf
+SF_SMALL = f"/root/testdata/{os.environ.get('SPARK_GRAFT_TEST_SF', 'sf0.001')}"
 
 
 @pytest.fixture(scope="session")
