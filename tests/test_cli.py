@@ -1,0 +1,73 @@
+"""The drop-in CLI: same arg contract as the reference's driver
+(ClickThru.java:28-42), byte-compatible intermediate + output files."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def _fixture(tmp_path):
+    imp = tmp_path / "impressions"
+    clk = tmp_path / "clicks"
+    imp.mkdir()
+    clk.mkdir()
+    (imp / "part-0000").write_text(
+        '{"impressionId": "i1", "referrer": "u1", "adId": "a1"}\n'
+        '{"impressionId": "i2", "referrer": "u1", "adId": "a1"}\n'
+        '{"impressionId": "i3", "referrer": "u2", "adId": "a2"}\n'
+    )
+    (clk / "part-0000").write_text('{"impressionId": "i1"}\n')
+    return imp, clk
+
+
+def test_cli_usage_error():
+    proc = subprocess.run(
+        [sys.executable, "-m", "hadoopmapreduce_spark", "one", "two"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 1
+    assert "usage:" in proc.stderr
+
+
+def test_cli_end_to_end(tmp_path):
+    imp, clk = _fixture(tmp_path)
+    combined = tmp_path / "combined"
+    output = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hadoopmapreduce_spark",
+            str(imp),
+            str(clk),
+            str(combined),
+            str(output),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    out_lines = sorted(
+        line
+        for f in output.glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert out_lines == ["[u1, a1]\t0.5", "[u2, a2]\t0.0"]
+
+    combined_lines = sorted(
+        line
+        for f in combined.glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    # the reference's job-1 byte format: 0\t{url/x1fadId/x1e<flag>
+    assert combined_lines == [
+        "0\t{u1/x1fa1/x1e0",
+        "0\t{u1/x1fa1/x1e1",
+        "0\t{u2/x1fa2/x1e0",
+    ]
