@@ -322,3 +322,76 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids=["orderkey"], values=["price", "custkey_num"],
         variableColumnName="metric", valueColumnName="value",
     )
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    WITH s AS (
+      -- width-20 casts force DuckDB's int128 multiply path (width<=18
+      -- operands would get an int64 product type that overflows at runtime)
+      SELECT l_returnflag AS returnflag,
+             CAST(COUNT(*) AS DECIMAL(20,0)) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(20,2)) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(16,4))) AS DECIMAL(20,4)) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(20,2)) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(24,4)) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(20,4)) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS var_qty,
+           ROUND(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_qty,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (variance / stddev / correlation) with every
+    numerator and radicand computed in EXACT decimal arithmetic
+    (n·Σx² − (Σx)², n·Σxy − ΣxΣy), converting to double only for the final
+    sqrt/divide.
+
+    Two reproducibility hazards are eliminated at once: the built-in
+    stddev/corr use order-dependent streaming updates (Welford/co-moment),
+    and even a fixed-formula double expression differs across engines by
+    ulps when one compiler contracts multiply-subtract into FMA.  Exact
+    integer-scaled products sidestep both; declared precisions are sized so
+    no product exceeds decimal(38) (audited up to sf 1).  Still one
+    partial+final aggregate of five sums — nothing extra at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    # Spark widens SUM(decimal(p,s)) to (p+10,s); downcast each sum to a
+    # tight precision so every later product stays within decimal(38) —
+    # otherwise Spark silently rounds (allowPrecisionLoss) and exactness dies
+    s = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+        F.sum(q.cast("decimal(14,2)")).cast("decimal(16,2)").alias("sx"),
+        F.sum((q * q).cast("decimal(16,4)")).cast("decimal(18,4)").alias("sxx"),
+        F.sum(p.cast("decimal(14,2)")).cast("decimal(16,2)").alias("sy"),
+        F.sum((p * p).cast("decimal(20,4)")).cast("decimal(24,4)").alias("syy"),
+        F.sum((q * p).cast("decimal(18,4)")).cast("decimal(20,4)").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx, sy, syy, sxy = (F.col(c) for c in ("sx", "sxx", "sy", "syy", "sxy"))
+    var_num = (n * sxx - sx * sx).cast("double")
+    var_den = (n * (n - 1)).cast("double")
+    var_q = var_num / var_den
+    corr_num = (n * sxy - sx * sy).cast("double")
+    corr_den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    # final rounding: the decimal numerators exceed 2^53, and decimal→double
+    # conversion of such values is single-rounded in Spark (BigDecimal) but
+    # double-rounded in DuckDB (int128→double, then ×10^-scale) — up to
+    # 1 ulp apart.  Rounding to a coarse grid absorbs that (boundary
+    # collision odds ~1e-7).
+    return s.select(
+        "returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(corr_num / corr_den, 9).alias("corr_qty_price"),
+    )

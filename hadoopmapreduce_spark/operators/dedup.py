@@ -445,3 +445,74 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sides.groupBy("blk_a", "blk_b")
         .applyInPandas(score_block_pair, "vec_a long, vec_b long, cosine double")
     )
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_NGRAM_ORACLE}
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS lbl FROM sym GROUP BY a
+      UNION
+      SELECT s.a, LEAST(r.lbl, s.a) FROM sym s JOIN reach r ON s.b = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS canonical_doc_id
+    FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard pair
+    graph, labeling every clustered document with the minimum doc_id in its
+    component — the "keep one canonical copy per duplicate cluster" step
+    that follows pair finding in a dedup pipeline.
+
+    Implementation: iterative label propagation (each round joins labels
+    across edges and takes the min; terminates when a round changes
+    nothing).  Each round is one shuffle join on a pair table that is tiny
+    relative to the corpus (only near-dup members appear); rounds needed =
+    graph diameter, which for dedup clusters is small (dup groups are
+    near-cliques).  The driver-side loop only orchestrates; all data work
+    is distributed.  Oracle: DuckDB recursive CTE computing the same
+    fixpoint."""
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    sym = sym.persist()
+    labels = sym.groupBy(F.col("doc_a").alias("node")).agg(
+        F.least(F.col("doc_a"), F.min("doc_b")).alias("lbl")
+    )
+    for _ in range(20):  # diameter bound; dedup clusters are near-cliques
+        # propagate: node takes min(own lbl, neighbors' lbls)
+        neighbor_lbls = (
+            sym.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_lbls, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_doc_id")
+    )

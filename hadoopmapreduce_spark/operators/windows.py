@@ -226,3 +226,41 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_spend,
+           LAST_VALUE(o_totalprice)  OVER w AS latest_spend,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_spend,
+           CUME_DIST()    OVER w2 AS spend_cume,
+           PERCENT_RANK() OVER w2 AS spend_pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value/distribution functions: first/last/nth value over a
+    full-partition frame plus cume_dist/percent_rank.  cume_dist divides
+    exact integer counts and percent_rank is (rank-1)/(n-1) — both
+    deterministic doubles given the total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.first("o_totalprice").over(w).alias("first_spend"),
+        F.last("o_totalprice").over(w).alias("latest_spend"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_spend"),
+        F.cume_dist().over(w2).alias("spend_cume"),
+        F.percent_rank().over(w2).alias("spend_pct_rank"),
+    )
