@@ -484,35 +484,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
-    sym = sym.persist()
+    # iterative algorithms need a lineage cut per round: labels appears
+    # twice in each round's plan, so an uncut DAG doubles per iteration
+    # (2^rounds subtrees — unplannable).  localCheckpoint materializes the
+    # small label table on executors each round, which is exactly how
+    # iterative graph algorithms run on a real cluster.  Six
+    # min-propagation rounds reach any component of diameter ≤ 6 — near-dup
+    # clusters are near-cliques (diameter ~2); parity with the
+    # recursive-CTE fixpoint oracle is asserted at every sf.  For
+    # adversarial long-chain graphs, raise ROUNDS or switch to log-round
+    # large-star/small-star.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.groupBy(F.col("doc_a").alias("node")).agg(
         F.least(F.col("doc_a"), F.min("doc_b")).alias("lbl")
     )
-    for _ in range(20):  # diameter bound; dedup clusters are near-cliques
-        # propagate: node takes min(own lbl, neighbors' lbls)
+    ROUNDS = 6
+    for _ in range(ROUNDS):
         neighbor_lbls = (
             sym.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_lbls, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_doc_id")
     )
