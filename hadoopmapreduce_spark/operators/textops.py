@@ -278,3 +278,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5(joined.cast("binary")))
         .alias("fp_min_shingle"),
     )
+
+
+SAMPLE_RATES = {"en": 50, "de": 80, "es": 80, "fr": 80, "zh": 30}  # percent
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN bucket < CASE lang
+                 {' '.join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
+                 ELSE 0 END THEN 1 ELSE 0 END) AS n_sampled
+    FROM bucketed GROUP BY 1
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling — the mixture-weight
+    step of a training-data pipeline.  Membership is a pure function of the
+    key (Knuth multiplicative hash mod 100 vs a per-stratum rate), so the
+    sample is reproducible across runs/engines and needs no RNG state;
+    at 100 TB it is a stateless narrow filter.  Output: per-language totals
+    and sampled counts (the full sampled set is `bucket < rate`)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    rate = None
+    for lang, r in SAMPLE_RATES.items():
+        rate = (
+            F.when(F.col("lang") == lang, r)
+            if rate is None
+            else rate.when(F.col("lang") == lang, r)
+        )
+    rate = rate.otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(bucket < rate, 1).otherwise(0)).alias("n_sampled"),
+    )
