@@ -174,3 +174,106 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 2
+
+
+@query("ann_ivf_topk")  # rows-only: clustering assignment is model state
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: deterministic mini-KMeans
+    builds a coarse quantizer; each vector is assigned to its nearest
+    centroid (the inverted lists); a query probes only the IVF_NPROBE
+    nearest lists and exact-re-ranks their members.
+
+    Scale shape: training touches each vector IVF_ITERS times (narrow numpy
+    kernels over Arrow batches); the centroid table is model state small
+    enough to broadcast (K×dim floats); search cost is N·nprobe/K per
+    query instead of N.  At 100 TB, K grows to ~√N and training samples a
+    subset — the plan shape is unchanged.  Initialization is the first K
+    vectors by vec_id (deterministic, no RNG), so results are reproducible
+    across runs; recall vs the exact scorer is asserted in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    n = _embeddings(spark, sf_dir)
+
+    # --- train: Lloyd iterations with driver-held centroids (model state) ---
+    init = n.filter(F.col("vec_id") < IVF_CLUSTERS).orderBy("vec_id").collect()
+    centroids = np.stack([np.array(r["v"]) for r in init])
+
+    def assign_kernel_factory(cents: "np.ndarray"):
+        def assign(it):
+            for pdf in it:
+                V = np.stack(pdf["v"].to_numpy())
+                # squared euclidean via ||v||² - 2 v·c + ||c||²; argmin over c
+                d = (
+                    (V * V).sum(axis=1, keepdims=True)
+                    - 2.0 * (V @ cents.T)
+                    + (cents * cents).sum(axis=1)
+                )
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "cluster": d.argmin(axis=1).astype("int32")}
+                )
+        return assign
+
+    for _ in range(IVF_ITERS):
+        assigned = n.select("vec_id", "v").mapInPandas(
+            assign_kernel_factory(centroids), schema="vec_id long, cluster int"
+        )
+        sums = (
+            n.join(assigned, "vec_id")
+            .select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc: dict[int, "np.ndarray"] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], np.zeros(centroids.shape[1]))[r["dim"]] = r["s"]
+            cnt[r["cluster"]] = r["c"]
+        for k, vec in acc.items():
+            new_c[k] = vec / cnt[k]
+        centroids = new_c
+
+    # --- index: final assignment = the inverted lists ---
+    assigned = n.select("vec_id", "v").mapInPandas(
+        assign_kernel_factory(centroids), schema="vec_id long, cluster int"
+    )
+    indexed = n.join(assigned, "vec_id")
+
+    # --- search: probe the nprobe nearest lists per query, exact re-rank ---
+    probe_rows = []
+    queries = indexed.filter(F.col("vec_id") < N_QUERIES).collect()
+    for r in queries:
+        qv = np.array(r["v"])
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:IVF_NPROBE]:
+            probe_rows.append((r["vec_id"], int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    q_side = indexed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    candidates = (
+        indexed.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(q_side), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = candidates.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -42,3 +42,27 @@ def test_ann_results_are_true_cosines(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(exact[key] - r["cosine"]) < 1e-12
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.similarity import (
+        TOP_K,
+        ann_ivf_topk,
+        knn_cosine_topk,
+    )
+
+    exact_sets: dict[int, set[int]] = {}
+    for r in knn_cosine_topk(spark, sf_dir).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_sets: dict[int, set[int]] = {}
+    for r in ann_ivf_topk(spark, sf_dir).collect():
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    recalls = [
+        len(exact_sets[q] & ivf_sets.get(q, set())) / TOP_K for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 16 clusters, 4 probed → a quarter of the corpus scanned; near-random
+    # vectors bound what clustering can do, but wiring regressions (empty
+    # lists, bad assignment) drop this to ~0
+    assert mean_recall >= 0.25, f"mean IVF recall {mean_recall:.2f}: {recalls}"
