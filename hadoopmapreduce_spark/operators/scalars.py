@@ -331,3 +331,40 @@ def fn_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(ts).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+
+
+@query(
+    "fn_fuzzy_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS w FROM documents)
+    SELECT doc_id,
+           w AS first_word,
+           levenshtein(w, 'spark') AS dist_spark,
+           levenshtein(w, 'query') AS dist_query,
+           CASE WHEN levenshtein(w, 'spark') <= 2 THEN 1 ELSE 0 END AS near_spark,
+           translate(w, 'aeiou', '_____') AS vowels_masked,
+           reverse(w) AS reversed,
+           repeat(substr(w, 1, 2), 2) AS doubled_prefix
+    FROM t
+    """,
+)
+def fn_fuzzy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/string-edit family: levenshtein distance (the character-level
+    near-dup primitive complementing token-level Jaccard), translate,
+    reverse, repeat.  Edit distance is integer-exact — safe across engines
+    — and a bounded-distance filter is the classic fuzzy-join predicate
+    (at scale: length/prefix banding first, then edit distance on
+    candidates, mirroring the MinHash verify-on-candidates shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract(F.col("text"), r"^(\w+)", 1)
+    return d.select(
+        "doc_id",
+        w.alias("first_word"),
+        F.levenshtein(w, F.lit("spark")).alias("dist_spark"),
+        F.levenshtein(w, F.lit("query")).alias("dist_query"),
+        F.when(F.levenshtein(w, F.lit("spark")) <= 2, 1).otherwise(0).alias("near_spark"),
+        F.translate(w, "aeiou", "_____").alias("vowels_masked"),
+        F.reverse(w).alias("reversed"),
+        F.repeat(F.substring(w, 1, 2), 2).alias("doubled_prefix"),
+    )

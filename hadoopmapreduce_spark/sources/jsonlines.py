@@ -48,3 +48,26 @@ def read_jsonlines_tolerant(
             "_corrupt"
         ),
     )
+
+
+def read_jsonlines_observed(
+    spark: SparkSession, path: str, schema: T.StructType
+):
+    """Tolerant JSON-lines read with data-quality metrics attached.
+
+    Returns ``(df, observation)``: the observation reports ``n_rows`` and
+    ``n_corrupt`` after the first action on ``df`` — collected piggyback on
+    the job itself (no second scan), which is how a 100 TB ingest counts its
+    quarantine rate for free.  This replaces the reference's failure modes
+    for bad records (E1 stale-value reuse / E4 crash) with accounting.
+    """
+    from pyspark.sql import Observation
+
+    df = read_jsonlines_tolerant(spark, path, schema)
+    obs = Observation("jsonlines_quality")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+    )
+    return observed, obs

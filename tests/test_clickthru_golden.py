@@ -71,3 +71,14 @@ def test_junk_prefix_parsed(spark, fixture_dirs):
     df = read_jsonlines_tolerant(spark, imp_dir, IMPRESSION_SCHEMA)
     i2 = df.filter(df.impressionId == "i2").collect()
     assert len(i2) == 1 and i2[0]["referrer"] == "u1"
+
+
+def test_observed_corruption_metrics(spark, fixture_dirs):
+    from hadoopmapreduce_spark.operators.clickthru import IMPRESSION_SCHEMA
+    from hadoopmapreduce_spark.sources.jsonlines import read_jsonlines_observed
+
+    imp_dir, _ = fixture_dirs
+    df, obs = read_jsonlines_observed(spark, imp_dir, IMPRESSION_SCHEMA)
+    n_valid = df.filter(df._corrupt.isNull()).count()  # the action
+    assert obs.get == {"n_rows": 7, "n_corrupt": 1}
+    assert n_valid == 6
