@@ -92,11 +92,11 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts (constant memory per group, single shuffle, mergeable
     sketches).  No oracle: DuckDB's approx_count_distinct uses a different
     sketch; correctness is covered by a unit test bounding relative error
-    against the exact count."""
+    against the exact count (computed separately there — carrying the exact
+    aggregate inside this query would defeat its point at scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
 
 
@@ -394,4 +394,50 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_q, 6).alias("var_qty"),
         F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
         F.round(corr_num / corr_den, 9).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(FLOOR(MIN(o_totalprice)) AS BIGINT) AS VARCHAR),
+           CAST(CAST(FLOOR(MAX(o_totalprice)) AS BIGINT) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/non-null/distinct counts and extrema
+    in one pass per column family — the discovery step before designing
+    partitioning/bucketing for a new 100 TB table.  Numeric extrema are
+    floored to integer strings (float→string rendering is engine-specific)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax_expr):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            minmax_expr(F.min(col)).alias("min_val"),
+            minmax_expr(F.max(col)).alias("max_val"),
+        )
+
+    ident = lambda c: c.cast("string")  # noqa: E731
+    floored = lambda c: F.floor(c).cast("bigint").cast("string")  # noqa: E731
+    return (
+        prof("o_orderkey", ident)
+        .unionByName(prof("o_orderstatus", ident))
+        .unionByName(prof("o_totalprice", floored))
     )

@@ -368,3 +368,70 @@ def fn_fuzzy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(w).alias("reversed"),
         F.repeat(F.substring(w, 1, 2), 2).alias("doubled_prefix"),
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 7 AS or7,
+           xor(o_orderkey, 21) AS xor21,
+           (o_orderkey % 1024) << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           bit_count(o_orderkey) AS popcount
+    FROM orders
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount — the primitives under
+    SimHash banding and bitmap-style encodings; integer-exact across
+    engines.  Shift amount domain kept under 2^62 (ANSI overflow throws)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("orderkey"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(7)).alias("or7"),
+        k.bitwiseXOR(F.lit(21)).alias("xor21"),
+        F.shiftleft(k % 1024, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "fn_trycast_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN 'not-a-number'
+                  ELSE '' END AS raw
+      FROM documents)
+    SELECT doc_id, raw,
+           TRY_CAST(raw AS BIGINT) AS as_int,
+           CASE WHEN TRY_CAST(raw AS BIGINT) IS NULL THEN 1 ELSE 0 END AS failed
+    FROM t
+    """,
+)
+def fn_trycast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting: try_cast yields NULL on malformed input instead
+    of an ANSI runtime error — the typed-ingest counterpart of the tolerant
+    JSON reader (dirty values become accountable nulls, never task
+    failures).  Domain restricted to clean-integer/garbage strings: the
+    engines agree there, but differ on decimal-string→int (DuckDB rounds,
+    Spark rejects) — that asymmetry is deliberately excluded."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("not-a-number"))
+        .otherwise(F.lit(""))
+    )
+    as_int = raw.try_cast("bigint")
+    return d.select(
+        "doc_id",
+        raw.alias("raw"),
+        as_int.alias("as_int"),
+        F.when(as_int.isNull(), 1).otherwise(0).alias("failed"),
+    )

@@ -83,10 +83,19 @@ def test_simhash_near_vs_far(spark, monkeypatch):
 
 
 def test_hll_error_bound(spark, sf_dir):
+    from hadoopmapreduce_spark.catalog import load_table
     from hadoopmapreduce_spark.operators.aggregates import agg_approx_count_distinct
 
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
     for r in agg_approx_count_distinct(spark, sf_dir).collect():
-        rel_err = abs(r["approx_orders"] - r["exact_orders"]) / max(r["exact_orders"], 1)
+        e = exact[r["returnflag"]]
+        rel_err = abs(r["approx_orders"] - e) / max(e, 1)
         assert rel_err < 0.1, f"HLL rel err {rel_err} for {r['returnflag']}"
 
 
