@@ -62,3 +62,61 @@ def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "last_view_ts",
     )
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(v.user_id) AS n_views_prior_hour
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY 1
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large range join via time banding: how many views (by anyone)
+    landed in the hour before each purchase.
+
+    Neither side is broadcastable at 100 TB, and a naive non-equi join
+    between two large sides is a cross join in disguise.  The banded form:
+    bucket both sides into 1-hour epochs, equi-join each purchase bucket to
+    {bucket, bucket-1} on the view side (a 1-hour lookback can only span
+    two buckets), then apply the exact range predicate.  The equi-join on
+    the bucket key shuffles/partitions normally; per-bucket fan-out is
+    bounded by events-per-hour, not table size.  This is the general
+    recipe every 'within Δ' join (sensor alignment, sessionized
+    attribution) compiles to."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = 3600  # seconds per band
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("ts").alias("p_ts"),
+        (F.unix_timestamp("ts") / hour).cast("bigint").alias("bucket"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        (F.unix_timestamp("ts") / hour).cast("bigint").alias("v_bucket"),
+    )
+    # each purchase probes its own band and the previous one; count matches
+    # with an inner join, then re-attach zero-match purchases (an outer join
+    # through the band+filter would drop a purchase whose bands have views
+    # but none inside the exact range)
+    probes = purchases.select(
+        "event_id", "p_ts", F.explode(F.array(F.col("bucket"), F.col("bucket") - 1)).alias("v_bucket")
+    )
+    counts = (
+        probes.join(views, "v_bucket")
+        .filter(
+            (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return purchases.select("event_id").join(counts, "event_id", "left").select(
+        F.col("event_id").alias("purchase_id"),
+        F.coalesce("n", F.lit(0)).alias("n_views_prior_hour"),
+    )

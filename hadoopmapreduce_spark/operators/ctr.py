@@ -356,3 +356,38 @@ def encode_decode_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("referrer", "ad_id").agg(
         F.avg("flag").alias("ctr"), F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "dedup_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id,
+           CAST(ts AS TIMESTAMP) AS latest_ts, event_type AS latest_type
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (CDC/log compaction shape): keep
+    each user's most recent event via rank-1 selection with a total order.
+    This deterministic form replaces the reference's E3 behavior —
+    last-write-wins in nondeterministic reduce iteration order
+    (``ClickThru.java:142-143``) — and is the standard upsert-log →
+    current-state materialization at any scale (one shuffle on the key)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
