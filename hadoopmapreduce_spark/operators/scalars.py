@@ -435,3 +435,37 @@ def fn_trycast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int.alias("as_int"),
         F.when(as_int.isNull(), 1).otherwise(0).alias("failed"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))) AS toks,
+             ['spark', 'query', 'table', 'join'] AS probe
+      FROM documents)
+    SELECT doc_id,
+           -- DuckDB's array_to_string renders the empty list as NULL
+           COALESCE(array_to_string(list_sort(list_intersect(toks, probe)), ','), '') AS common,
+           len(list_intersect(toks, probe)) AS n_common,
+           COALESCE(array_to_string(list_sort(list_filter(probe, p -> NOT array_contains(toks, p))), ','), '') AS missing,
+           len(list_distinct(toks || probe)) AS n_union
+    FROM t
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations: intersect / difference / union against a probe
+    vocabulary, with sorted string renderings so results are order-canonical
+    across engines (array element ORDER is engine-defined; the sets aren't)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split(F.col("text"), r"\s+")))
+    probe = F.array(*[F.lit(w) for w in ("spark", "query", "table", "join")])
+    inter = F.array_intersect(toks, probe)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(inter), ",").alias("common"),
+        F.size(inter).alias("n_common"),
+        F.array_join(F.array_sort(F.array_except(probe, toks)), ",").alias("missing"),
+        F.size(F.array_distinct(F.concat(toks, probe))).alias("n_union"),
+    )

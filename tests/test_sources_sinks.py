@@ -75,3 +75,12 @@ def test_lakehouse_stubs_raise_cleanly(spark):
         lakehouse.read_delta(spark, "/tmp/nonexistent")
     with _pytest.raises(NotImplementedError, match="Iceberg"):
         lakehouse.read_iceberg(spark, "cat.db.tbl")
+
+
+def test_decode_stub_raises_cleanly():
+    import pytest as _pytest
+
+    from hadoopmapreduce_spark.operators.multimodal import decode_image_stub
+
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_stub(b"\x89PNG fake bytes")
