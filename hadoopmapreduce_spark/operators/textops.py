@@ -319,3 +319,53 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(bucket < rate, 1).otherwise(0)).alias("n_sampled"),
     )
+
+
+PACK_TOKEN_BUDGET = 2000  # tokens per training shard
+
+
+@query(
+    "pack_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+      FROM t)
+    SELECT doc_id, lang, n_tok,
+           cum_before // {PACK_TOKEN_BUDGET} AS shard
+    FROM c
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents to fixed-token-budget
+    training shards per language — running token count in a deterministic
+    order, shard = floor(tokens-before / budget).
+
+    Exact integer running sums make the assignment reproducible; at scale
+    this is one window shuffle on the stratum key, and the shard id becomes
+    the write partition (each output file ≈ one training chunk).  The
+    greedy order-by-key policy trades ~half-a-document of per-shard slack
+    for never needing a global bin-packing pass — the standard choice when
+    shards number in the millions."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    cum_before = F.sum("n_tok").over(w) - F.col("n_tok")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(cum_before / PACK_TOKEN_BUDGET).cast("bigint").alias("shard"),
+    )

@@ -84,3 +84,38 @@ def test_decode_stub_raises_cleanly():
 
     with _pytest.raises(NotImplementedError, match="PIL"):
         decode_image_stub(b"\x89PNG fake bytes")
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_parquet_codec_matrix(spark, sf_dir, tmp_path):
+    """Compression codecs round-trip identically (snappy default, zstd for
+    cold data, gzip for interop) — codec choice is a storage knob, never a
+    semantics one."""
+    orders = load_table(spark, sf_dir, "orders")
+    expected = orders.count()
+    for codec in ("snappy", "zstd", "gzip"):
+        out = str(tmp_path / f"orders_{codec}")
+        orders.write.mode("overwrite").option("compression", codec).parquet(out)
+        assert spark.read.parquet(out).count() == expected
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    """CSV dirty-row handling: PERMISSIVE nulls bad fields, DROPMALFORMED
+    removes the rows — the csv analogues of the tolerant JSON reader."""
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part.csv").write_text("1,alice\n2,bob\nnot_an_int,carol\n3,dave\n")
+    schema = "id int, name string"
+    permissive = spark.read.schema(schema).csv(str(p))
+    assert permissive.count() == 4
+    assert permissive.filter("id IS NULL").count() == 1
+    dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(str(p))
+    assert [r["name"] for r in dropped.orderBy("id").collect()] == ["alice", "bob", "dave"]
