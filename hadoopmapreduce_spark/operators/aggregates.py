@@ -222,9 +222,11 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_status",
     oracle="""
     SELECT o_orderpriority AS priority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           -- DuckDB SUM(int) is HUGEINT; Spark counts are BIGINT — cast so the
+           -- driver's value hash compares like types (same fix as agg_moments)
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
     FROM orders GROUP BY 1
     """,
 )

@@ -97,8 +97,10 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
            abs(l_extendedprice - 50000.0) AS abs_dev,
-           floor(l_extendedprice / 1000) AS price_floor_k,
-           ceil(l_discount * 100) AS disc_pct_ceil,
+           -- DuckDB floor/ceil return DOUBLE; Spark's return BIGINT — cast so
+           -- the driver's value hash compares like types
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_floor_k,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_round1,
            l_extendedprice - floor(l_extendedprice) AS price_frac,
            sqrt(l_quantity) AS qty_sqrt,

@@ -194,8 +194,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             -- DuckDB windowed SUM(int) is HUGEINT; Spark emits BIGINT — cast
+             -- so the driver's value hash compares like types
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no, MIN(ts) AS session_start,

@@ -27,7 +27,13 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize cell values, sort rows."""
+    """Sort columns by name, canonicalize cell values, sort rows.
+
+    Row order is established on non-float columns first, with float columns
+    (rounded to 9 significant digits for the key only) as tie-breakers — so a
+    last-ulp representation difference between engines cannot reorder rows and
+    misalign the pairwise comparison.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -37,8 +43,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype(float)
         else:
             df[c] = s.map(lambda v: None if v is None or v is pd.NA else v)
-    key = df.astype(str)
-    order = key.sort_values(by=list(key.columns), kind="mergesort").index
+    float_cols = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    key_parts = {}
+    for c in df.columns:
+        if c in float_cols:
+            key_parts[c] = df[c].map(
+                lambda v: "nan" if pd.isna(v) else format(float(v), ".9e")
+            )
+        else:
+            key_parts[c] = df[c].astype(str)
+    key = pd.DataFrame(key_parts, index=df.index)
+    by = [c for c in df.columns if c not in float_cols] + float_cols
+    order = key.sort_values(by=by, kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
 
@@ -55,7 +71,7 @@ class ParityReport:
 
 
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str,
-            rtol: float = 1e-9) -> ParityReport:
+            rtol: float = 1e-9, exact_required: bool = True) -> ParityReport:
     pdf_s = spark_df.toPandas()
     pdf_o = con.execute(sql).df()
 
@@ -93,6 +109,8 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str,
                 exact = close = False
                 idx = list(neq[neq].index[:5])
                 mism.extend((c, int(i), va[i], vb[i]) for i in idx)
-    ok = close
+    # The driver's gate is an exact value hash, so local green must mean
+    # exact — "close" alone is a failure unless the caller opts out.
+    ok = exact if exact_required else close
     return ParityReport(name, ok, True, True, exact, close,
                         "" if ok else f"value mismatches: {mism}", mism)

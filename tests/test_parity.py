@@ -22,11 +22,9 @@ def test_oracle_parity(name, spark, sf_dir, oracle_con):
 
     df = registry.QUERIES[name](spark, sf_dir)
     report = compare(name, df, oracle_con, registry.ORACLES[name])
-    assert report.ok, f"{name}: {report.detail}"
-    # flag (but don't fail) when values are only close, not bit-equal —
-    # the driver's hash may be stricter than our tolerance
-    if not report.exact_values:
-        pytest.skip(f"{name}: values close but not bit-exact — tighten determinism")
+    # exact equality required: the driver's gate is an exact value hash, so
+    # close-but-not-exact locally would NOT predict driver green
+    assert report.ok and report.exact_values, f"{name}: {report.detail or 'values close but not bit-exact'}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
