@@ -35,8 +35,9 @@ def main(argv: list[str]) -> int:
         return 1
     impressions, clicks, combined, output = argv
 
-    import numpy as np
     from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.functions.javafmt import java_f32_str
 
     from hadoopmapreduce_spark.operators.clickthru import (
         IMPRESSION_SCHEMA,
@@ -70,12 +71,6 @@ def main(argv: list[str]) -> int:
 
     result = run_clickthru(spark, impressions, clicks)
 
-    @F.udf("string")
-    def f32_str(x: float) -> str:
-        # Java emits Float.toString(float32 ctr); numpy float32 repr is the
-        # same shortest-roundtrip rendering
-        return str(np.float32(x))
-
     lines = result.select(
         F.concat(
             F.lit("["),
@@ -83,7 +78,7 @@ def main(argv: list[str]) -> int:
             F.lit(", "),
             F.col("ad_id"),
             F.lit("]\t"),
-            f32_str(F.col("ctr")),
+            java_f32_str(F.col("ctr")),
         ).alias("value")
     )
     lines.write.mode("overwrite").text(output)

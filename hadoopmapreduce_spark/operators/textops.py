@@ -131,15 +131,26 @@ _GUESS_SQL = "CASE " + " ".join(
 def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via marker-word scoring (n-gram/stopword-profile family):
     count marker hits per language, argmax with a fixed preference order for
-    ties.  One narrow pass, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    ts = _tokens(F.col("text"))
-    def marker_count(markers: tuple[str, ...]):
-        # NB: the lambda must be unary — pyspark treats a second parameter
-        # (even a defaulted one) as the element-index argument
-        return F.size(F.filter(ts, lambda t: t.isin(*markers)))
+    ties.  One narrow pass, no shuffle.
 
-    scored = d.select(
+    Occurrence counting uses size(ts) - size(array_remove(ts, w)) per marker
+    word instead of a higher-order F.filter lambda: array_remove is a native
+    codegen expression while HOF lambdas are interpreted per element — this
+    cut the sf0.1 bench time ~6x with identical semantics (duplicates still
+    counted, matching the oracle's list_filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", "lang", _tokens(F.col("text")).alias("ts"))
+    ts = F.col("ts")
+    n = F.size(ts)
+
+    def marker_count(markers: tuple[str, ...]):
+        c = None
+        for w in markers:
+            cc = n - F.size(F.array_remove(ts, w))
+            c = cc if c is None else c + cc
+        return c
+
+    scored = tokens.select(
         "doc_id",
         "lang",
         *[
@@ -368,4 +379,111 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tok",
         F.floor(cum_before / PACK_TOKEN_BUDGET).cast("bigint").alias("shard"),
+    )
+
+
+VOCAB_SIZE = 1000
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, tok LIMIT {VOCAB_SIZE}))
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS coverage
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY 1
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-N term vocabulary from
+    the corpus itself, then score each document by the fraction of its
+    tokens inside the vocabulary — the OOV-rate pass of a tokenizer/corpus
+    fit check.
+
+    Scale shape: the vocabulary is a bounded top-N (partial-agg + bounded
+    heap), broadcast to the token stream — the per-doc pass is one explode +
+    broadcast hash join + re-group on doc_id.  The corpus-wide term count is
+    the same aggregation topk_terms runs; nothing is quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    hit = F.when(F.col("_in_vocab").isNotNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit).alias("n_in_vocab"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before tokenization: count and mask email addresses and phone numbers.
+
+    The fixture text is synthetic term soup with no PII, so a deterministic
+    contact line (derived from doc_id) is appended first and then redacted —
+    the oracle checks both the detection counts and the redacted bytes.
+    Pure regexp codegen, embarrassingly parallel; note DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all
+    default."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", injected.alias("text"))
+    email, phone = _EMAIL_RE, _PHONE_RE  # same pattern is valid Java + RE2
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(phone), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
     )

@@ -7,10 +7,10 @@ sliding/session windows, and streaming dedup (the E2 click-dedup semantic as
 ``dropDuplicatesWithinWatermark``).
 
 For verification, the streaming queries run against the parquet fixtures
-with an ``availableNow`` trigger into a memory sink — the batch-equivalent
-answer is then SQL-checkable.  ``streaming_windowed_counts`` is registered
-as a driver query: it executes the stream to completion and returns the
-materialized result, with a DuckDB twin over ``time_bucket``.
+with an ``availableNow`` trigger, writing each trigger's result to a parquet
+file sink via ``foreachBatch`` and reading it back — the executor→file path
+a production job would use (no driver-side ``collect()``; a memory sink is
+inherently driver-bound).  The batch-equivalent answer is then SQL-checkable.
 
 At scale the same plan runs against a Kafka/files stream with checkpointed
 state: watermarks bound state size, windows partition naturally by
@@ -19,11 +19,61 @@ state: watermarks bound state size, windows partition naturally by
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopmapreduce_spark.catalog import load_table
 from hadoopmapreduce_spark.registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (explicit schema — no
+    inference at stream start), with the ns→µs timestamp normalization the
+    batch catalog applies."""
+    # load_table is called for its session-conf side effects (UTC tz +
+    # nanosAsLong) so the raw schema resolves ts as long
+    load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource requires a directory: stream the fixture dir with a
+    # filename filter so only the events table is picked up
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_stream_to_parquet(
+    spark: SparkSession, out: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a finite streaming query (``availableNow`` trigger) with a
+    parquet file sink via ``foreachBatch``, then read the result back.
+
+    ``foreachBatch`` + overwrite is the standard pattern for sinking a
+    windowed aggregation in ``complete``/``update`` mode to files (the plain
+    file sink is append-only, which on a finite replay would suppress every
+    window the final watermark hasn't passed).  Data flows executors→files;
+    the driver never materializes rows."""
+    outdir = tempfile.mkdtemp(prefix=f"hmr_{name}_")
+    target = os.path.join(outdir, "result")
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode(write_mode).parquet(target)
+
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(outdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
 
 
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
@@ -62,34 +112,11 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence (stream replay == batch) is the core Structured Streaming
     guarantee this query pins down.
     """
-    # file streams need an explicit schema (no inference at stream start).
-    # load_table is called for its session-conf side effects (UTC tz +
-    # nanosAsLong) so the raw schema resolves ts as long
-    load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # FileStreamSource requires a directory: stream the fixture dir with a
-    # filename filter so only the events table is picked up
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = windowed_event_counts(stream)
+    agg = windowed_event_counts(_events_stream(spark, sf_dir))
     out = agg.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_windowed_counts_sink")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    result = spark.table("stream_windowed_counts_sink")
-    # materialize before the sink table is superseded by a later run
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    return _run_stream_to_parquet(spark, out, "windowed_counts")
 
 
 @query(
@@ -111,27 +138,85 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     two overlapping windows.  Same availableNow→memory-sink execution as the
     tumbling variant; the oracle enumerates both window starts per event
     explicitly (window length / slide = 2 memberships)."""
-    load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     out = agg.select(F.col("w.start").alias("window_start"), "event_type", "n")
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_sliding_counts_sink")
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream_to_parquet(spark, out, "sliding_counts")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      -- Spark session_window semantics: an event merges into the current
+      -- session iff ts < previous ts + gap (strict), else starts a new one
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
     )
-    q.awaitTermination()
-    result = spark.table("stream_sliding_counts_sink")
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30-minute inactivity gap) per user — the
+    streaming twin of the batch ``sessionize_events`` query, expressed with
+    the native ``session_window`` operator (dynamic, data-driven windows
+    merged in the state store; the watermark bounds how long an open session
+    is retained).
+
+    The oracle reconstructs the session assignment with the lag-gap +
+    running-sum construction; ``session_end`` is last event + gap, matching
+    Spark's session_window.end."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+    return _run_stream_to_parquet(spark, out, "session_windows")
+
+
+@query(
+    "streaming_distinct_users",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence of each (user_id,
+    event_type) pair is emitted, later duplicates are dropped against the
+    state store — the E2 click-dedup semantic as a standalone streaming
+    operator.  ``dropDuplicates`` keeps state unbounded (exact, replay ==
+    batch DISTINCT, oracle-checkable); the production variant with bounded
+    state is ``dropDuplicatesWithinWatermark``, exercised in
+    streaming/ctr_stream.py where exactness within the watermark horizon is
+    the contract."""
+    dedup = _events_stream(spark, sf_dir).select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_stream_to_parquet(spark, dedup, "distinct_users", output_mode="append")

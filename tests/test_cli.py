@@ -32,6 +32,38 @@ def test_cli_usage_error():
     assert "usage:" in proc.stderr
 
 
+def test_java_float_rendering_golden():
+    """Pin Java Float.toString parity, incl. the <1e-3 scientific switch
+    the old str(np.float32(x)) path got wrong ('1e-04' vs Java '1.0E-4')."""
+    from hadoopmapreduce_spark.functions.javafmt import java_float32_repr as r
+
+    assert r(0.5) == "0.5"
+    assert r(1.0) == "1.0"
+    assert r(0.0) == "0.0"
+    assert r(1 / 3) == "0.33333334"  # shortest float32 round-trip digits
+    assert r(0.001) == "0.001"  # decimal form down to exactly 1e-3
+    assert r(0.0001) == "1.0E-4"  # below 1e-3: Java scientific, uppercase E
+    assert r(1 / 4096) == "2.4414062E-4"  # a CTR < 0.001 (1 click / 4096)
+    assert r(1e7) == "1.0E7"  # >= 1e7: scientific, no '+' on exponent
+    assert r(9999999.0) == "9999999.0"
+    assert r(float("nan")) == "NaN"
+    assert r(float("inf")) == "Infinity"
+    assert r(-0.5) == "-0.5"
+
+
+def test_java_float_rendering_column(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.functions.javafmt import java_f32_str
+
+    df = spark.createDataFrame(
+        [(0.5,), (0.0001,), (1 / 4096,), (0.0,)], ["ctr"]
+    ).select(java_f32_str(F.col("ctr")).alias("s"))
+    assert [row.s for row in df.orderBy("s").collect()] == [
+        "0.0", "0.5", "1.0E-4", "2.4414062E-4"
+    ]
+
+
 def test_cli_end_to_end(tmp_path):
     imp, clk = _fixture(tmp_path)
     combined = tmp_path / "combined"

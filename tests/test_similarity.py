@@ -24,9 +24,9 @@ def test_ann_recall_vs_exact(spark, sf_dir):
         len(exact_sets[q] & approx_sets.get(q, set())) / TOP_K for q in exact_sets
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # 8 tables x 8 bits on 500 64-d vectors: expect moderate recall; this
-    # bound catches wiring regressions (empty candidates, broken signatures)
-    assert mean_recall >= 0.3, f"mean ANN recall {mean_recall:.2f} too low: {recalls}"
+    # 16 tables x 4 bits measures 0.90 on the 500-vector fixture (0.98 at
+    # sf0.01); 0.8 is a real quality gate, not just a wiring check
+    assert mean_recall >= 0.8, f"mean ANN recall {mean_recall:.2f} too low: {recalls}"
 
 
 def test_ann_results_are_true_cosines(spark, sf_dir):
