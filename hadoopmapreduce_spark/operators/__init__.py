@@ -15,6 +15,7 @@ _MODULES = (
     "scalars",
     "udfs",
     "asof",
+    "merge",
     "textops",
     "dedup",
     "similarity",

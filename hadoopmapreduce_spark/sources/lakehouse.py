@@ -51,9 +51,29 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 def merge_upsert_delta(
     spark: SparkSession, target_path: str, updates: DataFrame, key: str
 ) -> None:
-    """MERGE INTO (CDC/SCD upsert).  Without Delta, the batch-parquet
-    emulation is: anti-join target on key → union updates → rewrite —
-    implemented in tests/test_sources_sinks.py's merge emulation if needed."""
+    """MERGE INTO (CDC/SCD upsert) through Delta's ACID protocol.  Without
+    the jar, use :func:`merge_upsert_parquet` below — same semantics, plain
+    parquet with a snapshot-swap instead of a transaction log."""
     raise NotImplementedError(
         _INSTALL_HINT.format(fmt="Delta Lake", pkg="io.delta:delta-spark_2.13")
     )
+
+
+def merge_upsert_parquet(
+    spark: SparkSession, target_path: str, updates: DataFrame, key: str
+) -> DataFrame:
+    """MERGE INTO emulation on plain parquet: matched target rows are
+    replaced by their update, unmatched updates are inserted, untouched rows
+    carry over — ``target ANTI JOIN updates ON key, UNION ALL updates``.
+
+    The merged snapshot is written to a NEW versioned path and read back
+    (rewriting the path being scanned is not transactional on plain parquet
+    — the atomic pointer swap is exactly what Delta/Iceberg add).  At scale
+    the anti-join shuffles on the merge key like any equi-join; with a
+    bucketed target it is shuffle-free on the target side.  Registered as
+    the oracle-checked ``merge_upsert`` query (operators/merge.py)."""
+    target = spark.read.parquet(target_path)
+    merged = target.join(updates, key, "left_anti").unionByName(updates)
+    new_path = target_path.rstrip("/") + "_v2"
+    merged.write.mode("overwrite").parquet(new_path)
+    return spark.read.parquet(new_path)
