@@ -10,7 +10,7 @@ and hash-stable against the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hadoopmapreduce_spark.catalog import load_table
@@ -442,4 +442,71 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof("o_orderkey", ident)
         .unionByName(prof("o_orderstatus", ident))
         .unionByName(prof("o_totalprice", floored))
+    )
+
+
+@query(
+    "agg_string_concat_groups",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nations per
+    region, sorted then joined — collect_list + array_sort + array_join
+    makes the order explicit rather than relying on WITHIN GROUP support.
+
+    Scale note: string aggregation materializes the whole group in one
+    value, so it is a bounded-group-only operator by contract (dimension
+    rollups, per-key label lists) — on an unbounded group the right tool is
+    topk/window, never a giant string."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS prio, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT status, prio, n,
+             ROW_NUMBER() OVER (PARTITION BY status ORDER BY n DESC, prio) AS rk
+      FROM c)
+    SELECT status, prio AS mode_priority, n AS mode_count FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, built as count + rank-1 window
+    with an explicit value tie-break — the built-in ``mode()`` is
+    tie-nondeterministic in BOTH engines, so the deterministic construction
+    IS the operator.  Two-level aggregation: the heavy groupBy is on
+    (group, value) with map-side partials; the window runs over the tiny
+    distinct-value set."""
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("status").orderBy(F.desc("n"), F.asc("prio"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("status", F.col("prio").alias("mode_priority"), F.col("n").alias("mode_count"))
     )

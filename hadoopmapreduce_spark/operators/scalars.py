@@ -471,3 +471,50 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_except(probe, toks)), ",").alias("missing"),
         F.size(F.array_distinct(F.concat(toks, probe))).alias("n_union"),
     )
+
+
+@query(
+    "fn_map_transform_suite",
+    oracle="""
+    -- the oracle computes each map-HOF result from the base columns the map
+    -- was built from (DuckDB lacks map_zip_with/transform_keys; the POINT is
+    -- verifying Spark's map-transform semantics against first principles)
+    SELECT o_orderkey AS orderkey,
+           lower(o_orderstatus) AS status_lower,
+           'k_priority' AS first_renamed_key,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS n_f_entries,
+           2 AS n_merged_keys,
+           o_orderstatus || '|' || o_orderpriority AS zipped_val
+    FROM orders
+    """,
+)
+def fn_map_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values / transform_keys /
+    map_filter / map_concat / map_zip_with over a typed map built from order
+    columns.  All JVM-side lambda expressions; the oracle recomputes each
+    result from the underlying columns (first-principles twin)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    lowered = F.transform_values(m, lambda _k, v: F.lower(v))
+    renamed = F.transform_keys(m, lambda k, _v: F.concat(F.lit("k_"), k))
+    only_f = F.map_filter(m, lambda _k, v: v == "F")
+    merged = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("extra"), F.lit("x")),
+    )
+    m2 = F.create_map(
+        F.lit("status"), F.col("o_orderpriority"),
+        F.lit("priority"), F.col("o_orderstatus"),
+    )
+    zipped = F.map_zip_with(m, m2, lambda _k, v1, v2: F.concat_ws("|", v1, v2))
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.element_at(lowered, "status").alias("status_lower"),
+        F.array_min(F.map_keys(renamed)).alias("first_renamed_key"),
+        F.size(only_f).alias("n_f_entries"),
+        F.size(merged).alias("n_merged_keys"),
+        F.element_at(zipped, "status").alias("zipped_val"),
+    )

@@ -99,3 +99,48 @@ def udf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minmax_normalize,
         schema="event_type string, event_id long, value double, value_norm double",
     )
+
+
+@query(
+    "udtf_bigram_expand",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents
+      WHERE doc_id % 20 = 0),
+    z AS (
+      SELECT doc_id,
+             unnest(list_zip(ts[1:len(ts) - 1], ts[2:len(ts)],
+                             range(0, len(ts) - 1))) AS p
+      FROM t)
+    SELECT doc_id, CAST(p[3] AS INT) AS pos,
+           CAST(p[1] AS VARCHAR) || ' ' || CAST(p[2] AS VARCHAR) AS bigram
+    FROM z
+    """,
+)
+def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one document row in, N bigram
+    rows out — the user-defined-table-function tier of the UDF surface
+    (``F.explode`` covers the built-in case; this pins the *user-authored*
+    generator contract incl. lateral-join wiring).
+
+    UDTFs run row-at-a-time in Python, so the registered query restricts to
+    a 1-in-20 document sample: the operator exists for API parity, and at
+    scale the same expansion is the pure-codegen ``posexplode`` used by
+    fn_explode_suite (that is the production path, asserted equal here by
+    the oracle's first-principles bigram construction)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, bigram string")
+    class BigramExpand:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = [t for t in __import__("re").split(r"\s+", text) if t != ""]
+            for i in range(len(toks) - 1):
+                yield doc_id, i, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigram_expand", BigramExpand)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT b.doc_id, b.pos, b.bigram "
+        "FROM _udtf_docs d, LATERAL bigram_expand(d.doc_id, d.text) b"
+    )
