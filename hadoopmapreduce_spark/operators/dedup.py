@@ -488,31 +488,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice in each round's plan, so an uncut DAG doubles per iteration
     # (2^rounds subtrees — unplannable).  localCheckpoint materializes the
     # small label table on executors each round, which is exactly how
-    # iterative graph algorithms run on a real cluster.  Six
-    # min-propagation rounds reach any component of diameter ≤ 6 — near-dup
-    # clusters are near-cliques (diameter ~2); parity with the
-    # recursive-CTE fixpoint oracle is asserted at every sf.  For
-    # adversarial long-chain graphs, raise ROUNDS or switch to log-round
-    # large-star/small-star.
+    # iterative graph algorithms run on a real cluster.  Min-propagation is
+    # monotone (labels only decrease), so "no label decreased this round"
+    # is an exact fixpoint test — the loop stops as soon as the graph
+    # converges (near-dup clusters are near-cliques, diameter ~2, so this
+    # is typically 2-3 rounds) with MAX_ROUNDS as the long-chain safety
+    # bound.  The per-round count() is over the checkpointed label table
+    # (cluster members only — tiny relative to the corpus), not data-sized.
     sym = sym.localCheckpoint(eager=True)
     labels = sym.groupBy(F.col("doc_a").alias("node")).agg(
         F.least(F.col("doc_a"), F.min("doc_b")).alias("lbl")
     )
-    ROUNDS = 6
-    for _ in range(ROUNDS):
+    MAX_ROUNDS = 12
+    for _ in range(MAX_ROUNDS):
         neighbor_lbls = (
             sym.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_lbls, "node", "left")
             .select(
                 "node",
+                F.col("lbl").alias("prev_lbl"),
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        changed = stepped.filter(F.col("lbl") < F.col("prev_lbl")).count()
+        labels = stepped.select("node", "lbl")
+        if changed == 0:
+            break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_doc_id")
     )

@@ -248,3 +248,50 @@ def join_cross_region_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(flags).select(
         F.col("r_name").alias("region"), F.col("l_returnflag").alias("returnflag")
     )
+
+
+SALT_FACTOR = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi-join: the build side is replicated SALT_FACTOR
+    times (one copy per salt value), the probe side computes a deterministic
+    per-row salt, and the join key becomes (key, salt) — a hot key's rows
+    spread over SALT_FACTOR reducers instead of one.
+
+    Provably equal to the plain join (each probe row matches exactly the one
+    build copy carrying its salt), which is what the oracle checks.  This is
+    the manual fallback when a key is too hot even for AQE's skew-join
+    splitting (AQE splits oversized PARTITIONS; a single monster key within
+    one partition still needs salting).  Cost: build side ×SALT_FACTOR —
+    only worth it on genuinely skewed joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    salts = spark.range(SALT_FACTOR).select(F.col("id").cast("int").alias("_salt"))
+    build = o.crossJoin(F.broadcast(salts))  # tiny enumerated replication
+    probe = li.select(
+        "l_orderkey",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_FACTOR))
+        .cast("int")
+        .alias("_salt"),
+    )
+    joined = probe.join(
+        build,
+        (probe.l_orderkey == build.o_orderkey) & (probe._salt == build._salt),
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )

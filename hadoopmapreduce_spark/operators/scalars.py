@@ -518,3 +518,35 @@ def fn_map_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(merged).alias("n_merged_keys"),
         F.element_at(zipped, "status").alias("zipped_val"),
     )
+
+
+@query(
+    "fn_interval_suite",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+           CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS week_before,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_floor,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start
+    FROM orders
+    """,
+)
+def fn_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic: day/month offsets (add_months handles
+    month-end clamping identically in both engines), make_date construction,
+    week truncation.  All codegen'd; month arithmetic through add_months
+    rather than raw INTERVAL MONTH so clamping semantics are explicit.
+    DuckDB's date + INTERVAL yields TIMESTAMP, so the oracle casts month
+    arithmetic back to DATE to match Spark's add_months; day offsets are
+    compared as timestamps (midnight) on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.add_months(d, 3).alias("quarter_later"),
+        F.date_sub(d, 7).cast("timestamp").alias("week_before"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_floor"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+    )

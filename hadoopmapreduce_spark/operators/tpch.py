@@ -145,3 +145,56 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
     )
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY_THRESHOLD})
+    SELECT c.c_name AS name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_totalprice AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big        ON big.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate (orders whose total
+    quantity exceeds a threshold) semi-joined back into a customer/order
+    detail aggregate.  The `big` subquery is a partial+final aggregate whose
+    output is small enough to broadcast into the main join — the
+    aggregate-then-semi-join pattern that avoids carrying the full lineitem
+    through the wide join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(big), li.l_orderkey == big.l_orderkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+    )

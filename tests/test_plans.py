@@ -69,3 +69,35 @@ def test_payload_pruned_for_metadata_query(spark, sf_dir):
 
     schemas = scan_read_schema(mm_payload_stats(spark, sf_dir))
     assert schemas and "n_chars" not in schemas[0]
+
+
+def test_q18_having_aggregate_broadcasts(spark, sf_dir):
+    """The HAVING-filtered order set must enter the main join as a
+    broadcast, and the returnflag filter of Q10 must reach the scan."""
+    from hadoopmapreduce_spark.operators.tpch import (
+        q10_returned_items,
+        q18_large_volume_customers,
+    )
+
+    assert_contains(q18_large_volume_customers(spark, sf_dir), "BroadcastHashJoin")
+    plan = physical_plan(q10_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters:" in plan and "l_returnflag" in plan
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    """The salted join must join on (key, salt) — no cartesian — and the
+    result must not degrade to a broadcast of the replicated build side at
+    real scale shape (we assert the join condition carries the salt)."""
+    from hadoopmapreduce_spark.operators.joins import join_skew_salted
+
+    df = join_skew_salted(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "_salt" in plan
+    assert_not_contains(df, "CartesianProduct")
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.textops import vocab_coverage
+
+    assert_contains(vocab_coverage(spark, sf_dir), "BroadcastHashJoin")
