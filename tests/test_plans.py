@@ -101,3 +101,39 @@ def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
     from hadoopmapreduce_spark.operators.textops import vocab_coverage
 
     assert_contains(vocab_coverage(spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6 is scan-bound: all three predicates must appear in PushedFilters
+    and the scan must read only the four referenced columns."""
+    from hadoopmapreduce_spark.operators.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedFilters:" in plan and "l_discount" in plan
+    schemas = scan_read_schema(df)
+    assert schemas and "l_orderkey" not in schemas[0] and "l_tax" not in schemas[0]
+
+
+def test_q19_disjunction_no_cartesian(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.tpch import q19_disjunctive_predicates
+
+    df = q19_disjunctive_predicates(spark, sf_dir)
+    assert_contains(df, "BroadcastHashJoin")
+    assert_not_contains(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """The NOT EXISTS must plan as an anti join on the orders fact, and the
+    scalar mean must enter as a one-row broadcast, not a shuffled join."""
+    from hadoopmapreduce_spark.operators.tpch import q22_sales_opportunity
+
+    plan = physical_plan(q22_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q17_thresholds_broadcast(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.tpch import q17_small_quantity_revenue
+
+    assert_contains(q17_small_quantity_revenue(spark, sf_dir), "BroadcastHashJoin")
