@@ -487,3 +487,136 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+@query(
+    "doc_repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, 1 AS gram_n, u.g AS gram FROM t, UNNEST(ts) AS u(g)
+      UNION ALL
+      SELECT doc_id, 2 AS gram_n, ts[i] || ' ' || ts[i + 1] AS gram
+      FROM t, UNNEST(range(1, len(ts))) AS r(i)),
+    c AS (
+      SELECT doc_id, gram_n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3)
+    SELECT doc_id, gram_n,
+           CAST(SUM(cnt) AS BIGINT) AS total_grams,
+           CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_gram_frac,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt) AS dup_gram_frac
+    FROM c GROUP BY 1, 2
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per document, the fraction
+    of mass held by the single most frequent word / bigram
+    (``top_gram_frac``) and the fraction covered by grams occurring more
+    than once (``dup_gram_frac``) — high values flag boilerplate and
+    spam-generated text for pipeline filtering.
+
+    One scan: unigrams and bigrams are built array-side (bigrams via
+    ``zip_with`` over two shifted slices — codegen-friendly, no per-index
+    lambda), tagged with their gram size, exploded once, and reduced by two
+    hash aggregates (doc×gram counts, then doc-level maxima/sums).  All
+    shuffle keys include doc_id, so data spreads over the cluster; the
+    fractions are int/int double divisions — bit-exact cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), r"\s+")
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, n - 1),
+        F.slice(ts, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tag = lambda arr, k: F.transform(
+        arr, lambda g: F.struct(F.lit(k).alias("gram_n"), g.alias("gram"))
+    )
+    grams = F.concat(tag(ts, 1), tag(bigrams, 2))
+    counts = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", F.col("g.gram_n").alias("gram_n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("doc_id", "gram_n").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.max("cnt").alias("top_gram_count"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_gram_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).cast("double")
+            / F.sum("cnt")
+        ).alias("dup_gram_frac"),
+    )
+
+
+CONTAM_GRAM = 5
+CONTAM_MOD = 97
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                   || ' ' || ts[i+4] AS gram
+      FROM t, UNNEST(range(1, len(ts) - {CONTAM_GRAM - 2})) AS r(i)),
+    bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {CONTAM_MOD} = 0)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*) AS contamination_frac
+    FROM g LEFT JOIN bench b ON g.gram = b.gram
+    WHERE g.doc_id % {CONTAM_MOD} <> 0
+    GROUP BY 1
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each training document's
+    distinct {CONTAM_GRAM}-grams that also appear in a held-out benchmark
+    set (here: docs with doc_id ≡ 0 mod {CONTAM_MOD}, standing in for an
+    eval suite).  The canonical pre-training decontamination primitive.
+
+    Scale shape: the benchmark side is tiny by construction (eval suites
+    are MBs, corpora are TBs) → its distinct-gram set broadcasts, and the
+    corpus side is one scan + explode + broadcast LEFT join + one aggregate
+    keyed on doc_id.  No corpus-sized shuffle of text: at 100 TB you'd hash
+    the grams (xxhash64) before the join; here they stay as strings so the
+    DuckDB twin is byte-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), r"\s+")
+    idx = F.when(
+        F.size(ts) >= CONTAM_GRAM, F.sequence(F.lit(1), F.size(ts) - (CONTAM_GRAM - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ts, i + off) for off in range(CONTAM_GRAM)]
+        ),
+    )
+    grams = (
+        docs.select("doc_id", F.explode(gram).alias("gram")).distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_frac"
+            ),
+        )
+    )

@@ -220,3 +220,64 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return _run_stream_to_parquet(spark, dedup, "distinct_users", output_mode="append")
+
+
+@query(
+    "streaming_view_purchase_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           CAST(date_diff('microseconds', CAST(v.ts AS TIMESTAMP),
+                          CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS delta_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the views the
+    same user made in the preceding hour.  Both sides carry event-time
+    watermarks and the join condition carries the time interval, so the
+    state store can evict a view row once the purchase-side watermark passes
+    view_ts + 1 h — bounded state on an infinite stream, the canonical
+    funnel-attribution pattern.
+
+    On the finite replay (availableNow) every match is emitted, so the
+    result equals the batch self-join the oracle runs.  Output keys on the
+    two event ids (globally unique) — deterministic without any ordering."""
+    src = _events_stream(spark, sf_dir)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("delta_us"),
+    )
+    return _run_stream_to_parquet(
+        spark, joined, "view_purchase_join", output_mode="append"
+    )
