@@ -586,3 +586,481 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_TYPE = "STANDARD"
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    eligible AS (
+      SELECT c.l_partkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{Q2_REGION}')
+    SELECT e.s_acctbal AS acctbal, e.s_name AS name, e.n_name AS nation,
+           p.p_partkey AS partkey, e.unit_cost AS unit_cost
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}'
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY acctbal DESC, name, partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table, so the observed minimum
+    unit price MIN(l_extendedprice/l_quantity) per (part, supplier) plays
+    ps_supplycost).  For each size-15 STANDARD part, the cheapest
+    {Q2_REGION} supplier — the classic correlated-MIN subquery.
+
+    Decorrelation: the per-(part,supplier) MIN is one lineitem shuffle on
+    (partkey, suppkey); the correlated "= MIN per part" becomes a window
+    MIN over partkey on the already-aggregated (small) table — no second
+    fact-table pass, unlike a naive rewrite that re-joins lineitem.  The
+    supplier⋈nation⋈region chain and the filtered part dim all broadcast.
+    Unit cost is a per-row IEEE division and MIN is exact, so the equality
+    filter cannot flip cross-engine."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = cost.join(F.broadcast(supp), cost.l_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("acctbal"), "name", "partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: "late" = shipped >60 days after the order
+    date, standing in for commitdate < receiptdate).  The EXISTS becomes a
+    LEFT SEMI join: orders keep their multiplicity (an order with five late
+    lines counts once), the date window pushes to the orders scan before
+    the join, and the residual shipdate-vs-orderdate comparison rides on
+    the equi-join — no second aggregation to deduplicate, no fact×fact
+    blow-up."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q8_REGION = "AMERICA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_5"
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                         THEN CAST(volume AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: {Q8_NATION}'s share of {Q8_TYPE}-part revenue sold
+    into {Q8_REGION} customers, by order year.  The widest join tree in the
+    suite (7 tables, lineitem joined through both its supplier and its
+    order→customer→nation→region lineage); every dimension broadcasts, so
+    lineitem is shuffled only by the orders join — and with AQE that too
+    can turn into a broadcast at small SF.  Share = conditional decimal
+    sum / total decimal sum, a bit-stable double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_NATION, volume).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity')} AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so supply cost is modeled as
+    10% of p_retailprice per unit).  Profit on 'red' parts by supplier
+    nation and order year.  The p_name LIKE filter prunes the part dim
+    before broadcast; lineitem shuffles once for the orders join and once
+    for the final (nation, year) aggregate — the second is 25×|years| rows
+    thanks to map-side partial aggregation.  The profit expression is
+    per-row IEEE arithmetic in the same association order in both engines,
+    then decimal-summed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit.cast("decimal(18,4)")).cast("double").alias("profit"))
+    )
+
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH value_by_part AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,4)))
+                  AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = '{Q11_NATION}'
+      GROUP BY 1)
+    SELECT partkey, value
+    FROM value_by_part
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                          * {Q11_FRACTION}
+                   FROM value_by_part)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: "stock value" of a part held by
+    {Q11_NATION} suppliers = decimal-exact SUM(extendedprice × quantity)
+    over their lineitems).  Parts whose value exceeds {Q11_FRACTION} of the
+    nation's total — the HAVING-with-global-scalar-subquery pattern.
+
+    The per-part aggregate is computed ONCE and reused for both the output
+    rows and the global total (in Spark the cached small aggregate feeds a
+    one-row broadcast cross join; a naive plan would scan lineitem twice).
+    Both sums run in the decimal domain; the threshold multiply and the >
+    compare are bit-stable doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    value_by_part = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("value")
+        )
+    )
+    total = value_by_part.agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") * F.lit(Q11_FRACTION)).alias(
+            "threshold"
+        )
+    )
+    return (
+        value_by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", "value")
+    )
+
+
+@query(
+    "q16_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#21' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the excluded-supplier subquery keys on
+    negative account balance instead of the absent comment column).  How
+    many distinct suppliers serve each surviving (brand, type, size)
+    combination.
+
+    The NOT IN subquery is safe to rewrite as a LEFT ANTI join because
+    s_suppkey is non-null (NOT IN's null-poisoning semantics can't fire);
+    the excluded set is tiny and broadcasts.  COUNT(DISTINCT) expands into
+    Spark's two-phase distinct aggregate — partial dedup of (group, supp)
+    pairs map-side, so the shuffle carries pairs, not raw lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#21")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+Q20_NATION = "NATION_3"
+Q20_QTY = 100
+
+
+@query(
+    "q20_part_promotion",
+    oracle=f"""
+    SELECT s.s_name AS name, s.s_acctbal AS acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = '{Q20_NATION}'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%red%')
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > {Q20_QTY})
+    ORDER BY name
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "shipped more than {Q20_QTY} units of
+    red parts in 1997" stands in for the availqty-vs-half-of-sold stock
+    check).  Nested IN subqueries: part-name filter → lineitem
+    qualification → supplier qualification.
+
+    Both INs become LEFT SEMI joins.  Inner: lineitem semi-joins the
+    broadcast red-part keys (no row explosion — semi keeps lineitem
+    multiplicity for the quantity sum).  Outer: the HAVING-filtered
+    supplier keys are a ≤|suppliers| row set that broadcasts back against
+    the nation-filtered supplier dim.  One lineitem shuffle total (the
+    per-supplier aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    red_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q20_NATION)
+    qualified = (
+        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > Q20_QTY)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(qualified), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"))
+        .orderBy("name")
+    )
+
+
+Q21_NATION = "NATION_4"
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle=f"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    SELECT s.s_name AS name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = '{Q21_NATION}'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    ORDER BY numwait DESC, name
+    LIMIT 50
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped >60 days after the order
+    date on a finalized order).  Suppliers from {Q21_NATION} who were the
+    SOLE late supplier on a multi-supplier order — the EXISTS + NOT EXISTS
+    pair over the same fact.
+
+    Plan: the late-line set is computed once (orders join with both filters
+    pushed down) and reused for the probe side AND the NOT EXISTS side
+    (self-referencing anti join on alias).  EXISTS(other supplier) is a
+    LEFT SEMI on orderkey with a suppkey<> residual; NOT EXISTS(other late
+    supplier) is a LEFT ANTI with the same shape — each late l1 row is
+    kept at its own multiplicity, exactly the per-row semantics of the
+    correlated original.  Three shuffles on orderkey total, all
+    co-partitioned, so AQE can chain them without re-exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q21_NATION)
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    return (
+        l1.join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "name")
+        .limit(50)
+    )
