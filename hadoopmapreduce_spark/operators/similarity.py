@@ -210,47 +210,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = n.filter(F.col("vec_id") < IVF_CLUSTERS).orderBy("vec_id").collect()
     centroids = np.stack([np.array(r["v"]) for r in init])
 
-    def assign_kernel_factory(cents: "np.ndarray"):
-        def assign(it):
+    def _nearest(cents: "np.ndarray", V: "np.ndarray") -> "np.ndarray":
+        # squared euclidean via ||v||² - 2 v·c + ||c||²; argmin over c
+        d = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2.0 * (V @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        return d.argmin(axis=1)
+
+    def partial_sums_factory(cents: "np.ndarray"):
+        # One narrow pass per Lloyd iteration: each task folds its rows into
+        # K local (count, sum-vector) accumulators and emits ONLY those —
+        # K·partitions rows cross the wire instead of an N×dim posexplode
+        # shuffle.  This is the map-side-combine shape of distributed KMeans.
+        def kernel(it):
+            sums = np.zeros_like(cents)
+            cnts = np.zeros(len(cents), dtype=np.int64)
             for pdf in it:
                 V = np.stack(pdf["v"].to_numpy())
-                # squared euclidean via ||v||² - 2 v·c + ||c||²; argmin over c
-                d = (
-                    (V * V).sum(axis=1, keepdims=True)
-                    - 2.0 * (V @ cents.T)
-                    + (cents * cents).sum(axis=1)
-                )
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"], "cluster": d.argmin(axis=1).astype("int32")}
-                )
-        return assign
+                a = _nearest(cents, V)
+                np.add.at(sums, a, V)
+                cnts += np.bincount(a, minlength=len(cents))
+            live = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": live.astype("int32"),
+                    "c": cnts[live],
+                    "s": [sums[k].tolist() for k in live],
+                }
+            )
+        return kernel
 
     for _ in range(IVF_ITERS):
-        assigned = n.select("vec_id", "v").mapInPandas(
-            assign_kernel_factory(centroids), schema="vec_id long, cluster int"
-        )
-        sums = (
-            n.join(assigned, "vec_id")
-            .select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
+        parts = n.select("v").mapInPandas(
+            partial_sums_factory(centroids),
+            schema="cluster int, c long, s array<double>",
+        ).collect()
         new_c = centroids.copy()
-        acc: dict[int, "np.ndarray"] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r["cluster"], np.zeros(centroids.shape[1]))[r["dim"]] = r["s"]
-            cnt[r["cluster"]] = r["c"]
-        for k, vec in acc.items():
-            new_c[k] = vec / cnt[k]
+        acc = np.zeros_like(centroids)
+        cnt = np.zeros(len(centroids), dtype=np.int64)
+        for r in sorted(parts, key=lambda r: r["cluster"]):
+            acc[r["cluster"]] += np.array(r["s"])
+            cnt[r["cluster"]] += r["c"]
+        live = cnt > 0
+        new_c[live] = acc[live] / cnt[live, None]
         centroids = new_c
 
-    # --- index: final assignment = the inverted lists ---
-    assigned = n.select("vec_id", "v").mapInPandas(
-        assign_kernel_factory(centroids), schema="vec_id long, cluster int"
+    # --- index: final assignment = the inverted lists.  The kernel carries
+    # (vec_id, v, nrm) straight through, so the index needs NO join back to
+    # the source (the old plan shuffled N×dim rows to re-attach vectors). ---
+    def assign_full_factory(cents: "np.ndarray"):
+        def kernel(it):
+            for pdf in it:
+                V = np.stack(pdf["v"].to_numpy())
+                pdf = pdf.assign(cluster=_nearest(cents, V).astype("int32"))
+                yield pdf
+        return kernel
+
+    indexed = n.select("vec_id", "v", "nrm").mapInPandas(
+        assign_full_factory(centroids),
+        schema="vec_id long, v array<double>, nrm double, cluster int",
     )
-    indexed = n.join(assigned, "vec_id")
 
     # --- search: probe the nprobe nearest lists per query, exact re-rank ---
     probe_rows = []
