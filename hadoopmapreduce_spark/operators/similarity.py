@@ -303,3 +303,79 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM e),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq,
+             len(list_filter(v, x -> abs(floor(x / scale + 0.5)) = 127.0))
+               AS n_saturated
+      FROM s WHERE scale > 0)
+    SELECT vec_id, scale,
+           list_dot_product(v, v) - 2 * list_dot_product(v, dq)
+             + list_dot_product(dq, dq) AS sq_err,
+           list_dot_product(v, dq)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
+             AS cos_vq,
+           CAST(n_saturated AS INT) AS n_saturated
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    4× compression step before shipping vectors to an ANN index.  Per
+    vector: scale = max|x|/127, code = floor(x/scale + 0.5) ∈ [-127, 127],
+    and quality metrics (squared reconstruction error, cosine between the
+    original and the dequantized vector, saturated-lane count).
+
+    Everything is per-row JVM higher-order-function arithmetic — no
+    shuffle, no Python; linear scan at any scale.  The error term uses the
+    ||a-b||² = a·a - 2a·b + b·b expansion so both engines evaluate the
+    same three sequential folds (bit-stable, like every dot product in
+    this module); floor(x+0.5) replaces round() because Spark and DuckDB
+    disagree on banker's-vs-away rounding at .5 boundaries."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    scale = (
+        F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    ).alias("scale")
+    s = e.select("vec_id", "v", scale).filter(F.col("scale") > 0)
+    dq = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / F.col("scale") + 0.5).cast("double") * F.col("scale"),
+    )
+    n_sat = F.size(
+        F.filter(
+            F.col("v"),
+            lambda x: F.abs(F.floor(x / F.col("scale") + 0.5).cast("double"))
+            == 127.0,
+        )
+    )
+    q = s.select("vec_id", "v", "scale", dq.alias("dq"), n_sat.alias("n_saturated"))
+    return q.select(
+        "vec_id",
+        "scale",
+        (
+            _dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * _dot(F.col("v"), F.col("dq"))
+            + _dot(F.col("dq"), F.col("dq"))
+        ).alias("sq_err"),
+        (
+            _dot(F.col("v"), F.col("dq"))
+            / (
+                F.sqrt(_dot(F.col("v"), F.col("v")))
+                * F.sqrt(_dot(F.col("dq"), F.col("dq")))
+            )
+        ).alias("cos_vq"),
+        F.col("n_saturated").cast("int").alias("n_saturated"),
+    )

@@ -620,3 +620,73 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+TFIDF_TOP_N = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored) t
+    WHERE rk <= {TFIDF_TOP_N}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-{TFIDF_TOP_N} terms by
+    tf × idf, where idf is the BM25 rational form
+    (N − df + 0.5)/(df + 0.5).  The rational idf is deliberate: it is pure
+    IEEE arithmetic (one subtract, two adds, one divide), so scores are
+    bit-identical cross-engine, where ln()-based idf would be at the mercy
+    of libm rounding differences between the JVM and DuckDB.
+
+    Plan: one explode → (doc, term) counts (tf, shuffled on doc+term with
+    map-side combine), a |vocab|-sized reduction for df, and a tf⋈df join
+    on term.  The doc-count scalar broadcasts; the join is shuffle-on-term
+    (vocab follows a Zipf law, so AQE's skew split handles the stopword
+    keys); the final per-doc top-k is a bounded window."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tf = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
