@@ -510,3 +510,59 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("status", F.col("prio").alias("mode_priority"), F.col("n").alias("mode_count"))
     )
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer)
+    SELECT c_mktsegment AS segment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / 2.0
+             AS median_acctbal,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM r
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY 1
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median WITHOUT interpolation machinery: rank each
+    group, keep the middle element (odd n) or the middle two (even n), and
+    average them.  (sum of 1–2 selected values)/2 is bit-stable, unlike
+    percentile_cont-style a+(b−a)·f interpolation where engines are free
+    to associate the arithmetic differently.
+
+    For odd n the two selectors pick the SAME row, so summing the selected
+    rows and dividing by 2 is the median in both parities — one window
+    pass + one tiny aggregate, no conditional branches.  At scale this is
+    a single shuffle on the group key; for extreme-cardinality groups the
+    rank-window becomes the skew point and the approx_percentile sketch
+    (agg_approx_quantiles) is the fallback."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.lit(2.0))
+            .alias("median_acctbal"),
+            F.max("n").alias("n_rows"),
+        )
+    )

@@ -266,3 +266,52 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w2).alias("spend_cume"),
         F.percent_rank().over(w2).alias("spend_pct_rank"),
     )
+
+
+EWMA_ALPHA = 0.1
+
+
+@query(
+    "ewma_user_value",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA})
+             AS ewma_value
+    FROM o
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values — the
+    classic online feature that SQL window frames cannot express (each step
+    depends recursively on the previous).  Seeded with the first
+    observation, then acc·(1−α) + x·α per event in (ts, event_id) order.
+
+    Both engines run the IDENTICAL sequential left fold — Spark
+    ``F.aggregate`` over the time-sorted array vs DuckDB ``list_reduce``
+    over ``list(... ORDER BY)`` — so the recursion is bit-exact
+    cross-engine, something no reordering-tolerant formulation could
+    promise.  Plan: one shuffle (groupBy user), per-user arrays bounded by
+    user activity; for unbounded keys the streaming twin
+    (applyInPandasWithState, tests/test_stateful_streaming.py) carries the
+    same recursion incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    grouped = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return grouped.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_events"),
+        ewma.alias("ewma_value"),
+    )
