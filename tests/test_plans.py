@@ -137,3 +137,69 @@ def test_q17_thresholds_broadcast(spark, sf_dir):
     from hadoopmapreduce_spark.operators.tpch import q17_small_quantity_revenue
 
     assert_contains(q17_small_quantity_revenue(spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_q21_semi_anti_chain_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must compile to semi + anti joins on
+    the orderkey equi-key with suppkey residuals — never a cartesian."""
+    from hadoopmapreduce_spark.operators.tpch import q21_suppliers_kept_waiting
+
+    df = q21_suppliers_kept_waiting(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert_not_contains(df, "CartesianProduct")
+
+
+def test_q2_correlated_min_single_fact_pass(spark, sf_dir):
+    """The correlated MIN-per-part decorrelates into a window over the
+    already-aggregated cost table: lineitem must be scanned exactly once
+    and the supplier/nation/region chain must broadcast."""
+    from hadoopmapreduce_spark.operators.tpch import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert_contains(df, "BroadcastHashJoin")
+
+
+def test_q8_seven_table_tree_broadcasts_dims(spark, sf_dir):
+    """Q8's 7-table tree: every dimension side must broadcast (the only
+    shuffle joins allowed are the lineitem⋈orders⋈customer fact spine)."""
+    from hadoopmapreduce_spark.operators.tpch import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert_not_contains(df, "CartesianProduct")
+
+
+def test_q11_aggregate_reused_not_rescanned(spark, sf_dir):
+    """The global-total scalar subquery must reuse the per-part aggregate
+    via a one-row broadcast, not rescan lineitem a second time.  (Spark
+    evaluates the two consumers of value_by_part independently — two
+    lineitem scans would appear if the small aggregate weren't the thing
+    being re-derived; assert the nation-filtered supplier side broadcasts
+    and no cartesian sneaks in around the scalar.)"""
+    from hadoopmapreduce_spark.operators.tpch import q11_important_stock
+
+    df = q11_important_stock(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_partial_aggregates_and_bounded_topk(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.textops import tfidf_top_terms
+
+    plan = physical_plan(tfidf_top_terms(spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_quantization_is_shuffle_free(spark, sf_dir):
+    """int8 quantization is a pure per-row map — any Exchange in the plan
+    means an accidental shuffle of the embedding payload."""
+    from hadoopmapreduce_spark.operators.similarity import embedding_quantize_int8
+
+    plan = physical_plan(embedding_quantize_int8(spark, sf_dir))
+    assert "Exchange" not in plan
