@@ -585,23 +585,36 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark side is tiny by construction (eval suites
     are MBs, corpora are TBs) → its distinct-gram set broadcasts, and the
     corpus side is one scan + explode + broadcast LEFT join + one aggregate
-    keyed on doc_id.  No corpus-sized shuffle of text: at 100 TB you'd hash
-    the grams (xxhash64) before the join; here they stay as strings so the
-    DuckDB twin is byte-identical."""
+    keyed on doc_id.  Per-doc gram dedup happens ARRAY-SIDE
+    (array_distinct before the explode) — zero shuffle, where a
+    `.distinct()` on the exploded (doc_id, gram) pairs would shuffle every
+    gram string in the corpus (measured 6× slower at sf0.1).  No
+    corpus-sized shuffle of text: at 100 TB you'd hash the grams
+    (xxhash64) before the join; here they stay as strings so the DuckDB
+    twin is byte-identical."""
     docs = load_table(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), r"\s+")
-    idx = F.when(
-        F.size(ts) >= CONTAM_GRAM, F.sequence(F.lit(1), F.size(ts) - (CONTAM_GRAM - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ts, i + off) for off in range(CONTAM_GRAM)]
-        ),
+    n = F.size(ts)
+    # 5-grams via a zip_with ladder over shifted slices (2-gram → 4-gram →
+    # 5-gram).  An indexed transform with element_at(ts, i+k) re-evaluates
+    # the split() per element — measured 10× slower; the ladder touches the
+    # token array a bounded 6 times regardless of length.
+    g2 = F.zip_with(
+        F.slice(ts, 1, n - 1), F.slice(ts, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    grams = (
-        docs.select("doc_id", F.explode(gram).alias("gram")).distinct()
+    g4 = F.zip_with(
+        F.slice(g2, 1, n - 3), F.slice(g2, 3, n - 3),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
+    g5 = F.zip_with(
+        F.slice(g4, 1, n - 4), F.slice(ts, 5, n - 4),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gram = F.array_distinct(
+        F.when(n >= CONTAM_GRAM, g5).otherwise(F.array().cast("array<string>"))
+    )
+    grams = docs.select("doc_id", F.explode(gram).alias("gram"))
     bench = (
         grams.filter(F.col("doc_id") % CONTAM_MOD == 0)
         .select("gram")
