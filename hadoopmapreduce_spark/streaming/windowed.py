@@ -65,14 +65,27 @@ def _run_stream_to_parquet(
     def _sink(batch_df: DataFrame, _epoch: int) -> None:
         batch_df.write.mode(write_mode).parquet(target)
 
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(outdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # Stateful streaming disables AQE, so every shuffle partition carries a
+    # full state-store instance (a stream-stream join keeps FOUR per
+    # partition) for the life of the query — size the partition count to
+    # the replayed volume instead of inheriting the batch-tuned setting.
+    # Result-invariant: partitioning never changes agg/join answers.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(outdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(target)
 
 
