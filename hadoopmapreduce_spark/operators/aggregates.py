@@ -566,3 +566,121 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n_rows"),
         )
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'events.user->customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM events e WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan counts across every foreign-key edge of
+    the star schema — the pre-flight check any 100 TB ingestion pipeline
+    runs before publishing a snapshot.  Each edge is a LEFT ANTI join
+    reduced to a count; dimension sides broadcast, the two lineitem edges
+    against part/supplier broadcast too, and the lineitem→orders edge is
+    the one genuine shuffle (both sides keyed on orderkey).  Counting
+    after an anti join never inflates: anti preserves left multiplicity
+    and emits no columns from the right — no accidental fan-out."""
+    def orphans(left: DataFrame, lkey: str, right: DataFrame, rkey: str, label: str) -> DataFrame:
+        return (
+            left.join(F.broadcast(right.select(rkey)), F.col(lkey) == F.col(rkey), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk_edge"), "n_orphans")
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    e = load_table(spark, sf_dir, "events")
+    checks = [
+        orphans(o, "o_custkey", c, "c_custkey", "orders.custkey->customer"),
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.orderkey->orders"),
+        orphans(li, "l_partkey", p, "p_partkey", "lineitem.partkey->part"),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem.suppkey->supplier"),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer.nationkey->nation"),
+        orphans(e, "user_id", c, "c_custkey", "events.user->customer"),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS bucket
+      FROM orders)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b GROUP BY 1
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket) of order values
+    via ntile — the complement of agg_histogram_totalprice's equi-width
+    binning, and the shape query optimizers build for selectivity stats.
+
+    ntile needs a global total order, so this exact variant pays one
+    all-to-one sort — fine for stats collection on a sample, wrong as a
+    recurring full-table job; at 100 TB the production path computes
+    approximate bucket BOUNDARIES with approx_percentile (one pass,
+    mergeable sketches, agg_approx_quantiles) and bins with a broadcast
+    range lookup.  Ties break on o_orderkey so bucket assignment is total
+    and the min/max/decimal-sum per bucket are bit-stable."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

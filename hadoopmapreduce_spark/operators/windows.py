@@ -315,3 +315,107 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(vals).cast("long").alias("n_events"),
         ewma.alias("ewma_value"),
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "funnel_steps_per_user",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY 1)
+    SELECT user_id,
+           CAST(len(types) AS BIGINT) AS n_events,
+           CAST(list_reduce(list_prepend('0', types), (acc, x) -> CASE
+                  WHEN acc = '0' AND x = '{FUNNEL_STEPS[0]}' THEN '1'
+                  WHEN acc = '1' AND x = '{FUNNEL_STEPS[1]}' THEN '2'
+                  WHEN acc = '2' AND x = '{FUNNEL_STEPS[2]}' THEN '3'
+                  ELSE acc END) AS INT) AS funnel_stage
+    FROM o
+    """,
+)
+def funnel_steps_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how far each user progressed through
+    view → click → purchase, where each step must occur AFTER the previous
+    one (strict subsequence match, the semantics dashboards call
+    "conversion funnel").  A window/aggregate can't express the recursion
+    (the accepting state depends on everything before), so both engines
+    run the same sequential left fold over the time-ordered event list —
+    Spark ``F.aggregate`` vs DuckDB ``list_reduce`` — on a small
+    string-encoded state machine.  Exact cross-engine by construction:
+    no floats anywhere.
+
+    One shuffle (groupBy user); per-user arrays bounded by activity.  The
+    streaming twin of this state machine is applyInPandasWithState."""
+    e = load_table(spark, sf_dir, "events")
+    grouped = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias(
+            "evs"
+        )
+    )
+    types = F.transform(F.col("evs"), lambda s: s["event_type"])
+    stage = F.aggregate(
+        types,
+        F.lit("0"),
+        lambda acc, x: (
+            F.when((acc == "0") & (x == FUNNEL_STEPS[0]), F.lit("1"))
+            .when((acc == "1") & (x == FUNNEL_STEPS[1]), F.lit("2"))
+            .when((acc == "2") & (x == FUNNEL_STEPS[2]), F.lit("3"))
+            .otherwise(acc)
+        ),
+    )
+    return grouped.select(
+        "user_id",
+        F.size(types).cast("long").alias("n_events"),
+        stage.cast("int").alias("funnel_stage"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY 1),
+    active AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+      FROM events)
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firsts f JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; for each cohort, how many are active k weeks later.  The
+    product-analytics staple.
+
+    Two aggregates over one events scan (first-event week, distinct active
+    weeks) joined on user_id — all three shuffles key on user_id, so AQE
+    reuses the exchange.  Week offsets divide a day-difference by 7; both
+    operands are week-truncated so the division is exact integer math.
+    Counts only — nothing float to drift."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
