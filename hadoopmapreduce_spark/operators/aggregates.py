@@ -522,7 +522,7 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
       FROM customer)
     SELECT c_mktsegment AS segment,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / 2.0
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
              AS median_acctbal,
            CAST(MAX(n) AS BIGINT) AS n_rows
     FROM r
@@ -533,13 +533,15 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped median WITHOUT interpolation machinery: rank each
     group, keep the middle element (odd n) or the middle two (even n), and
-    average them.  (sum of 1–2 selected values)/2 is bit-stable, unlike
+    average them.  (sum of 1–2 selected values)/count is bit-stable, unlike
     percentile_cont-style a+(b−a)·f interpolation where engines are free
     to associate the arithmetic differently.
 
-    For odd n the two selectors pick the SAME row, so summing the selected
-    rows and dividing by 2 is the median in both parities — one window
-    pass + one tiny aggregate, no conditional branches.  At scale this is
+    For odd n the two selectors coincide and match ONE row, for even n two
+    — dividing the selected sum by the selected COUNT handles both
+    parities.  (Caught by tests/test_behavioral_semantics.py: an earlier
+    /2 halved odd-group medians — and the oracle twin shared the bug, so
+    parity alone couldn't see it.)  At scale this is
     a single shuffle on the group key; for extreme-cardinality groups the
     rank-window becomes the skew point and the approx_percentile sketch
     (agg_approx_quantiles) is the fallback."""
@@ -561,8 +563,10 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.lit(2.0))
-            .alias("median_acctbal"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("median_acctbal"),
             F.max("n").alias("n_rows"),
         )
     )

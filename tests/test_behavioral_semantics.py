@@ -1,0 +1,159 @@
+"""Semantic unit tests on literal data for the fold-based operators —
+behaviors the fixture parity can't isolate (ordering sensitivity, strict
+subsequence matching, empty/singleton groups)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, minutes_offset, event_type, value).
+
+    ``ts`` is written as long NANOSECONDS — the physical layout of the
+    events fixture (TIMESTAMP(NANOS) surfaces as long under the
+    ``nanosAsLong`` conf that ``catalog.load_table`` sets)."""
+    base_ns = int(dt.datetime(2000, 1, 3, tzinfo=dt.timezone.utc).timestamp()) * 10**9
+    data = [
+        (eid, base_ns + m * 60 * 10**9, uid, et, float(v), "{}")
+        for (eid, uid, m, et, v) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _run(spark, df, fn):
+    """Run a registered query fn against a literal events table by
+    monkey-free substitution: write to a temp view path via createOrReplace
+    is overkill — the operators only need load_table, so patch it."""
+
+
+def test_funnel_requires_order(spark, tmp_path):
+    """purchase BEFORE view must not advance the funnel; the strict
+    subsequence view→click→purchase only counts in-order progress."""
+    import hadoopmapreduce_spark.operators.windows as W
+    from hadoopmapreduce_spark.catalog import load_table as real_load
+
+    df = _events(
+        spark,
+        [
+            # user 1: perfect funnel in order
+            (1, 1, 0, "view", 1),
+            (2, 1, 5, "click", 1),
+            (3, 1, 9, "purchase", 1),
+            # user 2: purchase first, then view — stage stops at 1
+            (4, 2, 0, "purchase", 1),
+            (5, 2, 5, "view", 1),
+            # user 3: view then purchase, no click — stage stops at 1
+            (6, 3, 0, "view", 1),
+            (7, 3, 5, "purchase", 1),
+            # user 4: noise only
+            (8, 4, 0, "error", 1),
+        ],
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["user_id"]: r["funnel_stage"]
+        for r in W.funnel_steps_per_user(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_funnel_ties_break_on_event_id(spark, tmp_path):
+    """Same-timestamp events order by event_id — a click and a view at the
+    identical instant resolve deterministically (view has lower id here,
+    so the funnel advances through both)."""
+    import hadoopmapreduce_spark.operators.windows as W
+
+    df = _events(spark, [(1, 1, 0, "view", 1), (2, 1, 0, "click", 1)])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = W.funnel_steps_per_user(spark, str(tmp_path)).collect()
+    assert out[0]["funnel_stage"] == 2
+
+
+def test_ewma_recursion_matches_manual(spark, tmp_path):
+    """EWMA seeded with the first value, then acc*(1-a)+x*a per event —
+    verified against a hand-rolled Python fold on the same ordering."""
+    import hadoopmapreduce_spark.operators.windows as W
+
+    vals = [10.0, 20.0, 5.0, 40.0]
+    df = _events(
+        spark, [(i, 1, i, "view", v) for i, v in enumerate(vals)]
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = W.ewma_user_value(spark, str(tmp_path)).collect()[0]
+    expect = vals[0]
+    for v in vals[1:]:
+        expect = expect * (1 - W.EWMA_ALPHA) + v * W.EWMA_ALPHA
+    assert row["ewma_value"] == expect
+    assert row["n_events"] == len(vals)
+
+
+def test_ewma_singleton_group_is_seed(spark, tmp_path):
+    import hadoopmapreduce_spark.operators.windows as W
+
+    df = _events(spark, [(1, 7, 0, "view", 42.5)])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = W.ewma_user_value(spark, str(tmp_path)).collect()[0]
+    assert row["ewma_value"] == 42.5 and row["n_events"] == 1
+
+
+def test_median_odd_and_even_groups(spark, tmp_path):
+    """Odd group → middle element; even group → mean of the middle two."""
+    import hadoopmapreduce_spark.operators.aggregates as A
+
+    rows = [
+        # segment ODD: 3 rows, balances 1, 2, 9 → median 2
+        (1, "c1", 0, 1.0, "ODD"),
+        (2, "c2", 0, 2.0, "ODD"),
+        (3, "c3", 0, 9.0, "ODD"),
+        # segment EVEN: 4 rows, 1, 2, 3, 10 → median 2.5
+        (4, "c4", 0, 1.0, "EVEN"),
+        (5, "c5", 0, 2.0, "EVEN"),
+        (6, "c6", 0, 3.0, "EVEN"),
+        (7, "c7", 0, 10.0, "EVEN"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = {
+        r["segment"]: (r["median_acctbal"], r["n_rows"])
+        for r in A.agg_median_exact(spark, str(tmp_path)).collect()
+    }
+    assert out == {"ODD": (2.0, 3), "EVEN": (2.5, 4)}
+
+
+def test_contamination_flags_copied_docs(spark, tmp_path):
+    """A training doc sharing a full 5-gram with a benchmark doc gets a
+    nonzero contamination fraction; an unrelated doc gets zero; docs
+    shorter than the gram size drop out."""
+    import hadoopmapreduce_spark.operators.textops as T
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    dirty = "intro words then alpha beta gamma delta epsilon closing"
+    clean = "one two three four five six seven eight nine ten"
+    short = "too short"
+    rows = [
+        (T.CONTAM_MOD, bench_text),  # doc_id % CONTAM_MOD == 0 → benchmark
+        (1, dirty),
+        (2, clean),
+        (3, short),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in T.contamination_check(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == 1  # the shared "alpha..epsilon" 5-gram
+    assert out[2] == 0
+    assert 3 not in out  # below gram size → no grams, no row
