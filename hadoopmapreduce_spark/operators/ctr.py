@@ -391,3 +391,52 @@ def dedup_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("latest_type"),
         )
     )
+
+
+@query(
+    "scan_textkv_source",
+    oracle="""
+    WITH ctr AS (
+      SELECT CAST(i.ts AS DATE) AS view_date,
+             i.user_id % 10     AS cohort,
+             AVG(CASE WHEN c.user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ctr
+      FROM events i
+      LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type='click') c
+        ON i.user_id = c.user_id
+      WHERE i.event_type = 'view'
+      GROUP BY 1, 2
+    )
+    SELECT view_date, cohort,
+           CAST(ROUND(ctr * 10000) AS BIGINT) AS ctr_bp
+    FROM ctr
+    """,
+)
+def scan_textkv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] read side of the reference's text-KV format as a FIRST-CLASS
+    Spark source: the CTR result is sunk to ``[key1, key2]\\tvalue`` lines
+    (``ClickThru.java:166,186-187`` TextOutputFormat shape), then read back
+    through the Python Data Source API (``format("textkv")``,
+    sources/textkv_source.py) and re-typed with ordinary expressions — the
+    full round trip a reference user performs when job 2's output feeds a
+    follow-up job.
+
+    Scale: the custom source exposes one InputPartition per part-file, so
+    the read parallelizes like TextInputFormat splits; parsing is plain
+    codegen regexp/cast on top of the (key, value) strings."""
+    import tempfile
+
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    outdir = tempfile.mkdtemp(prefix="hmr_textkv_")
+    sink_textkv(spark, sf_dir).write.mode("overwrite").text(outdir)
+    raw = spark.read.format("textkv").load(outdir)
+    return raw.select(
+        F.regexp_extract("key", r"^\[([^,]+), ([^\]]+)\]$", 1)
+        .cast("date")
+        .alias("view_date"),
+        F.regexp_extract("key", r"^\[([^,]+), ([^\]]+)\]$", 2)
+        .cast("bigint")
+        .alias("cohort"),
+        F.col("value").cast("bigint").alias("ctr_bp"),
+    )

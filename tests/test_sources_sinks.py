@@ -119,3 +119,20 @@ def test_csv_malformed_modes(spark, tmp_path):
     assert permissive.filter("id IS NULL").count() == 1
     dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(str(p))
     assert [r["name"] for r in dropped.orderBy("id").collect()] == ["alice", "bob", "dave"]
+
+
+def test_textkv_python_datasource_parallel_read(spark, tmp_path):
+    """The Python Data Source reads one partition per part-file and
+    tolerates blank lines; values keep tabs after the FIRST separator."""
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    d = tmp_path / "kv"
+    d.mkdir()
+    (d / "part-00000").write_text("[a, 1]\tx\n\n[b, 2]\ty\tz\n")
+    (d / "part-00001").write_text("[c, 3]\t7\n")
+    (d / "_SUCCESS").write_text("")  # non-part files are ignored
+    register_textkv(spark)
+    df = spark.read.format("textkv").load(str(d))
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["key"]: r["value"] for r in df.collect()}
+    assert rows == {"[a, 1]": "x", "[b, 2]": "y\tz", "[c, 3]": "7"}
