@@ -550,3 +550,35 @@ def fn_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_floor"),
         F.date_trunc("week", d).cast("date").alias("week_start"),
     )
+
+
+@query(
+    "fn_variant_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    """,
+)
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: ``parse_json`` once into the binary
+    semi-structured type, then typed ``variant_get`` extractions — the
+    modern replacement for repeated ``get_json_object`` string re-parses
+    (the VARIANT value parses the JSON ONCE and each extraction is a
+    binary-encoded field probe, which is the 100 TB difference: N
+    extractions cost one parse, not N).  Missing paths yield typed NULLs;
+    DuckDB's twin re-extracts from text because it has no variant type —
+    same values, different engine representation."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k_long = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k_long.alias("k_long"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        (k_long % 7).alias("k_mod"),
+    )
