@@ -703,3 +703,100 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+
+
+CHUNK_W = 64   # window tokens
+CHUNK_S = 48   # stride (W - S = 16 token overlap)
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST((r.i - 1) / {CHUNK_S} AS BIGINT) AS chunk_id,
+             ts[r.i : r.i + {CHUNK_W} - 1] AS toks
+      FROM t, UNNEST(range(1, GREATEST(len(ts) - {CHUNK_W} + 1, 1) + 1,
+                           {CHUNK_S})) AS r(i))
+    SELECT doc_id, chunk_id,
+           array_to_string(toks, ' ') AS chunk_text,
+           CAST(len(toks) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — split each document into
+    {CHUNK_W}-token windows with stride {CHUNK_S} (16-token overlap), the
+    standard preprocessing step before embedding/packing long documents
+    for training.  Each chunk keeps (doc_id, chunk_id) provenance.
+
+    Implementation note (the textops perf trap): the token array is
+    materialized as a COLUMN first, so the per-chunk ``slice`` references
+    a bound attribute — inlining the split() expression would re-evaluate
+    it for every chunk.  Start offsets come from a strided ``sequence``;
+    everything is codegen array ops, one explode, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("ts"))
+    n = F.size(F.col("ts"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - (CHUNK_W - 1), F.lit(1)), F.lit(CHUNK_S)
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    ((i - 1) / CHUNK_S).cast("long").alias("chunk_id"),
+                    F.slice(F.col("ts"), i, CHUNK_W).alias("toks"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.array_join(F.col("c.toks"), " ").alias("chunk_text"),
+        F.size(F.col("c.toks")).cast("int").alias("n_tokens"),
+    )
+
+
+@query(
+    "corpus_summary",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+      FROM documents)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per (source, lang) document/token/char totals
+    and token-length extremes — the summary table every corpus release
+    ships.  One narrow pass (token counts are array lengths, no explode)
+    into a tiny grouped aggregate; integer sums are exact, and the single
+    double division is int/int — bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), r"\s+"))
+    return (
+        d.select("source", "lang", "n_chars", nt.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
