@@ -144,3 +144,61 @@ def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT b.doc_id, b.pos, b.bigram "
         "FROM _udtf_docs d, LATERAL bigram_expand(d.doc_id, d.text) b"
     )
+
+
+@query(
+    "udf_cogrouped_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(v.ts AS TIMESTAMP) AS last_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join AGAIN, via ``cogroup().applyInPandas`` — the
+    co-grouped pandas API (both sides shuffle once on user_id, then each
+    user's views and purchases arrive as two aligned pandas frames and
+    ``pd.merge_asof`` does the backward match in-process).
+
+    Same oracle as join_asof_purchase_view (operators/asof.py), which runs
+    the union+window formulation — two independent implementations, one
+    SQL twin.  When to prefer this shape: per-key logic too gnarly for
+    window expressions (model scoring, per-key curve fitting).  The window
+    form stays JVM-side and is the default; this one demonstrates the
+    escape hatch with identical semantics.  Output is the matched ts VALUE
+    (never a row id), so equal-timestamp ties can't make the result
+    ambiguous."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = purchases for one user, right = views for one user
+        out = left.sort_values("ts", kind="mergesort").rename(
+            columns={"event_id": "purchase_id", "ts": "purchase_ts"}
+        )
+        if len(right) == 0:
+            out["last_view_ts"] = pd.NaT
+        else:
+            v = (
+                right.sort_values("ts", kind="mergesort")
+                .rename(columns={"ts": "last_view_ts"})
+                .drop(columns=["user_id"])
+            )
+            out = pd.merge_asof(
+                out, v, left_on="purchase_ts", right_on="last_view_ts",
+                direction="backward",
+            )
+        return out[["purchase_id", "user_id", "purchase_ts", "last_view_ts"]]
+
+    return purchases.groupBy("user_id").cogroup(views.groupBy("user_id")).applyInPandas(
+        asof,
+        schema="purchase_id long, user_id long, purchase_ts timestamp, "
+        "last_view_ts timestamp",
+    )
