@@ -379,3 +379,46 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_vq"),
         F.col("n_saturated").cast("int").alias("n_saturated"),
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (
+      SELECT label, r.dim, v[r.dim] AS val
+      FROM e, UNNEST(range(1, len(v) + 1)) AS r(dim))
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS centroid_val
+    FROM x GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids/prototypes) — the
+    aggregation behind nearest-centroid classifiers, IVF coarse-quantizer
+    seeding, and per-cluster drift monitoring.  Output is one row per
+    (label, dimension) so the result is a plain relational table.
+
+    posexplode + a single (label, dim) hash aggregate: one shuffle whose
+    key count is |labels|×dim, with map-side partial sums absorbing the
+    N×dim explosion — the dimension-parallel formulation that scales out,
+    vs the driver-side np.mean that wouldn't.  Per-dimension sums run in
+    the decimal domain (scale 9 covers float32 inputs exactly enough that
+    both engines round identically), so centroids are bit-stable."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    exploded = e.select("label", F.posexplode("v").alias("dim0", "val"))
+    return (
+        exploded.groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_val"),
+        )
+    )

@@ -294,3 +294,51 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_parquet(
         spark, joined, "view_purchase_join", output_mode="append"
     )
+
+
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator as a REGISTERED query: a running
+    per-user event counter via ``applyInPandasWithState`` — the escape
+    hatch for stateful logic none of Structured Streaming's built-ins
+    express (the same state-machine slot a production pipeline uses for
+    per-key models or custom sessionizers).
+
+    Each micro-batch updates a (count,) state tuple per user and emits the
+    cumulative total; the batch reconciliation takes max(n_events) per
+    user on read-back, so the result equals the batch COUNT(*) no matter
+    how many micro-batches the replay was split into — which is what makes
+    an exact oracle possible for an update-mode stateful stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _count_updates(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    src = _events_stream(spark, sf_dir).select("user_id")
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_events", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+    counted = src.groupBy("user_id").applyInPandasWithState(
+        _count_updates,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_stream_to_parquet(
+        spark, counted, "stateful_user_totals", output_mode="update"
+    )
+    return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
