@@ -114,3 +114,38 @@ def set_intersect_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "set_union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS price,
+           o_orderpriority AS priority, NULL AS segment
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT c_custkey AS id, c_acctbal AS price,
+           NULL AS priority, c_mktsegment AS segment
+    FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with overlapping-but-different
+    columns combined by NAME with nulls for the gaps
+    (``unionByName(allowMissingColumns=True)``) — the operation every
+    multi-vintage data lake performs when v2 of a feed adds columns.
+    Positional UNION would silently misalign; by-name union is the
+    evolution-safe form, and Catalyst still pushes each side's filter to
+    its own scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    left = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    right = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("price"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)
