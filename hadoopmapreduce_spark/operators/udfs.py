@@ -153,8 +153,10 @@ def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.user_id  AS user_id,
            CAST(p.ts AS TIMESTAMP) AS purchase_ts,
            CAST(v.ts AS TIMESTAMP) AS last_view_ts
-    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase' AND user_id % 10 = 0) p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'view' AND user_id % 10 = 0) v
       ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
 )
@@ -172,7 +174,11 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch with identical semantics.  Output is the matched ts VALUE
     (never a row id), so equal-timestamp ties can't make the result
     ambiguous."""
-    ev = load_table(spark, sf_dir, "events")
+    # Sampled input (1 in 10 users), like the UDTF demo: per-GROUP Python
+    # invocation overhead makes cogroup the escape-hatch tier, not the
+    # production path — the window form (join_asof_purchase_view) covers
+    # the full table in one JVM pass; this query pins the API contract.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
