@@ -854,11 +854,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     over their lineitems).  Parts whose value exceeds {Q11_FRACTION} of the
     nation's total — the HAVING-with-global-scalar-subquery pattern.
 
-    The per-part aggregate is computed ONCE and reused for both the output
-    rows and the global total (in Spark the cached small aggregate feeds a
-    one-row broadcast cross join; a naive plan would scan lineitem twice).
-    Both sums run in the decimal domain; the threshold multiply and the >
-    compare are bit-stable doubles."""
+    The per-part aggregate is materialized ONCE (eager localCheckpoint of
+    the |parts|-row table — executor memory, like dedup_clusters' rounds)
+    and reused by both consumers; without the cut Spark plans the scalar
+    subquery and the output branch as two independent lineitem scans
+    (measured 2× the runtime).  Both sums run in the decimal domain; the
+    threshold multiply and the > compare are bit-stable doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
@@ -872,6 +873,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value")
         )
     )
+    value_by_part = value_by_part.localCheckpoint(eager=True)
     total = value_by_part.agg(
         (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") * F.lit(Q11_FRACTION)).alias(
             "threshold"
