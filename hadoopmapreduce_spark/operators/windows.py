@@ -271,6 +271,18 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.1
 
 
+def ewma_fold(vals):
+    """Sequential EWMA left fold over an array column — seeded with the
+    first element, then acc·(1−α) + x·α per element.  Extracted so
+    property tests can drive it on literal arrays against a Python model
+    (tests/test_properties.py)."""
+    return F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+
+
 @query(
     "ewma_user_value",
     oracle=f"""
@@ -305,19 +317,30 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("evs")
     )
     vals = F.transform(F.col("evs"), lambda s: s["value"])
-    ewma = F.aggregate(
-        F.slice(vals, 2, F.size(vals) - 1),
-        F.element_at(vals, 1),
-        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
-    )
     return grouped.select(
         "user_id",
         F.size(vals).cast("long").alias("n_events"),
-        ewma.alias("ewma_value"),
+        ewma_fold(vals).alias("ewma_value"),
     )
 
 
 FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_fold(types):
+    """Strict-subsequence funnel state machine as a sequential left fold
+    over an array of event types (string-encoded stage counter).  Extracted
+    for direct property testing (tests/test_properties.py)."""
+    return F.aggregate(
+        types,
+        F.lit("0"),
+        lambda acc, x: (
+            F.when((acc == "0") & (x == FUNNEL_STEPS[0]), F.lit("1"))
+            .when((acc == "1") & (x == FUNNEL_STEPS[1]), F.lit("2"))
+            .when((acc == "2") & (x == FUNNEL_STEPS[2]), F.lit("3"))
+            .otherwise(acc)
+        ),
+    )
 
 
 @query(
@@ -356,20 +379,10 @@ def funnel_steps_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     types = F.transform(F.col("evs"), lambda s: s["event_type"])
-    stage = F.aggregate(
-        types,
-        F.lit("0"),
-        lambda acc, x: (
-            F.when((acc == "0") & (x == FUNNEL_STEPS[0]), F.lit("1"))
-            .when((acc == "1") & (x == FUNNEL_STEPS[1]), F.lit("2"))
-            .when((acc == "2") & (x == FUNNEL_STEPS[2]), F.lit("3"))
-            .otherwise(acc)
-        ),
-    )
     return grouped.select(
         "user_id",
         F.size(types).cast("long").alias("n_events"),
-        stage.cast("int").alias("funnel_stage"),
+        funnel_fold(types).cast("int").alias("funnel_stage"),
     )
 
 

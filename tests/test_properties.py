@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the deterministic-numeric layer and
+the sequential-fold operators hold their contracts on adversarial inputs,
+not just the fixtures.
+
+Each example batches many generated cases into ONE Spark job (a local[8]
+round trip costs ~0.5 s, so per-case jobs would be prohibitive)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.functions.numeric import dsum, lsum
+from hadoopmapreduce_spark.operators.windows import (
+    EWMA_ALPHA,
+    FUNNEL_STEPS,
+    ewma_fold,
+    funnel_fold,
+)
+
+# doubles that survive a decimal(18,4) cast: bounded magnitude, no NaN/inf
+_vals = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_vals, min_size=1, max_size=40), min_size=1, max_size=12))
+def test_lsum_equals_dsum_within_bound(spark, batches):
+    """The long-scaled fast path must be bit-identical to the decimal path
+    for any input within its documented bound — on the same partitioning."""
+    rows = [(i, v) for i, vs in enumerate(batches) for v in vs]
+    df = spark.createDataFrame(rows, "grp int, x double")
+    out = (
+        df.groupBy("grp")
+        .agg(dsum("x", 4).alias("d"), lsum("x", 4).alias("l"))
+        .collect()
+    )
+    for r in out:
+        assert r["d"] == r["l"], f"grp {r['grp']}: {r['d']!r} != {r['l']!r}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_vals, min_size=1, max_size=30), min_size=1, max_size=12))
+def test_ewma_fold_matches_python_model(spark, batches):
+    df = spark.createDataFrame(
+        [(i, vs) for i, vs in enumerate(batches)], "i int, vals array<double>"
+    )
+    out = {r["i"]: r["e"] for r in df.select("i", ewma_fold(F.col("vals")).alias("e")).collect()}
+    for i, vs in enumerate(batches):
+        expect = vs[0]
+        for v in vs[1:]:
+            expect = expect * (1 - EWMA_ALPHA) + v * EWMA_ALPHA
+        assert out[i] == expect and math.isfinite(out[i])
+
+
+_evt = st.sampled_from(list(FUNNEL_STEPS) + ["signup", "error"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_evt, min_size=0, max_size=25), min_size=1, max_size=15))
+def test_funnel_fold_matches_python_model(spark, batches):
+    df = spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(batches)], "i int, types array<string>"
+    )
+    out = {
+        r["i"]: int(r["s"])
+        for r in df.select("i", funnel_fold(F.col("types")).alias("s")).collect()
+    }
+    for i, ts in enumerate(batches):
+        stage = 0
+        for t in ts:
+            if stage < 3 and t == FUNNEL_STEPS[stage]:
+                stage += 1
+        assert out[i] == stage
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_evt, min_size=0, max_size=25), min_size=1, max_size=15))
+def test_funnel_fold_monotone_under_extension(spark, batches):
+    """Appending events can only advance the funnel, never regress it."""
+    df = spark.createDataFrame(
+        [(i, ts, ts + ["purchase", "view", "click"]) for i, ts in enumerate(batches)],
+        "i int, a array<string>, b array<string>",
+    )
+    rows = df.select(
+        funnel_fold(F.col("a")).alias("sa"), funnel_fold(F.col("b")).alias("sb")
+    ).collect()
+    for r in rows:
+        assert int(r["sb"]) >= int(r["sa"])
