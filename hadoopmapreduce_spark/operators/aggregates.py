@@ -698,3 +698,31 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+@query("agg_hll_sketch_union")  # rows-only: DataSketches binary is engine-specific
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4's
+    ``hll_sketch_agg``/``hll_union_agg``): per-(returnflag, linestatus)
+    distinct-order sketches are built in one pass, then UNION-MERGED up to
+    per-returnflag estimates WITHOUT rescanning the data — the property
+    that makes sketch columns materializable in a daily rollup table and
+    re-aggregatable along any dimension later (the 100 TB pattern plain
+    approx_count_distinct can't offer, since its partial state dies with
+    the query).
+
+    Rows-only check (sketch binaries and estimates are engine-specific);
+    the error bound vs the exact distinct count is asserted in
+    tests/test_behavioral_semantics.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    return (
+        per_group.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.hll_union_agg("sk").alias("merged"))
+        .select(
+            "returnflag",
+            F.hll_sketch_estimate("merged").alias("approx_orders"),
+        )
+    )

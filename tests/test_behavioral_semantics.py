@@ -27,17 +27,10 @@ def _events(spark, rows):
     )
 
 
-def _run(spark, df, fn):
-    """Run a registered query fn against a literal events table by
-    monkey-free substitution: write to a temp view path via createOrReplace
-    is overkill — the operators only need load_table, so patch it."""
-
-
 def test_funnel_requires_order(spark, tmp_path):
     """purchase BEFORE view must not advance the funnel; the strict
     subsequence view→click→purchase only counts in-order progress."""
     import hadoopmapreduce_spark.operators.windows as W
-    from hadoopmapreduce_spark.catalog import load_table as real_load
 
     df = _events(
         spark,
@@ -157,3 +150,26 @@ def test_contamination_flags_copied_docs(spark, tmp_path):
     assert out[1] == 1  # the shared "alpha..epsilon" 5-gram
     assert out[2] == 0
     assert 3 not in out  # below gram size → no grams, no row
+
+
+def test_hll_union_estimate_within_bound(spark, sf_dir):
+    """Merged-sketch estimates must track the exact distinct count (HLL
+    lgK=12 standard error ≈ 1.6%; assert a lax 5% to avoid flakiness)."""
+    import hadoopmapreduce_spark.operators.aggregates as A
+    from hadoopmapreduce_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    est = {
+        r["returnflag"]: r["approx_orders"]
+        for r in A.agg_hll_sketch_union(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(0.05 * n, 3), (k, est[k], n)
