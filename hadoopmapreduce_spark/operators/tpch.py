@@ -1066,3 +1066,44 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "name")
         .limit(50)
     )
+
+
+_SPINE_SQL = """
+    WITH RECURSIVE spine(month_start) AS (
+      SELECT CAST('1996-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE month_start < CAST('1997-12-01' AS DATE)
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.month_start,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+"""
+
+
+@query("recursive_date_spine", oracle=_SPINE_SQL)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly time series via a RECURSIVE CTE (Spark 4 finally
+    supports WITH RECURSIVE): generate the 24-month spine recursively,
+    left-join the monthly revenue aggregate, fill gaps with zero — the
+    sparse→dense densification every dashboard needs, and the ONE query
+    whose Spark SQL text and DuckDB oracle are byte-identical.
+
+    Scale: the recursion generates 24 rows (bounded, driver-light — each
+    step is a one-row union); the heavy side is the orders aggregate,
+    which is an ordinary pushed-down scan + 24-group hash agg that the
+    spine then broadcasts against.  For long spines (days over decades),
+    ``sequence()`` + explode is the constant-step alternative — the
+    recursive form is kept deliberately for SQL-portability parity."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SPINE_SQL)
