@@ -800,3 +800,105 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         )
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 100
+
+
+@query(
+    "pmi_top_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+    uni AS (
+      SELECT u.tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t, UNNEST(ts) AS u(tok) GROUP BY 1),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM t, UNNEST(range(1, len(ts))) AS r(i)
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS t_uni,
+             (SELECT CAST(SUM(c_xy) AS BIGINT) FROM big) AS t_big)
+    SELECT w1, w2, c_xy,
+           CAST(c_xy AS DOUBLE) * t_uni * t_uni
+             / (CAST(t_big AS DOUBLE) * u1.c * u2.c) AS assoc,
+           rk
+    FROM (
+      SELECT b.w1, b.w2, b.c_xy, u1.c AS c1, u2.c AS c2, tot.t_uni, tot.t_big,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(b.c_xy AS DOUBLE) * tot.t_uni * tot.t_uni
+                          / (CAST(tot.t_big AS DOUBLE) * u1.c * u2.c) DESC,
+                        b.w1, b.w2) AS rk
+      FROM big b
+      JOIN uni u1 ON u1.term = b.w1
+      JOIN uni u2 ON u2.term = b.w2
+      CROSS JOIN tot
+      WHERE b.c_xy >= {PMI_MIN_COUNT}) q
+    JOIN uni u1 ON u1.term = q.w1
+    JOIN uni u2 ON u2.term = q.w2
+    WHERE rk <= {PMI_TOP_N}
+    """,
+)
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top word pairs by pointwise-mutual-information
+    ASSOCIATION RATIO — P(xy)/(P(x)P(y)) = c_xy·T²/(B·c_x·c_y) — kept in
+    rational form (no log) so the score is fixed-order IEEE arithmetic on
+    exact integer counts, bit-identical cross-engine where log-PMI would
+    drift by libm ulps.  The phrase-detection pass (word2vec-style) of a
+    corpus pipeline.
+
+    One tokenize feeding two aggregates (unigram counts, adjacent-bigram
+    counts via the zip_with ladder), two joins of the bigram table against
+    the unigram counts (term-keyed shuffles, Zipf skew handled by AQE),
+    scalar totals broadcast, min-count pruning BEFORE the joins, bounded
+    top-k at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), r"\s+").alias("ts"))
+    n = F.size(F.col("ts"))
+    uni = (
+        toks.select(F.explode(F.col("ts")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, n - 1),
+                F.slice(F.col("ts"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    big = pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    t_uni = uni.agg(F.sum("c").alias("t_uni"))
+    t_big = big.agg(F.sum("c_xy").alias("t_big"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_big))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                F.col("c_xy").cast("double") * F.col("t_uni") * F.col("t_uni")
+                / (F.col("t_big").cast("double") * F.col("c1") * F.col("c2"))
+            ).alias("assoc"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("assoc"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PMI_TOP_N)
+        .select("w1", "w2", "c_xy", "assoc", "rk")
+    )
