@@ -32,8 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Iteration order is the adjudication-priority order (see
+    ``registry.ADJUDICATION_PRIORITY``): the driver checks the first 50
+    entries per round, so the prefix rotates to queries without a prior
+    driver verdict.
+    """
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
