@@ -58,7 +58,7 @@ def sql_davg(expr: str, scale: int = 6) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr}))"
 
 
-def lsum(col: Column | str, scale: int = 4) -> Column:
+def lsum(col: Column | str, scale: int = 4, *, max_group_sum: float = None) -> Column:
     """Order-independent SUM over a double column — LONG-scaled fast path.
 
     Same per-row rounding as :func:`dsum` (the decimal(18,scale) cast
@@ -68,12 +68,28 @@ def lsum(col: Column | str, scale: int = 4) -> Column:
     BigDecimal adds — measured 1.6× slower than a codegen long sum on a
     600k-row group-by.
 
-    Exactness bound: the final double conversion is exact while
-    ``|group sum| < 2^53 / 10^scale`` (9.0e11 at scale=4) — ~30× a full
-    sf=1 TPC-H revenue total.  Beyond that (or under ANSI long overflow at
-    9.2e14), use :func:`dsum`; the SQL twin (:func:`sql_dsum`) is
-    IDENTICAL for both, so swapping is a one-word change per query.
+    Exactness bound: the final double conversion is exact only while
+    ``|group sum| < 2^53 / 10^scale`` (9.0e11 at scale=4).  Beyond that the
+    long→double cast rounds and can drift 1 ulp from the decimal path,
+    breaking hash-stability nondeterministically as data grows.  Callers
+    MUST therefore declare ``max_group_sum`` — a documented upper bound on
+    ``|group sum|`` at the engine's design scale (100 TB ≈ TPC-H sf100k, not
+    the local test SF) — and this function raises at plan-build time if the
+    bound does not fit the exact window.  When it doesn't fit, use
+    :func:`dsum`; the SQL twin (:func:`sql_dsum`) is IDENTICAL for both, so
+    swapping is a one-word change per query.
     """
+    if max_group_sum is None:
+        raise ValueError(
+            "lsum requires max_group_sum: a documented |group sum| bound at "
+            "design scale; use dsum when no such bound is known"
+        )
+    if max_group_sum * (10 ** scale) >= 2.0 ** 53:
+        raise ValueError(
+            f"lsum(scale={scale}) is not exact for |group sum| up to "
+            f"{max_group_sum:.3g} (needs < {2.0 ** 53 / 10 ** scale:.3g}); "
+            "use dsum for this column"
+        )
     c = _c(col)
     return (
         F.sum((c.cast(f"decimal(18,{scale})") * (10 ** scale)).cast("long"))
@@ -82,11 +98,7 @@ def lsum(col: Column | str, scale: int = 4) -> Column:
     )
 
 
-def lavg(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent AVG via the long-scaled sum (see :func:`lsum`);
-    twin of :func:`sql_davg`."""
-    c = _c(col)
-    num = F.sum((c.cast(f"decimal(18,{scale})") * (10 ** scale)).cast("long")).cast(
-        "double"
-    ) / float(10 ** scale)
-    return num / F.count(c)
+def lavg(col: Column | str, scale: int = 6, *, max_group_sum: float = None) -> Column:
+    """Order-independent AVG via the long-scaled sum (see :func:`lsum` for
+    the mandatory ``max_group_sum`` bound); twin of :func:`sql_davg`."""
+    return lsum(col, scale, max_group_sum=max_group_sum) / F.count(_c(col))

@@ -51,9 +51,12 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    # lsum/lavg: same decimal-cast rounding, long-backed accumulation — the
-    # biggest row volume of any grouped agg in the suite makes Q1 the one
-    # query where BigDecimal accumulation cost is visible (2.0s → 1.25s).
+    # sum_qty keeps the long-scaled fast path: qty ≤ 50 × ~1e11 rows/group at
+    # sf100k (100 TB) → |group sum| ≤ 5e12, inside lsum's 2^53/10^2 = 9.0e13
+    # exact window.  The money sums and the scale-6 averages exceed their
+    # windows well before that scale (per-group price sums are ~1e10 already
+    # at sf0.1), so they use decimal accumulation (dsum/davg) — exact to
+    # decimal(28) overflow, far past 100 TB totals.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-09-02 00:00:00").cast("timestamp"))
         .groupBy(
@@ -61,13 +64,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            lsum("l_quantity", 2).alias("sum_qty"),
-            lsum("l_extendedprice", 2).alias("sum_base_price"),
-            lsum(disc_price, 4).alias("sum_disc_price"),
-            lsum(charge, 6).alias("sum_charge"),
-            lavg("l_quantity").alias("avg_qty"),
-            lavg("l_extendedprice").alias("avg_price"),
-            lavg("l_discount").alias("avg_disc"),
+            lsum("l_quantity", 2, max_group_sum=5e12).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
