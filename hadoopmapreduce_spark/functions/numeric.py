@@ -58,7 +58,7 @@ def sql_davg(expr: str, scale: int = 6) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr}))"
 
 
-def lsum(col: Column | str, scale: int = 4, *, max_group_sum: float = None) -> Column:
+def lsum(col: Column | str, scale: int = 4, *, max_group_sum: float | None = None) -> Column:
     """Order-independent SUM over a double column — LONG-scaled fast path.
 
     Same per-row rounding as :func:`dsum` (the decimal(18,scale) cast
@@ -98,7 +98,7 @@ def lsum(col: Column | str, scale: int = 4, *, max_group_sum: float = None) -> C
     )
 
 
-def lavg(col: Column | str, scale: int = 6, *, max_group_sum: float = None) -> Column:
+def lavg(col: Column | str, scale: int = 6, *, max_group_sum: float | None = None) -> Column:
     """Order-independent AVG via the long-scaled sum (see :func:`lsum` for
     the mandatory ``max_group_sum`` bound); twin of :func:`sql_davg`."""
     return lsum(col, scale, max_group_sum=max_group_sum) / F.count(_c(col))

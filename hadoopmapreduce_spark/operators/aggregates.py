@@ -17,7 +17,6 @@ from hadoopmapreduce_spark.catalog import load_table
 from hadoopmapreduce_spark.functions.numeric import (
     davg,
     dsum,
-    lavg,
     lsum,
     sql_davg,
     sql_dsum,
@@ -51,12 +50,16 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    # sum_qty keeps the long-scaled fast path: qty ≤ 50 × ~1e11 rows/group at
-    # sf100k (100 TB) → |group sum| ≤ 5e12, inside lsum's 2^53/10^2 = 9.0e13
-    # exact window.  The money sums and the scale-6 averages exceed their
-    # windows well before that scale (per-group price sums are ~1e10 already
-    # at sf0.1), so they use decimal accumulation (dsum/davg) — exact to
-    # decimal(28) overflow, far past 100 TB totals.
+    # sum_qty keeps the long-scaled fast path: sf100k (100 TB) lineitem is
+    # ~6e11 rows, the largest returnflag/linestatus group (N/O) ~half of them
+    # → qty ≤ 50 gives a worst-case |group sum| of ~1.5e13; declare 2e13,
+    # inside lsum's 2^53/10^2 = 9.0e13 exact window.  The money sums and the
+    # scale-6 averages exceed their windows well before that scale (per-group
+    # price sums are ~1e10 already at sf0.1), so they use decimal
+    # accumulation (dsum/davg) — the decimal sum itself is exact to
+    # decimal(28) overflow, though the final double cast can diverge 1 ulp
+    # across engines once sums pass 2^53 (oracle comparison only runs at
+    # local SFs, where they don't).
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-09-02 00:00:00").cast("timestamp"))
         .groupBy(
@@ -64,7 +67,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            lsum("l_quantity", 2, max_group_sum=5e12).alias("sum_qty"),
+            lsum("l_quantity", 2, max_group_sum=2e13).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),
             dsum(disc_price, 4).alias("sum_disc_price"),
             dsum(charge, 6).alias("sum_charge"),
@@ -623,14 +626,22 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit: orphan counts across every foreign-key edge of
     the star schema — the pre-flight check any 100 TB ingestion pipeline
     runs before publishing a snapshot.  Each edge is a LEFT ANTI join
-    reduced to a count; dimension sides broadcast, the two lineitem edges
-    against part/supplier broadcast too, and the lineitem→orders edge is
-    the one genuine shuffle (both sides keyed on orderkey).  Counting
-    after an anti join never inflates: anti preserves left multiplicity
-    and emits no columns from the right — no accidental fan-out."""
-    def orphans(left: DataFrame, lkey: str, right: DataFrame, rkey: str, label: str) -> DataFrame:
+    reduced to a count.  Broadcast is applied ONLY to dimension sides
+    (nation is fixed-size; part/supplier are key-only projections 70×/7000×
+    smaller than the lineitem probe side); the fact-to-fact edges
+    (lineitem→orders, orders→customer, events→customer) shuffle on their
+    keys — broadcasting orders or customer is a scale-killer at 100 TB.
+    At extreme SF where even the part keys exceed the broadcast threshold,
+    drop the hint and AQE falls back to a shuffled join.  Counting after
+    an anti join never inflates: anti preserves left multiplicity and
+    emits no columns from the right — no accidental fan-out."""
+    def orphans(left: DataFrame, lkey: str, right: DataFrame, rkey: str,
+                label: str, *, bcast: bool) -> DataFrame:
+        rhs = right.select(rkey)
+        if bcast:
+            rhs = F.broadcast(rhs)
         return (
-            left.join(F.broadcast(right.select(rkey)), F.col(lkey) == F.col(rkey), "left_anti")
+            left.join(rhs, F.col(lkey) == F.col(rkey), "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(label).alias("fk_edge"), "n_orphans")
         )
@@ -643,12 +654,12 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     e = load_table(spark, sf_dir, "events")
     checks = [
-        orphans(o, "o_custkey", c, "c_custkey", "orders.custkey->customer"),
-        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.orderkey->orders"),
-        orphans(li, "l_partkey", p, "p_partkey", "lineitem.partkey->part"),
-        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem.suppkey->supplier"),
-        orphans(c, "c_nationkey", n, "n_nationkey", "customer.nationkey->nation"),
-        orphans(e, "user_id", c, "c_custkey", "events.user->customer"),
+        orphans(o, "o_custkey", c, "c_custkey", "orders.custkey->customer", bcast=False),
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.orderkey->orders", bcast=False),
+        orphans(li, "l_partkey", p, "p_partkey", "lineitem.partkey->part", bcast=True),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem.suppkey->supplier", bcast=True),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer.nationkey->nation", bcast=True),
+        orphans(e, "user_id", c, "c_custkey", "events.user->customer", bcast=False),
     ]
     out = checks[0]
     for df in checks[1:]:

@@ -279,7 +279,15 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stays entirely in codegen: token hashing is xxhash64, bit votes are 48
     conditional sums in one groupBy, and the band join is equi — the same
-    bounded-fan-out property as MinHash-LSH.  Rows-only check (no DuckDB
+    bounded-fan-out property as MinHash-LSH.  Fingerprints are
+    localCheckpoint-ed before the self-join: without it both join sides
+    re-run the tokenize+48-sum aggregation (ReuseExchange doesn't always
+    fire across the band explode), and at scale the fingerprint table is
+    ~#docs rows of (long, long) — vastly cheaper to materialize than to
+    recompute from text.  (Round-4 re-measure of the r2→r3 bench doubling:
+    r2's 1.91 s did not reproduce — warm best-of-3 is ~3.2 s for the old
+    plan, ~2.8 s with this checkpoint; the delta was mostly run variance
+    plus the double-computation this removes.)  Rows-only check (no DuckDB
     xxhash64); semantic correctness is pinned by unit tests on perturbed
     documents (tests/test_dedup_semantics.py)."""
     d = load_table(spark, sf_dir, "documents")
@@ -303,7 +311,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         fp = term if fp is None else fp + term
-    fps = votes.select("doc_id", fp.alias("fp"))
+    fps = votes.select("doc_id", fp.alias("fp")).localCheckpoint(eager=False)
     band_arr = F.array(
         *[
             F.struct(

@@ -67,7 +67,7 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                                         ELSE 'video' END AS kind,
            COUNT(*) AS n_assets,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents GROUP BY 1
     """,

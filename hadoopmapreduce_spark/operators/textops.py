@@ -224,7 +224,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT) AS total_tokens,
            MAX(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS max_doc_tokens
     FROM documents GROUP BY 1
     """,
@@ -303,9 +303,9 @@ SAMPLE_RATES = {"en": 50, "de": 80, "es": 80, "fr": 80, "zh": 30}  # percent
     )
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN bucket < CASE lang
+           CAST(SUM(CASE WHEN bucket < CASE lang
                  {' '.join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
-                 ELSE 0 END THEN 1 ELSE 0 END) AS n_sampled
+                 ELSE 0 END THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM bucketed GROUP BY 1
     """,
 )
@@ -348,7 +348,7 @@ PACK_TOKEN_BUDGET = 2000  # tokens per training shard
                               ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
       FROM t)
     SELECT doc_id, lang, n_tok,
-           cum_before // {PACK_TOKEN_BUDGET} AS shard
+           CAST(cum_before // {PACK_TOKEN_BUDGET} AS BIGINT) AS shard
     FROM c
     """,
 )

@@ -537,9 +537,12 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q22_INACTIVE_CUTOFF = "2000-01-01"  # lapsed = no orders on/after this date
+
+
 @query(
     "q22_sales_opportunity",
-    oracle="""
+    oracle=f"""
     WITH avg_bal AS (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                / COUNT(c_acctbal) AS v
@@ -550,19 +553,27 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > (SELECT v FROM avg_bal)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{Q22_INACTIVE_CUTOFF} 00:00:00')
     GROUP BY 1
     """,
 )
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (adapted: nations stand in for phone country codes).
-    Rich-but-inactive customers: acctbal above the global positive mean
-    (scalar subquery → one-row broadcast cross join) and no orders at all
-    (LEFT ANTI join on the orders fact — at scale this is the shuffle; the
+    """TPC-H Q22 shape (adapted: nations stand in for phone country codes;
+    "inactive" means no orders on/after Q22_INACTIVE_CUTOFF, because the
+    synthetic generator gives every customer at least one lifetime order —
+    the textbook "no orders at all" predicate is vacuously empty here).
+    Rich-but-lapsed customers: acctbal above the global positive mean
+    (scalar subquery → one-row broadcast cross join) and no recent orders
+    (LEFT ANTI join against the date-filtered orders fact — the date filter
+    pushes down to the scan, then the anti join is the one shuffle; the
     scalar and nation sides broadcast).  The mean is decimal-exact so the
     > comparison can't flip cross-engine."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(f"{Q22_INACTIVE_CUTOFF} 00:00:00").cast("timestamp")
+    )
     n = load_table(spark, sf_dir, "nation")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)

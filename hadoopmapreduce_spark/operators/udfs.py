@@ -105,8 +105,7 @@ def udf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_bigram_expand",
     oracle="""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents
-      WHERE doc_id % 20 = 0),
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
     z AS (
       SELECT doc_id,
              unnest(list_zip(ts[1:len(ts) - 1], ts[2:len(ts)],
@@ -123,11 +122,11 @@ def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``F.explode`` covers the built-in case; this pins the *user-authored*
     generator contract incl. lateral-join wiring).
 
-    UDTFs run row-at-a-time in Python, so the registered query restricts to
-    a 1-in-20 document sample: the operator exists for API parity, and at
+    Runs the FULL documents table.  UDTFs are row-at-a-time Python — at
     scale the same expansion is the pure-codegen ``posexplode`` used by
     fn_explode_suite (that is the production path, asserted equal here by
-    the oracle's first-principles bigram construction)."""
+    the oracle's first-principles bigram construction); this query pins
+    the user-authored generator contract on all rows, not a sample."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, pos int, bigram string")
@@ -138,7 +137,7 @@ def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i, f"{toks[i]} {toks[i + 1]}"
 
     spark.udtf.register("bigram_expand", BigramExpand)
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d = load_table(spark, sf_dir, "documents")
     d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         "SELECT b.doc_id, b.pos, b.bigram "
@@ -154,9 +153,9 @@ def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.ts AS TIMESTAMP) AS purchase_ts,
            CAST(v.ts AS TIMESTAMP) AS last_view_ts
     FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase' AND user_id % 10 = 0) p
+          WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT user_id, ts FROM events
-                    WHERE event_type = 'view' AND user_id % 10 = 0) v
+                    WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
 )
@@ -174,11 +173,11 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch with identical semantics.  Output is the matched ts VALUE
     (never a row id), so equal-timestamp ties can't make the result
     ambiguous."""
-    # Sampled input (1 in 10 users), like the UDTF demo: per-GROUP Python
-    # invocation overhead makes cogroup the escape-hatch tier, not the
-    # production path — the window form (join_asof_purchase_view) covers
-    # the full table in one JVM pass; this query pins the API contract.
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    # Full table: per-GROUP Python invocation overhead makes cogroup the
+    # escape-hatch tier, not the production path — the window form
+    # (join_asof_purchase_view) stays JVM-side — but the API contract is
+    # pinned on ALL rows, not a sample.
+    ev = load_table(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"

@@ -70,8 +70,31 @@ class ParityReport:
     mismatches: list = field(default_factory=list)
 
 
+def assert_no_hugeint(con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
+    """Fail fast on DuckDB HUGEINT (int128) output columns.
+
+    DuckDB widens integer SUMs to HUGEINT; pandas flattens int128 to int64/
+    object, so the local comparator cannot distinguish it from BIGINT — but
+    the driver's value hash CAN, and this exact class caused every hash
+    mismatch in rounds 1 and 3.  Guarding on the relation's declared types
+    (never materialized) makes the class impossible to ship again.
+    """
+    rel = con.sql(sql)
+    bad = [
+        c for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+    ]
+    if bad:
+        raise AssertionError(
+            f"oracle SQL for {name or '<query>'} produces HUGEINT column(s) "
+            f"{bad}: add CAST(... AS BIGINT) around the integer SUM — the "
+            "driver's value hash sees int128 where pandas does not"
+        )
+
+
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str,
             rtol: float = 1e-9, exact_required: bool = True) -> ParityReport:
+    assert_no_hugeint(con, sql, name)
     pdf_s = spark_df.toPandas()
     pdf_o = con.execute(sql).df()
 

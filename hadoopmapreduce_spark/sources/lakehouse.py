@@ -66,14 +66,25 @@ def merge_upsert_parquet(
     replaced by their update, unmatched updates are inserted, untouched rows
     carry over — ``target ANTI JOIN updates ON key, UNION ALL updates``.
 
-    The merged snapshot is written to a NEW versioned path and read back
-    (rewriting the path being scanned is not transactional on plain parquet
-    — the atomic pointer swap is exactly what Delta/Iceberg add).  At scale
-    the anti-join shuffles on the merge key like any equi-join; with a
-    bucketed target it is shuffle-free on the target side.  Registered as
-    the oracle-checked ``merge_upsert`` query (operators/merge.py)."""
+    The merged snapshot is written to a NEW versioned path (``_v{n}``, one
+    past the highest existing sibling version — repeated merges chain
+    v2→v3→… instead of clobbering a fixed ``_v2``) and read back (rewriting
+    the path being scanned is not transactional on plain parquet — the
+    atomic pointer swap is exactly what Delta/Iceberg add).  At scale the
+    anti-join shuffles on the merge key like any equi-join; with a bucketed
+    target it is shuffle-free on the target side.  Registered as the
+    oracle-checked ``merge_upsert`` query (operators/merge.py)."""
+    import glob as _glob
+    import re as _re
+
     target = spark.read.parquet(target_path)
     merged = target.join(updates, key, "left_anti").unionByName(updates)
-    new_path = target_path.rstrip("/") + "_v2"
+    base = _re.sub(r"_v\d+$", "", target_path.rstrip("/"))
+    versions = [
+        int(m.group(1))
+        for p in _glob.glob(base + "_v*")
+        if (m := _re.fullmatch(r".*_v(\d+)", p))
+    ]
+    new_path = f"{base}_v{max(versions, default=1) + 1}"
     merged.write.mode("overwrite").parquet(new_path)
     return spark.read.parquet(new_path)

@@ -15,6 +15,14 @@ round-trips the reference's files like any built-in source:
 
 This is the Spark-4-native replacement for writing a Hadoop InputFormat in
 Java — pure Python, Arrow-batched by the runtime.
+
+CONTRACT — local/shared filesystem paths only: partition planning uses
+``os``/``glob`` on the driver and ``open()`` on the executors, so the path
+must be visible to both via a POSIX mount (local disk, NFS, FUSE-mounted
+object store).  ``hdfs://``/``s3://`` URIs are NOT resolved — reading those
+schemes needs the JVM Hadoop filesystem, i.e. the built-in ``spark.read
+.text`` + ``F.split`` path, which is also the right production choice when
+the bytes live in an object store.
 """
 
 from __future__ import annotations

@@ -32,3 +32,28 @@ def test_rows_only_smoke(name, spark, sf_dir):
     df = registry.QUERIES[name](spark, sf_dir)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+def test_hugeint_guard_catches_uncast_sum(oracle_con):
+    """A deliberately uncast integer SUM (DuckDB → HUGEINT) must fail fast.
+
+    pandas flattens int128, so compare() alone can't see the difference —
+    but the driver's value hash can; this class caused every hash mismatch
+    in rounds 1 and 3."""
+    from hadoopmapreduce_spark.oracle import assert_no_hugeint
+
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_no_hugeint(
+            oracle_con, "SELECT SUM(o_orderkey) AS s FROM orders", "probe"
+        )
+    # the cast form passes
+    assert_no_hugeint(
+        oracle_con, "SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s FROM orders", "probe"
+    )
+
+
+def test_q22_non_vacuous(spark, sf_dir):
+    """q22 must produce rows at every local SF — a hash match on an empty
+    result proves nothing (round-2 finding)."""
+    df = registry.QUERIES["q22_sales_opportunity"](spark, sf_dir)
+    assert df.count() > 0

@@ -203,3 +203,30 @@ def test_quantization_is_shuffle_free(spark, sf_dir):
 
     plan = physical_plan(embedding_quantize_int8(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_dq_referential_integrity_never_broadcasts_facts(spark, sf_dir):
+    """Broadcast is allowed only on the three dimension edges (part,
+    supplier, nation); the fact-to-fact edges (orders→customer,
+    lineitem→orders, events→customer) must shuffle — broadcasting a
+    fact table is a scale-killer at 100 TB (round-3 finding)."""
+    from hadoopmapreduce_spark.operators.aggregates import dq_referential_integrity
+
+    # disable size-based auto-broadcast: at sf0.001 every table fits the
+    # 10 MB threshold, which would mask the at-scale plan shape — with it
+    # off, only the explicit F.broadcast hints can produce a broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(dq_referential_integrity(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # formatted explain prints each node twice (tree + detail), so match the
+    # tree-line form "<Join> LeftAnti" which appears exactly once per node
+    assert plan.count("BroadcastHashJoin LeftAnti") == 3, plan
+    # the three fact edges appear as shuffled anti joins
+    assert (
+        plan.count("SortMergeJoin LeftAnti")
+        + plan.count("ShuffledHashJoin LeftAnti")
+        == 3
+    ), plan

@@ -35,7 +35,12 @@ def test_lsum_equals_dsum_within_bound(spark, batches):
     df = spark.createDataFrame(rows, "grp int, x double")
     out = (
         df.groupBy("grp")
-        .agg(dsum("x", 4).alias("d"), lsum("x", 4).alias("l"))
+        .agg(
+            # strategy worst case: 40 values of |x| <= 1e6 per group → 4e7,
+            # far inside lsum's 9.0e11 exactness window at scale 4
+            dsum("x", 4).alias("d"),
+            lsum("x", 4, max_group_sum=4e7).alias("l"),
+        )
         .collect()
     )
     for r in out:
