@@ -530,3 +530,108 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_doc_id")
     )
+
+
+@query("dedup_clusters_twostar", oracle=_CLUSTER_ORACLE)
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph via alternating
+    large-star / small-star rounds — the O(log n)-round MapReduce CC
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14), registered alongside ``dedup_clusters`` (plain label
+    propagation) against the SAME oracle.
+
+    Why a second implementation: label propagation needs rounds equal to
+    the graph DIAMETER, which for near-dup clusters (near-cliques, diameter
+    ~2) is fine — but a 100 TB corpus with chained duplicates (A≈B≈C≈…
+    drift chains, common in scraped snapshots) can have long path
+    components where diameter rounds become the wall-clock bottleneck.
+    Star contraction converges in O(log n) rounds REGARDLESS of diameter:
+
+    * large-star: every node u with min-of-neighborhood m rewires its
+      strictly-larger neighbors v>u directly to m;
+    * small-star: u rewires its ≤-neighbors (and itself) to m.
+
+    Each round is one groupBy (per-node min) + one equi-join (rewire) on
+    the edge table — the same shuffle shape as a round of label
+    propagation, just fewer rounds at scale.  Per-round ``localCheckpoint``
+    cuts the iterative lineage exactly as in ``dedup_clusters``; the
+    convergence probe counts changed edges (edge-table-sized, tiny vs the
+    corpus — only near-dup members appear).  Output contract: one row per
+    graph node, labeled with its component's minimum doc_id."""
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_twostar(pairs)
+
+
+def connected_components_twostar(pairs: DataFrame) -> DataFrame:
+    """Core of :func:`dedup_clusters_twostar`, factored over an arbitrary
+    undirected edge list ``(doc_a, doc_b)`` so the O(log n) long-chain
+    behavior is unit-testable on synthetic graphs (the fixture pair graph
+    is near-clique only; tests/test_dedup_semantics.py drives a path
+    graph through it).  Returns ``(doc_id, canonical_doc_id)`` — every
+    node labeled with its component minimum."""
+    # symmetric adjacency: (src, dst) both directions, no self-loops
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star_round(edges: DataFrame, large: bool) -> DataFrame:
+        mins = edges.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+        joined = edges.join(mins, "src")
+        if large:
+            # (v, m) for neighbors v > u; u keeps its own link to m
+            rewired = joined.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            )
+            self_link = mins.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            out = rewired.unionByName(self_link)
+        else:
+            # (v, m) for neighbors v < u, plus (u, m)
+            rewired = joined.filter(F.col("dst") < F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            )
+            self_link = mins.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            out = rewired.unionByName(self_link)
+        # back to symmetric adjacency, dropping the self-loops (a == b)
+        # that min-of-own-neighborhood links produce for component minima
+        undirected = out.filter(F.col("a") != F.col("b"))
+        return (
+            undirected.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                undirected.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def signature(e: DataFrame) -> tuple:
+        # (edge count, sum of endpoints): every rewire replaces a dst with
+        # a strictly smaller min, so the sum is monotone non-increasing —
+        # an unchanged (count, sum) pair means no edge moved, i.e. the set
+        # is a stable star forest and further star rounds are no-ops.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("src") + F.col("dst")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    MAX_ROUNDS = 8  # 2^8 node ids of headroom — log2(n) bound, not diameter
+    prev_sig = signature(edges)
+    for _ in range(MAX_ROUNDS):
+        edges = star_round(edges, large=True)
+        edges = star_round(edges, large=False)
+        sig = signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stable state: edges = {(v, min_of_component) both directions};
+    # labels fall out as the per-node min over the star edges
+    return edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.least(F.col("doc_id"), F.min("dst")).alias("canonical_doc_id")
+    )

@@ -295,3 +295,78 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o.o_orderpriority AS orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through BUCKETED storage — the 100 TB lever for
+    repeated joins on the same key: pay the shuffle ONCE at write time
+    (``bucketBy(orderkey)`` on both tables), then every subsequent
+    orders⋈lineitem join reads co-located buckets with NO exchange on
+    either side (tests/test_plans.py pins the bucketed join's plan as
+    Exchange-free).
+
+    This registered query runs the real end-to-end path, not a test
+    double: both fixtures are written as bucketed+sorted external tables
+    (8 buckets here; a cluster sizes bucket count to executor count ×
+    small multiple), the join runs over ``spark.table(...)``, and the
+    grouped aggregation reuses the bucket partitioning (orderkey buckets
+    are a superset partitioning of the join key, so only the final
+    orderpriority rollup shuffles).  Auto-broadcast is disabled for the
+    join so the plan proves the bucket path rather than hiding it behind a
+    small-SF broadcast.  Semantics are identical to a plain join — the
+    oracle is the ordinary SQL twin."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="hmr_bucketed_")
+    spark.sql("DROP TABLE IF EXISTS hmr_b_orders")
+    spark.sql("DROP TABLE IF EXISTS hmr_b_lineitem")
+    # external tables under an explicit temp path: repo-independent of the
+    # session's warehouse dir (the driver's plain session points it at cwd)
+    (
+        orders.select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{tmp}/b_orders")
+        .mode("overwrite")
+        .saveAsTable("hmr_b_orders")
+    )
+    (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{tmp}/b_lineitem")
+        .mode("overwrite")
+        .saveAsTable("hmr_b_lineitem")
+    )
+    bo = spark.table("hmr_b_orders")
+    bl = spark.table("hmr_b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, F.col("o_orderkey") == F.col("l_orderkey"))
+        out = joined.groupBy(
+            F.col("o_orderpriority").alias("orderpriority")
+        ).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+        # materialize under the no-broadcast conf so the executed plan is
+        # the bucketed sort-merge join (conf is plan-time, not run-time)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out

@@ -70,6 +70,10 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "q22_sales_opportunity",
     "udtf_bigram_expand",
     "udf_cogrouped_asof",
+    # new this round (never checked)
+    "dedup_clusters_twostar",
+    "streaming_static_enrich",
+    "join_bucketed_colocated",
 )
 
 

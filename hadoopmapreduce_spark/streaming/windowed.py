@@ -342,3 +342,50 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         spark, counted, "stateful_user_totals", output_mode="update"
     )
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name AS nation, e.event_type,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the one Structured Streaming join mode the
+    other streaming queries don't cover: a live event stream enriched
+    against a batch dimension (customer → nation), the standard shape for
+    attaching slowly-changing reference data to a firehose.
+
+    Unlike stream-stream joins this keeps NO join state: each micro-batch
+    probes the static side directly, so there is no watermark requirement
+    and append mode emits enriched rows as they arrive.  The static side
+    is a dimension by construction — ``F.broadcast`` pins the hash-join
+    side so every executor probes locally (at 100 TB of stream the dim is
+    still customer-sized; if the dim outgrows broadcast, drop the hint and
+    it becomes a per-batch shuffled join — semantics unchanged).  The
+    static snapshot is read once per micro-batch, which is also the
+    documented production behavior (a dim refresh lands at the next
+    trigger)."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = purchases.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "nation", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    return _run_stream_to_parquet(
+        spark, enriched, "static_enrich", output_mode="append"
+    )

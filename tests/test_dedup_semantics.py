@@ -106,3 +106,41 @@ def test_approx_quantile_error_bound(spark, sf_dir):
         # GK with accuracy 10000 on these sizes should be near-exact
         rel = abs(r["p50_approx"] - r["p50_exact"]) / max(abs(r["p50_exact"]), 1)
         assert rel < 0.05, f"p50 approx off by {rel} for {r['status']}"
+
+
+def test_twostar_labels_path_graph(spark):
+    """Two-star CC on a long PATH graph — the diameter-heavy shape label
+    propagation is slow on and the fixture pair graph (near-cliques) never
+    produces.  15-node path + disjoint 3-cycle + an isolated edge: every
+    node must label with its component minimum."""
+    from hadoopmapreduce_spark.operators.dedup import connected_components_twostar
+
+    path = [(i, i + 1) for i in range(14)]          # component min 0
+    cycle = [(100, 101), (101, 102), (102, 100)]    # component min 100
+    lone = [(200, 201)]                             # component min 200
+    pairs = spark.createDataFrame(
+        path + cycle + lone, "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in connected_components_twostar(pairs).collect()
+    }
+    expect = {i: 0 for i in range(15)}
+    expect |= {100: 100, 101: 100, 102: 100, 200: 200, 201: 200}
+    assert out == expect
+
+
+def test_twostar_matches_label_propagation(spark, sf_dir):
+    """Both CC implementations must produce identical labelings over the
+    real minhash pair graph."""
+    import hadoopmapreduce_spark.operators.dedup as dd
+
+    lp = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in dd.dedup_clusters(spark, sf_dir).collect()
+    }
+    ts = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in dd.dedup_clusters_twostar(spark, sf_dir).collect()
+    }
+    assert lp == ts
