@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -42,16 +43,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain parquet scan — kept lazy so Catalyst can
     prune columns/row-groups per consuming query.
 
-    ``events.ts`` is nanosecond-precision parquet; it is surfaced as a
-    microsecond ``timestamp`` via integer division (truncation — exactly what
-    DuckDB does when it reads the same column, so oracle parity holds).
+    ``events.ts`` has shipped in two fixture generations: INT64
+    TIMESTAMP(NANOS) (surfaced as ``long`` via ``nanosAsLong``, converted to a
+    microsecond ``timestamp`` by integer division — the same truncation DuckDB
+    applies, so oracle parity holds) and, since round 4, plain
+    TIMESTAMP(MICROS) (no conversion needed).  Branch on the type actually
+    read so both generations load identically.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # New fixtures store TIMESTAMP_NTZ; surface as TIMESTAMP (LTZ,
+            # session tz pinned UTC above) so downstream epoch math
+            # (``ts.cast("bigint")`` etc.) keeps working — NTZ forbids it.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

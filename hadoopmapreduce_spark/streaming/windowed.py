@@ -24,6 +24,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from hadoopmapreduce_spark.catalog import load_table
 from hadoopmapreduce_spark.registry import query
@@ -31,20 +32,26 @@ from hadoopmapreduce_spark.registry import query
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (explicit schema — no
-    inference at stream start), with the ns→µs timestamp normalization the
-    batch catalog applies."""
+    inference at stream start), with the same ts normalization the batch
+    catalog applies (ns→µs conversion only when the fixture generation
+    stores ts as INT64 nanos; newer fixtures are native TIMESTAMP)."""
     # load_table is called for its session-conf side effects (UTC tz +
-    # nanosAsLong) so the raw schema resolves ts as long
+    # nanosAsLong) so old-generation fixtures resolve ts as long
     load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory: stream the fixture dir with a
     # filename filter so only the events table is picked up
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # NTZ→LTZ, matching catalog.load_table (session tz pinned UTC)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_stream_to_parquet(
