@@ -20,6 +20,9 @@ _MODULES = (
     "dedup",
     "similarity",
     "multimodal",
+    "timeseries",
+    "graph",
+    "layout",
 )
 
 

@@ -1,0 +1,218 @@
+"""[EXT] Graph operators over the co-purchase graph.
+
+Triangle counting and PageRank were THE canonical Hadoop MapReduce workloads
+beyond word count; the reference's join-then-aggregate shape
+(``ClickThru.java:62-81`` chains two jobs the same way these chain joins)
+puts them squarely in this engine's mandate.  The graph is derived from the
+fixtures: parts are nodes, and two parts are adjacent iff some order contains
+both (the market-basket co-purchase graph from ``lineitem``).
+
+Scale notes
+-----------
+* Edge building self-joins ``lineitem`` on ``l_orderkey`` — shuffle on the
+  order key, output bounded by Σ items-per-order², with items-per-order a
+  small constant in TPC-H-shaped data.
+* ``triangle_count`` uses degree orientation (each undirected edge directed
+  from its lower-(degree, id) endpoint): every wedge pivot is a LOW-degree
+  node, so the wedge join's fan-out is bounded by the graph's arboricity
+  instead of its max degree — the standard trick that keeps the count
+  feasible on power-law graphs at cluster scale.
+* ``pagerank_int`` runs in pure 64-bit integer arithmetic (ranks scaled by
+  1e12, floor division by degree) so every engine sums exactly the same
+  integers — no float accumulation-order drift — and each iteration is one
+  join + one aggregate, both keyed on the node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.registry import query
+
+# rank scale: each node starts at 1e12; teleport term is 0.15 * 1e12
+_PR_INIT = 1_000_000_000_000
+_PR_BASE = 150_000_000_000  # 0.15 * _PR_INIT
+
+_EDGES_SQL = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v) from lineitem."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given distinct (u < v) edges.
+
+    Degree orientation: direct each edge from its lower (degree, id)
+    endpoint.  The orientation is acyclic, so each triangle {x,y,z} with
+    x < y < z in that order has directed edges x→y, x→z, y→z and is found
+    exactly once as wedge (x→y, y→z) closed by x→z.
+
+    Returns a single row (n_nodes, n_edges, n_triangles)."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e2.dst").alias("c")
+    )
+    closing = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+
+    # The driver hashes a single 3-column row; cross-joining three 1-row
+    # aggregates is a broadcast of scalars, not a data-sized cross join.
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def pagerank_int(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """PageRank (damping 0.85) in scaled 64-bit integer arithmetic over
+    distinct undirected (u < v) edges; returns every node's final rank.
+
+    Each node starts at rank 1e12; one iteration sends ``rank div degree``
+    (floor) along every directed edge and folds with
+    ``0.15e12 + (85 * Σcontrib) div 100`` — all positive integers, so Spark's
+    ``div`` (truncating) and DuckDB's ``//`` (flooring) agree and the sums
+    are exact regardless of accumulation order."""
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    with_deg = directed.join(deg, "src")
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_PR_INIT).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        ranks = (
+            with_deg.join(ranks, with_deg["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                # `div` (not `/`): integer division keeps the arithmetic in
+                # exact int64 — `/` would detour through double and lose
+                # ulps once ranks sum past 2^53
+                F.expr(
+                    f"cast({_PR_BASE} + (85 * sum(rank div degree)) div 100"
+                    " as bigint)"
+                ).alias("rank")
+            )
+        )
+    return ranks
+
+
+@query(
+    "graph_copurchase_triangles",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    wedges AS (
+      SELECT e1.src AS a, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.dst = e2.src),
+    tri AS (
+      SELECT w.a, w.c FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM oriented o
+                    WHERE o.src = w.a AND o.dst = w.c))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+    """,
+)
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (degree-oriented wedge
+    join — see :func:`triangle_count`)."""
+    return triangle_count(copurchase_edges(spark, sf_dir))
+
+
+def _pagerank_oracle(iters: int) -> str:
+    ctes = [
+        f"""r0 AS (
+      SELECT node, CAST({_PR_INIT} AS BIGINT) AS rank
+      FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT dir.dst AS node,
+             CAST({_PR_BASE}
+                  + (85 * CAST(SUM(p.rank // dg.degree) AS BIGINT)) // 100
+                  AS BIGINT) AS rank
+      FROM directed dir
+      JOIN r{i - 1} p ON p.node = dir.src
+      JOIN deg dg ON dg.node = dir.src
+      GROUP BY 1)"""
+        )
+    return f"""
+    WITH {_EDGES_SQL},
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM directed GROUP BY 1),
+    {", ".join(ctes)}
+    SELECT node, rank FROM r{iters}
+    ORDER BY rank DESC, node ASC LIMIT 20
+    """
+
+
+@query("graph_pagerank_int", oracle=_pagerank_oracle(5))
+def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts of the co-purchase graph by 5-iteration integer-domain
+    PageRank (explicit rank-then-id tie-break)."""
+    ranks = pagerank_int(copurchase_edges(spark, sf_dir), iters=5)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)

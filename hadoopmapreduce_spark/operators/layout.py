@@ -1,0 +1,226 @@
+"""[EXT] Data-layout and table-maintenance operators.
+
+The reference reads/writes flat text files in one shot
+(``ClickThru.java:49-57`` wires FileInputFormat→FileOutputFormat); at lake
+scale the same pipeline lives or dies by physical layout: clustering for
+data skipping, small-file compaction, partitioned sinks with pruned reads,
+and non-parquet sources.  Each operator here is the Spark-native expression
+of one of those concerns, registered as an end-to-end query so the driver
+checks the full write→read→aggregate round trip, not just the write.
+
+Scale notes
+-----------
+* ``layout_zorder_stats`` computes the Morton (Z-order) key in pure integer
+  bit arithmetic (whole-stage codegen; no UDF).  The bucket assignment here
+  uses ``ntile`` over a global sort so the oracle can replay it exactly; the
+  production path is ``repartitionByRange(z)`` + per-file min/max, which is
+  embarrassingly parallel — the z-key math being verified is identical.
+* ``maintenance_compact_roundtrip`` compacts with ``coalesce`` (narrow
+  dependency — no shuffle), the standard bin-packing rewrite for
+  many-small-files directories.
+* ``sink_partitioned_pruned`` proves the partitioned-write → partition-
+  pruned-read contract; the pruning itself is plan-asserted in
+  ``tests/test_layout.py``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.functions.numeric import dsum, sql_dsum
+from hadoopmapreduce_spark.registry import query
+
+_ZBITS = 16
+
+
+def _z_spark(x: str, y: str) -> str:
+    """Spark SQL expression interleaving the low 16 bits of x (even
+    positions) and y (odd positions) into a Morton key."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)  # disjoint bit positions: + == OR
+
+
+def _z_duckdb(x: str, y: str) -> str:
+    """DuckDB twin of :func:`_z_spark` (operator syntax, same bit layout)."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS day_num,
+             event_id
+      FROM events),
+    z AS (
+      SELECT user_id, day_num,
+             {_z_duckdb("(user_id % 65536)", "(day_num % 65536)")} AS zval,
+             event_id
+      FROM keyed),
+    bucketed AS (
+      SELECT user_id, day_num, zval,
+             NTILE(16) OVER (ORDER BY zval, event_id) AS bucket
+      FROM z)
+    SELECT bucket,
+           MIN(zval) AS z_min,
+           MAX(zval) AS z_max,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT day_num) AS BIGINT) AS n_days
+    FROM bucketed GROUP BY 1
+    """,
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: Morton-interleave (user_id, day) into a
+    single key, cut the sorted keyspace into 16 buckets, and report each
+    bucket's key span and distinct-dimension counts — the locality profile
+    a Z-ordered rewrite would give a file pruner.
+
+    ``ntile`` here runs over a single global sort so DuckDB can replay the
+    bucket boundaries bit-for-bit; a production rewrite replaces it with
+    ``repartitionByRange(zval)`` (sampled range exchange — parallel, same
+    key math) and derives the spans from parquet footers."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        "event_id",
+    )
+    z = e.withColumn(
+        "zval", F.expr(_z_spark("(user_id % 65536)", "(day_num % 65536)"))
+    )
+    bucketed = z.withColumn(
+        "bucket",
+        F.ntile(16).over(Window.orderBy(F.col("zval"), F.col("event_id"))),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("day_num").alias("n_days"),
+    )
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src_dir: str, out_dir: str, target_bytes: int = 8 << 20
+) -> int:
+    """Rewrite a parquet directory into ``ceil(total_bytes/target_bytes)``
+    files via ``coalesce`` (narrow — no shuffle).  Returns the output file
+    count.  Listing file sizes is driver-side metadata, not data."""
+    total = sum(
+        os.path.getsize(os.path.join(src_dir, f))
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(
+        out_dir
+    )
+    return sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+
+
+@query(
+    "maintenance_compact_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value", 6)} AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip: fragment the events table into 64
+    files, compact the directory with :func:`compact_parquet_dir`, and
+    aggregate the compacted copy — proving the rewrite is value-preserving
+    (the file-count contraction itself is asserted in tests)."""
+    tmp = tempfile.mkdtemp(prefix="hmr_compact_")
+    frag, packed = os.path.join(tmp, "frag"), os.path.join(tmp, "packed")
+    load_table(spark, sf_dir, "events").repartition(64, "event_id").write.mode(
+        "overwrite"
+    ).parquet(frag)
+    compact_parquet_dir(spark, frag, packed)
+    return (
+        spark.read.parquet(packed)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "scan_csv_source",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum("c_acctbal", 2)} AS total_acctbal
+    FROM customer GROUP BY 1
+    """,
+)
+def scan_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round trip: sink the customer table to headered CSV,
+    re-read it with an explicit schema (no inference pass — at scale schema
+    inference is a full extra scan), and aggregate.  Doubles survive the
+    text round trip exactly (Spark writes shortest-round-trip decimal
+    strings)."""
+    tmp = os.path.join(tempfile.mkdtemp(prefix="hmr_csv_"), "customer_csv")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").option("header", True).csv(tmp)
+    back = (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        .option("header", True)
+        .csv(tmp)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", 2).alias("total_acctbal"),
+    )
+
+
+@query(
+    "sink_partitioned_pruned",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + pruned scan: write orders hive-partitioned by
+    o_orderstatus, read back filtering one status, and aggregate.  The read
+    only lists/opens the matching partition directory (partition pruning —
+    plan-asserted in tests); at scale that's the difference between
+    scanning one status and scanning the table."""
+    tmp = os.path.join(tempfile.mkdtemp(prefix="hmr_part_"), "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("total_price"),
+    )

@@ -1,0 +1,145 @@
+"""[EXT] Time-series operators: gap filling and resampling.
+
+The reference's data model is event logs keyed by (user, timestamp)
+(``ClickThru.java:24-31`` parses per-user impression/click times); these
+operators are the time-series queries a user of that pipeline asks next —
+regularize an irregular event stream onto a fixed grid (gap-fill) and
+downsample it into OHLC bars (resample).
+
+Scale notes
+-----------
+* ``ts_gapfill_locf``: the spine explode is per-user and bounded by the
+  user's own active span, so output size is O(users × span-days) and every
+  shuffle (daily agg, spine join, LOCF window) keys on ``user_id`` — one
+  partitioning reused end-to-end, AQE coalesces the exchanges.
+* ``ts_resample_ohlc``: one shuffle on the (series, bucket) grain; the
+  open/close row_numbers and the min/max/sum aggregate share it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.functions.numeric import dsum, sql_dsum
+from hadoopmapreduce_spark.registry import query
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             {daily_sum} AS day_value
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans)
+    SELECT sp.user_id, sp.day,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY sp.user_id ORDER BY sp.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CAST(d.day_value IS NULL AS INT) AS is_gap
+    FROM spine sp LEFT JOIN daily d
+      ON d.user_id = sp.user_id AND d.day = sp.day
+    """.format(daily_sum=sql_dsum("value", 6)),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's event stream onto a daily grid: aggregate
+    value per (user, day), explode the user's min→max day span into a dense
+    spine, and fill missing days by carrying the last observation forward.
+
+    The first spine day is always observed (the span starts at the user's
+    first event), so LOCF never reads before the window start and
+    ``filled_value`` is never null.  Day sums run in the exact decimal
+    domain so the carried values hash identically across engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dsum("value", 6).alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().cast("int").alias("is_gap"),
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_hour,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bucket_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {vol} AS total_value
+    FROM x GROUP BY 1, 2
+    """.format(vol=sql_dsum("value", 6)),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars per event type:
+    open/close are the first/last value in the bucket with an explicit
+    (ts, event_id) tie-break, high/low are min/max, plus count and an exact
+    decimal-domain volume sum.
+
+    One shuffle on (event_type, hour): the two row_number windows and the
+    final aggregate all key on the same grain, so Spark reuses the sort and
+    exchange across them."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    grain = ["event_type", "bucket_hour"]
+    w_asc = Window.partitionBy(*grain).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy(*grain).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy(*grain)
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+    )

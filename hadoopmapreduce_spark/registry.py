@@ -74,6 +74,14 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_twostar",
     "streaming_static_enrich",
     "join_bucketed_colocated",
+    "ts_gapfill_locf",
+    "ts_resample_ohlc",
+    "graph_copurchase_triangles",
+    "graph_pagerank_int",
+    "layout_zorder_stats",
+    "maintenance_compact_roundtrip",
+    "scan_csv_source",
+    "sink_partitioned_pruned",
 )
 
 

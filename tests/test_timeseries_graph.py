@@ -1,0 +1,87 @@
+"""Semantic unit tests for the time-series and graph cores on literal
+graphs/series whose answers are known by hand — shapes the fixture parity
+can't isolate (gap runs, known triangle censuses, rank symmetry)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, day_offset, value) → events-shaped table."""
+    base = dt.datetime(2020, 1, 1)
+    data = [
+        (eid, base + dt.timedelta(days=d), uid, "view", float(v), "{}")
+        for (eid, uid, d, v) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_gapfill_carries_last_observation(spark, tmp_path):
+    import hadoopmapreduce_spark.operators.timeseries as T
+
+    # user 1: days 0 and 3 observed -> days 1, 2 are gaps carrying 5.0
+    df = _events(spark, [(1, 1, 0, 5.0), (2, 1, 3, 7.0)])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        (r.user_id, r.day.isoformat()): (r.filled_value, r.is_gap)
+        for r in T.ts_gapfill_locf(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, "2020-01-01")] == (5.0, 0)
+    assert out[(1, "2020-01-02")] == (5.0, 1)
+    assert out[(1, "2020-01-03")] == (5.0, 1)
+    assert out[(1, "2020-01-04")] == (7.0, 0)
+
+
+def test_gapfill_singleton_has_no_gaps(spark, tmp_path):
+    import hadoopmapreduce_spark.operators.timeseries as T
+
+    df = _events(spark, [(1, 9, 5, 2.5)])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    rows = T.ts_gapfill_locf(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].is_gap == 0
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "u long, v long"
+    )
+
+
+def test_triangle_count_k4(spark):
+    from hadoopmapreduce_spark.operators.graph import triangle_count
+
+    # complete graph on 4 nodes: C(4,3) = 4 triangles
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    row = triangle_count(k4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_count_path_has_none(spark):
+    from hadoopmapreduce_spark.operators.graph import triangle_count
+
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_pagerank_symmetry_and_mass(spark):
+    from hadoopmapreduce_spark.operators.graph import (
+        _PR_INIT,
+        pagerank_int,
+    )
+
+    # star: center 1, leaves 2/3/4 — leaves interchangeable, center highest
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    ranks = {r.node: r.rank for r in pagerank_int(star, iters=5).collect()}
+    assert ranks[2] == ranks[3] == ranks[4]
+    assert ranks[1] > ranks[2]
+    # rank mass is conserved up to floor-division loss: never above N*INIT,
+    # and within 1% of it on a graph this small
+    total = sum(ranks.values())
+    assert 4 * _PR_INIT * 0.99 <= total <= 4 * _PR_INIT
