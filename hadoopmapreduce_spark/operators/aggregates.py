@@ -740,3 +740,54 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("merged").alias("approx_orders"),
         )
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS total_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation / materialized-view maintenance: fold a
+    "new arrivals" delta into a previously materialized partial-aggregate
+    state WITHOUT rescanning the base data.
+
+    The partial state per group is algebraic — (count, exact decimal sum) —
+    so merging is just summing states; the final avg is derived at read
+    time.  At 100 TB this is the difference between an O(day) incremental
+    refresh and an O(history) recompute: yesterday's states are a tiny
+    table, and only the delta partition is scanned.  The oracle computes
+    the same aggregate directly over the full table, proving
+    state-merge == recompute.
+
+    The avg divides the exact decimal sum (cast to double) by the exact
+    count — both operands deterministic, so the division is too.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+
+    base = partial_state(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial_state(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("s").cast("double").alias("total_price"),
+        (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )

@@ -82,6 +82,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "maintenance_compact_roundtrip",
     "scan_csv_source",
     "sink_partitioned_pruned",
+    "incremental_agg_merge",
 )
 
 

@@ -230,3 +230,50 @@ def test_dq_referential_integrity_never_broadcasts_facts(spark, sf_dir):
         + plan.count("ShuffledHashJoin LeftAnti")
         == 3
     ), plan
+
+
+def test_graph_ops_no_cartesian_no_python(spark, sf_dir):
+    """Triangle counting and PageRank must stay equi-join + hash-agg all the
+    way down: no cartesian expansion, no Python workers in the loop."""
+    from hadoopmapreduce_spark.operators.graph import (
+        graph_copurchase_triangles,
+        graph_pagerank_int,
+    )
+
+    tri = graph_copurchase_triangles(spark, sf_dir)
+    assert_not_contains(tri, "CartesianProduct", "BatchEvalPython")
+    pr = graph_pagerank_int(spark, sf_dir)
+    assert_not_contains(pr, "CartesianProduct", "BatchEvalPython")
+
+
+def test_zorder_key_is_codegen(spark, sf_dir):
+    """The Morton key must be pure JVM bit arithmetic (whole-stage codegen),
+    never a Python UDF."""
+    from hadoopmapreduce_spark.operators.layout import layout_zorder_stats
+
+    df = layout_zorder_stats(spark, sf_dir)
+    # the key must appear as JVM bit-shift expressions inside a Project...
+    assert_contains(df, "shiftleft")
+    # ...and no Python worker anywhere in the plan
+    assert_not_contains(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_gapfill_shuffles_only_on_user(spark, sf_dir):
+    """Every exchange in the gap-fill plan must hash on user_id (alone or
+    with the spine day) — the one-partitioning-reused-end-to-end posture."""
+    from hadoopmapreduce_spark.operators.timeseries import ts_gapfill_locf
+
+    plan = physical_plan(ts_gapfill_locf(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+
+
+def test_incremental_merge_partial_aggregates(spark, sf_dir):
+    """The state-merge plan is partial+final hash aggregates — the algebraic
+    shape that makes the states mergeable without rescanning."""
+    from hadoopmapreduce_spark.operators.aggregates import incremental_agg_merge
+
+    plan = physical_plan(incremental_agg_merge(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert_not_contains(incremental_agg_merge(spark, sf_dir), "CartesianProduct")
