@@ -172,37 +172,48 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     form stays JVM-side and is the default; this one demonstrates the
     escape hatch with identical semantics.  Output is the matched ts VALUE
     (never a row id), so equal-timestamp ties can't make the result
-    ambiguous."""
-    # Full table: per-GROUP Python invocation overhead makes cogroup the
-    # escape-hatch tier, not the production path — the window form
-    # (join_asof_purchase_view) stays JVM-side — but the API contract is
-    # pinned on ALL rows, not a sample.
+    ambiguous.
+
+    Full table, cogrouped on a HASH BUCKET of the user (64 buckets), not
+    per-user: ``pd.merge_asof(by="user_id")`` does the per-user matching
+    inside each bucket, so Python crosses the Arrow boundary 64 times
+    instead of once per user — the difference between per-group overhead
+    dominating and amortizing away.  At cluster scale the bucket count
+    scales with cores, and per-bucket state stays bounded at
+    |events| / buckets."""
+    _B = 64
     ev = load_table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_B)).cast("int").alias("b")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", bucket
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts", bucket
     )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left = purchases for one user, right = views for one user
+        # left = purchases for one bucket of users, right = their views;
+        # merge_asof requires both frames sorted by the on-key
         out = left.sort_values("ts", kind="mergesort").rename(
             columns={"event_id": "purchase_id", "ts": "purchase_ts"}
         )
         if len(right) == 0:
             out["last_view_ts"] = pd.NaT
         else:
-            v = (
-                right.sort_values("ts", kind="mergesort")
-                .rename(columns={"ts": "last_view_ts"})
-                .drop(columns=["user_id"])
+            v = right.sort_values("ts", kind="mergesort").rename(
+                columns={"ts": "last_view_ts"}
             )
             out = pd.merge_asof(
-                out, v, left_on="purchase_ts", right_on="last_view_ts",
+                out,
+                v,
+                left_on="purchase_ts",
+                right_on="last_view_ts",
+                by="user_id",
                 direction="backward",
             )
         return out[["purchase_id", "user_id", "purchase_ts", "last_view_ts"]]
 
-    return purchases.groupBy("user_id").cogroup(views.groupBy("user_id")).applyInPandas(
+    return purchases.groupBy("b").cogroup(views.groupBy("b")).applyInPandas(
         asof,
         schema="purchase_id long, user_id long, purchase_ts timestamp, "
         "last_view_ts timestamp",
