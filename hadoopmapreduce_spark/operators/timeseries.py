@@ -143,3 +143,101 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 6).alias("total_value"),
         )
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             {daily_sum} AS day_value
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans),
+    ctx AS (
+      SELECT sp.user_id, sp.day, d.day_value,
+             LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             LAST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN sp.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             FIRST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN sp.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM spine sp LEFT JOIN daily d
+        ON d.user_id = sp.user_id AND d.day = sp.day)
+    SELECT user_id, day,
+           CASE
+             WHEN day_value IS NOT NULL THEN day_value
+             ELSE prev_val + (next_val - prev_val)
+                  * (date_diff('day', prev_day, day)
+                     / date_diff('day', prev_day, next_day))
+           END AS interp_value,
+           CAST(day_value IS NULL AS INT) AS is_gap
+    FROM ctx
+    """.format(daily_sum=sql_dsum("value", 6)),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across daily gaps: each missing day gets
+    ``prev + (next - prev) * elapsed/gap_span`` between its surrounding
+    observations.  The spine spans first→last observation per user, so
+    every gap is interior — both neighbors always exist — and the day-ratio
+    and arithmetic are written identically in both engines (exact ints into
+    one double multiply-add), so values hash-match.
+
+    Same single-key shuffle posture as :func:`ts_gapfill_locf`: daily agg,
+    spine join, and all four context windows key on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dsum("value", 6).alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    ctx = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("prev_val", F.last("day_value", ignorenulls=True).over(back))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("next_val", F.first("day_value", ignorenulls=True).over(fwd))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")) / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .otherwise(
+            F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+        )
+        .alias("interp_value"),
+        F.col("day_value").isNull().cast("int").alias("is_gap"),
+    )

@@ -83,6 +83,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "scan_csv_source",
     "sink_partitioned_pruned",
     "incremental_agg_merge",
+    "ts_interpolate_linear",
 )
 
 

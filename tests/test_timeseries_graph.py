@@ -85,3 +85,19 @@ def test_pagerank_symmetry_and_mass(spark):
     # and within 1% of it on a graph this small
     total = sum(ranks.values())
     assert 4 * _PR_INIT * 0.99 <= total <= 4 * _PR_INIT
+
+
+def test_interpolate_linear_midpoints(spark, tmp_path):
+    import hadoopmapreduce_spark.operators.timeseries as T
+
+    # observed 3.0 on day 0 and 9.0 on day 3 -> gaps at 5.0 and 7.0
+    df = _events(spark, [(1, 1, 0, 3.0), (2, 1, 3, 9.0)])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.day.isoformat(): (r.interp_value, r.is_gap)
+        for r in T.ts_interpolate_linear(spark, str(tmp_path)).collect()
+    }
+    assert out["2020-01-01"] == (3.0, 0)
+    assert out["2020-01-02"] == (5.0, 1)
+    assert out["2020-01-03"] == (7.0, 1)
+    assert out["2020-01-04"] == (9.0, 0)
