@@ -902,3 +902,61 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PMI_TOP_N)
         .select("w1", "w2", "c_xy", "assoc", "rk")
     )
+
+
+_MD5_NIBBLE_SQL = "(strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1)"
+
+
+@query(
+    "sample_split_train_val_test",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT lang, n_chars,
+             ((({_MD5_NIBBLE_SQL.format(i=1)} * 16
+                + {_MD5_NIBBLE_SQL.format(i=2)}) * 16
+                + {_MD5_NIBBLE_SQL.format(i=3)}) * 16
+                + {_MD5_NIBBLE_SQL.format(i=4)}) % 1000 AS bucket
+      FROM documents),
+    labeled AS (
+      SELECT lang, n_chars,
+             CASE WHEN bucket < 800 THEN 'train'
+                  WHEN bucket < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM bucketed)
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split — the assignment every
+    training pipeline needs to be STABLE across reruns, engines, and data
+    relayouts.  The split key is content-derived (md5 of the text, first
+    four nibbles → a 0..999 bucket), so the same document always lands in
+    the same split no matter which file, partition, or ingestion batch it
+    arrives in, and adding documents never reshuffles existing ones —
+    properties a random() split lacks.  md5 is bit-identical in Spark and
+    DuckDB, which is what makes this oracle-checkable (the repo's usual
+    xxhash64 keys have no DuckDB twin).
+
+    Pure per-row expressions + one hash aggregate: embarrassingly parallel,
+    no shuffle before the final count rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("text").cast("binary"))
+
+    def nib(i: int):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(md5, i, 1)) - 1
+
+    bucket = (((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)) % 1000
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -84,6 +84,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "sink_partitioned_pruned",
     "incremental_agg_merge",
     "ts_interpolate_linear",
+    "sample_split_train_val_test",
 )
 
 
