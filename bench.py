@@ -66,6 +66,8 @@ def main() -> None:
         "minhash_lsh_dedup", "simhash_dedup", "knn_cosine_topk",
         "ann_lsh_topk", "exact_dedup", "topk_terms", "lang_id_markers",
         "sessionize_events", "agg_pricing_summary",
+        "graph_copurchase_triangles", "graph_pagerank_int",
+        "ts_gapfill_locf", "join_bucketed_colocated",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",
