@@ -85,6 +85,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "incremental_agg_merge",
     "ts_interpolate_linear",
     "sample_split_train_val_test",
+    "streaming_merge_upsert",
 )
 
 

@@ -30,22 +30,35 @@ from hadoopmapreduce_spark.catalog import load_table
 from hadoopmapreduce_spark.registry import query
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events fixture (explicit schema — no
     inference at stream start), with the same ts normalization the batch
     catalog applies (ns→µs conversion only when the fixture generation
-    stores ts as INT64 nanos; newer fixtures are native TIMESTAMP)."""
+    stores ts as INT64 nanos; newer fixtures are native TIMESTAMP).
+
+    ``max_files_per_trigger`` splits a multi-file fixture into several
+    micro-batches under ``availableNow`` — used by tests to exercise
+    cross-batch state/merge paths a one-batch replay can't reach."""
     # load_table is called for its session-conf side effects (UTC tz +
     # nanosAsLong) so old-generation fixtures resolve ts as long
     load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # FileStreamSource requires a directory: stream the fixture dir with a
-    # filename filter so only the events table is picked up
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isdir(path):
+        # Spark-written fixture: events.parquet IS a directory of parts —
+        # stream it directly (a filename glob would exclude the part files)
+        stream = reader.parquet(path)
+    else:
+        # single-file fixture: FileStreamSource requires a directory, so
+        # stream the fixture dir with a filename filter selecting the table
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
@@ -395,4 +408,90 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _run_stream_to_parquet(
         spark, enriched, "static_enrich", output_mode="append"
+    )
+
+
+@query(
+    "streaming_merge_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert — the production sink pattern the plain file
+    sinks can't express: each micro-batch's per-user purchase partials are
+    MERGED into a persistent per-user snapshot (existing users accumulate,
+    new users insert) via ``foreachBatch``, with every merge landing as a
+    new versioned snapshot (the plain-parquet stand-in for a Delta/Iceberg
+    transactional commit — see sources/lakehouse.py).
+
+    The merge is the algebraic-state fold from ``incremental_agg_merge``
+    lifted into the streaming loop: (count, exact decimal sum) states
+    union+re-aggregate, so the final snapshot equals the batch aggregate
+    regardless of how the replay was split into micro-batches — which is
+    what makes an exact oracle possible.  Totals are kept in
+    DECIMAL(28,6) (stable schema across merges; overflow bound ~1e22,
+    far past 100 TB of purchase volume).
+
+    ``SPARK_GRAFT_STREAM_MERGE_FILES_PER_TRIGGER`` forces a multi-file
+    fixture through several micro-batches so tests can pin the
+    cross-batch accumulate path (one-file fixtures replay as one batch)."""
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MERGE_FILES_PER_TRIGGER")
+    src = _events_stream(
+        spark, sf_dir, max_files_per_trigger=int(mft) if mft else None
+    ).filter(F.col("event_type") == "purchase").select("user_id", "value")
+
+    snapdir = tempfile.mkdtemp(prefix="hmr_stream_merge_")
+
+    def _latest() -> str | None:
+        versions = sorted(
+            (d for d in os.listdir(snapdir) if d.startswith("snap_v")),
+            key=lambda d: int(d.split("_v")[1]),
+        )
+        return os.path.join(snapdir, versions[-1]) if versions else None
+
+    def _merge(batch_df: DataFrame, epoch: int) -> None:
+        batch_agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("s"),
+        )
+        prev = _latest()
+        if prev is not None:
+            combined = (
+                spark.read.parquet(prev)
+                .unionByName(batch_agg)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_purchases").cast("long").alias("n_purchases"),
+                    F.sum("s").cast("decimal(28,6)").alias("s"),
+                )
+            )
+        else:
+            combined = batch_agg
+        nxt = int(prev.split("_v")[1]) + 1 if prev else 1
+        combined.write.mode("overwrite").parquet(
+            os.path.join(snapdir, f"snap_v{nxt}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation",
+            os.path.join(snapdir, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = _latest()
+    return spark.read.parquet(final).select(
+        "user_id",
+        "n_purchases",
+        F.col("s").cast("double").alias("total_value"),
     )
