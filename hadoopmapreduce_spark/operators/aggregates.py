@@ -791,3 +791,67 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("total_price"),
         (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
     )
+
+
+@query(
+    "dq_anomaly_sigma",
+    oracle="""
+    WITH typed AS (
+      SELECT event_type, CAST(value AS DECIMAL(14,6)) AS xd FROM events),
+    stats AS (
+      -- width-20 casts force DuckDB's int128 multiply path (narrower
+      -- operands overflow at runtime — same note as agg_moments)
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(20,0)) AS n,
+             CAST(SUM(xd) AS DECIMAL(20,6)) AS sx,
+             CAST(SUM(xd * xd) AS DECIMAL(26,12)) AS sxx
+      FROM typed GROUP BY 1),
+    flagged AS (
+      SELECT t.event_type,
+             CASE WHEN (CAST(t.xd AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+                       * (CAST(t.xd AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+                    > 9 * (CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                           / CAST(s.n * (s.n - 1) AS DOUBLE))
+                  THEN 1 ELSE 0 END AS is_outlier
+      FROM typed t JOIN stats s ON t.event_type = s.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_outlier) AS BIGINT) AS n_outliers
+    FROM flagged GROUP BY 1
+    """,
+)
+def dq_anomaly_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality outlier audit: count events whose value falls outside
+    3 sigma of their event type's distribution — the screening pass a
+    pipeline runs before trusting a batch.
+
+    Determinism discipline follows agg_moments: n, Σx, Σx² accumulate in
+    EXACT decimal (order-independent), and the per-row 3σ test converts to
+    double only at the comparison, with the expression written identically
+    in both engines so each row's flag computes from identical doubles (a
+    flip would need a value exactly AT the threshold — measure-zero).
+    Two passes over events, both keyed on event_type; the 5-row stats side
+    broadcasts back onto the scan, so the audit costs one shuffle + one
+    broadcast join at any scale."""
+    typed = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(14,6)").alias("xd")
+    )
+    stats = typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+        F.sum("xd").cast("decimal(18,6)").alias("sx"),
+        F.sum(F.col("xd") * F.col("xd")).cast("decimal(24,12)").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mu = sx.cast("double") / n.cast("double")
+    var = (n * sxx - sx * sx).cast("double") / (n * (n - 1)).cast("double")
+    dev = F.col("xd").cast("double") - mu
+    flag = F.when(dev * dev > F.lit(9) * var, 1).otherwise(0)
+    return (
+        typed.join(F.broadcast(stats), "event_type")
+        .select("event_type", flag.alias("is_outlier"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+        )
+    )

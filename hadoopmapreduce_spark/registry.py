@@ -86,6 +86,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "ts_interpolate_linear",
     "sample_split_train_val_test",
     "streaming_merge_upsert",
+    "dq_anomaly_sigma",
 )
 
 

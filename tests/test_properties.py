@@ -95,3 +95,55 @@ def test_funnel_fold_monotone_under_extension(spark, batches):
     ).collect()
     for r in rows:
         assert int(r["sb"]) >= int(r["sa"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, pairs):
+    """Degree-oriented adjacency-intersection census == the O(n^3) python
+    count on arbitrary small graphs (clique-ish, sparse, disconnected)."""
+    from itertools import combinations
+
+    from hadoopmapreduce_spark.operators.graph import triangle_count
+
+    edges = {(min(u, v), max(u, v)) for u, v in pairs}
+    nodes = sorted({n for e in edges for n in e})
+    expect = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == expect, (sorted(edges), row.n_triangles, expect)
+    assert row.n_edges == len(edges) and row.n_nodes == len(nodes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=50))
+def test_morton_key_bijective_and_monotone_in_blocks(spark, points):
+    """One Spark job per example: the codegen Morton key must equal the
+    python interleave for arbitrary 16-bit inputs (bijectivity follows)."""
+    from hadoopmapreduce_spark.operators.layout import _z_spark
+
+    def py_z(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(points, "x long, y long").withColumn(
+        "z", F.expr(_z_spark("x", "y"))
+    )
+    for r in df.collect():
+        assert r.z == py_z(r.x, r.y)
