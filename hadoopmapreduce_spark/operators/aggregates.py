@@ -855,3 +855,55 @@ def dq_anomaly_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_outlier").cast("long").alias("n_outliers"),
         )
     )
+
+
+@query("agg_cms_heavy_hitters")  # rows-only: CMS hash slots are engine-specific
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters: estimate the top-20 users' event
+    counts from a fixed 4x1024 counter grid instead of a per-key table.
+
+    Why it matters at 100 TB: the sketch is CONSTANT-SIZED and mergeable
+    (counters sum across partitions/days like any partial aggregate), so a
+    rollup can keep approximate per-key frequencies for a keyspace too
+    large to materialize — same role HLL plays for distinct counts
+    (``agg_hll_sketch_union``).  Build = one explode(d rows) + one hash
+    aggregate over (row, slot); estimate = broadcast the 4096-row grid
+    back and take min over the d probed counters.
+
+    Rows-only check (xxhash64 slots have no DuckDB twin); the CMS
+    guarantees — estimate >= exact, overestimate <= eps*N at the standard
+    bound — are asserted in tests/test_behavioral_semantics.py."""
+    D, W = 4, 1024
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    probes = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(F.xxhash64("user_id", F.lit(i)), F.lit(W)).alias("slot"),
+        )
+        for i in range(D)
+    ]
+    sketch = (
+        ev.select(F.explode(F.array(*probes)).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probed = top.select(
+        "user_id", "exact_n", F.explode(F.array(*probes)).alias("p")
+    ).select(
+        "user_id",
+        "exact_n",
+        F.col("p.row").alias("row"),
+        F.col("p.slot").alias("slot"),
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["row", "slot"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    )

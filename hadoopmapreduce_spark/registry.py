@@ -87,6 +87,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "sample_split_train_val_test",
     "streaming_merge_upsert",
     "dq_anomaly_sigma",
+    "agg_cms_heavy_hitters",
 )
 
 

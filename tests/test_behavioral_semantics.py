@@ -173,3 +173,22 @@ def test_hll_union_estimate_within_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(0.05 * n, 3), (k, est[k], n)
+
+
+def test_cms_estimates_bound_exact_counts(spark, sf_dir):
+    """Count-Min guarantees: est >= exact always; overestimate bounded by
+    eps*N (eps = e/W) with overwhelming probability at d=4."""
+    import math
+
+    from hadoopmapreduce_spark.operators.aggregates import (
+        agg_cms_heavy_hitters,
+    )
+    from hadoopmapreduce_spark.catalog import load_table
+
+    rows = agg_cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "no heavy hitters returned"
+    n_total = load_table(spark, sf_dir, "events").count()
+    eps = math.e / 1024
+    for r in rows:
+        assert r.est_n >= r.exact_n, (r.user_id, r.est_n, r.exact_n)
+        assert r.est_n <= r.exact_n + eps * n_total, (r.user_id, r.est_n)
