@@ -67,3 +67,32 @@ def test_scd2_emulation(spark, tmp_path):
     # exactly one open (current) version per id
     current = scd2.filter(F.col("valid_to").isNull()).groupBy("id").count().collect()
     assert all(r["count"] == 1 for r in current)
+
+
+def test_incremental_state_merge_equals_direct_recompute(spark, tmp_path):
+    """Base+delta partial-state merge must equal aggregating the union
+    directly — including groups present only in the delta."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.operators.aggregates import incremental_agg_merge
+
+    cutoff = dt.datetime(1997, 1, 1)
+    rows = [
+        # priority A: rows on both sides of the cutoff
+        (1, 1, "O", 10.0, cutoff - dt.timedelta(days=9), "A"),
+        (2, 1, "O", 30.0, cutoff + dt.timedelta(days=2), "A"),
+        # priority B: delta-only group (insert path)
+        (3, 2, "F", 7.5, cutoff + dt.timedelta(days=5), "B"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r.o_orderpriority: (r.n_orders, r.total_price, r.avg_price)
+        for r in incremental_agg_merge(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (2, 40.0, 20.0), "B": (1, 7.5, 7.5)}

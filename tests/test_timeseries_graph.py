@@ -101,3 +101,22 @@ def test_interpolate_linear_midpoints(spark, tmp_path):
     assert out["2020-01-02"] == (5.0, 1)
     assert out["2020-01-03"] == (7.0, 1)
     assert out["2020-01-04"] == (9.0, 0)
+
+
+def test_ohlc_equal_ts_ties_break_on_event_id(spark, tmp_path):
+    """Two events at the identical timestamp: open must take the lower
+    event_id, close the higher — the explicit tie-break, not arrival order."""
+    import datetime as dt
+
+    import hadoopmapreduce_spark.operators.timeseries as T
+
+    ts = dt.datetime(2020, 3, 1, 10, 30)
+    df = spark.createDataFrame(
+        [(2, ts, 1, "view", 99.0, "{}"), (1, ts, 1, "view", 5.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = T.ts_resample_ohlc(spark, str(tmp_path)).collect()[0]
+    assert (row.open_value, row.close_value) == (5.0, 99.0)
+    assert (row.low_value, row.high_value, row.n_events) == (5.0, 99.0, 2)
