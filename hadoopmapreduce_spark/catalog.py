@@ -8,6 +8,8 @@ predicate pushdown reach the scan for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -63,6 +65,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (``ts.cast("bigint")`` etc.) keeps working — NTZ forbids it.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def work_dir(name: str, sf_dir: str, fresh: bool = False) -> str:
+    """Deterministic scratch directory per (operator, fixture dir).
+
+    Operators that materialize intermediate files (compaction, CSV round
+    trip, partitioned sinks, streaming snapshots) write here instead of a
+    fresh ``mkdtemp`` per call, so repeat invocations (bench best-of-N,
+    repeated adjudication) overwrite one bounded directory rather than
+    accumulating dataset-sized copies in /tmp.  ``fresh=True`` clears the
+    directory first — required by operators that append versioned state or
+    streaming checkpoints (stale checkpoints would mark the replay as
+    already processed).  Concurrent sessions driving the same operator on
+    the same fixture would share (and race on) this path; the harness runs
+    one driver at a time."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"hmr_{name}_{key}")
+    if fresh and os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -830,6 +830,11 @@ def dq_anomaly_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     double only at the comparison, with the expression written identically
     in both engines so each row's flag computes from identical doubles (a
     flip would need a value exactly AT the threshold — measure-zero).
+    Like agg_moments, the declared decimal widths bound the audited range,
+    not the design point: the Spark casts hold to ~1e12 rows per group and
+    Σx² < 1e12 (overflow THROWS under ANSI rather than corrupting) — past
+    that, widen every cast in lockstep with the oracle's, keeping each
+    product under decimal(38) so Spark never rounds (allowPrecisionLoss).
     Two passes over events, both keyed on event_type; the 5-row stats side
     broadcasts back onto the scan, so the audit costs one shuffle + one
     broadcast join at any scale."""

@@ -80,7 +80,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     dominated the wall time.  ``cache()`` (not ``localCheckpoint``: the
     RDD-backed checkpoint erases Catalyst stats, which demoted the small
     degree side from broadcast to sort-merge and made everything slower)
-    computes each once and keeps sizeInBytes for the planner."""
+    computes each once and keeps sizeInBytes for the planner.
+
+    Cache lifetime: entries are keyed by canonicalized plan, so repeated
+    invocations over the same fixture REUSE one entry rather than piling
+    up copies; they are reclaimed by storage-memory LRU, not explicitly
+    (eager unpersist would race the caller's lazy materialization of the
+    returned DataFrame)."""
     edges = edges.cache()
     deg = (
         edges.select(F.col("u").alias("node"))

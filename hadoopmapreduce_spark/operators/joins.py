@@ -338,7 +338,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     t_orders, t_lineitem = f"hmr_b_orders_{key}", f"hmr_b_lineitem_{key}"
-    if not spark.catalog.tableExists(t_orders):
+    # guard on BOTH tables: a failure between the two writes must not wedge
+    # the session with a half-created pair (recreate both on next call)
+    if not (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_lineitem)
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
         orders = load_table(spark, sf_dir, "orders")
         lineitem = load_table(spark, sf_dir, "lineitem")
         tmp = tempfile.mkdtemp(prefix="hmr_bucketed_")

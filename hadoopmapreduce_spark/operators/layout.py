@@ -32,7 +32,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_table, work_dir
 from hadoopmapreduce_spark.functions.numeric import dsum, sql_dsum
 from hadoopmapreduce_spark.registry import query
 
@@ -98,9 +98,13 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key math) and derives the spans from parquet footers."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
-            "day_num"
-        ),
+        # bigint, NOT the int datediff returns: bit 15 of an INT day_num
+        # (epoch day >= 32768, i.e. dates from 2059-09-20) would shiftleft
+        # into the sign bit and wrap negative, while DuckDB's BIGINT
+        # date_diff stays positive — silent cross-engine divergence
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
         "event_id",
     )
     z = e.withColumn(
@@ -151,7 +155,7 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     files, compact the directory with :func:`compact_parquet_dir`, and
     aggregate the compacted copy — proving the rewrite is value-preserving
     (the file-count contraction itself is asserted in tests)."""
-    tmp = tempfile.mkdtemp(prefix="hmr_compact_")
+    tmp = work_dir("compact", sf_dir)
     frag, packed = os.path.join(tmp, "frag"), os.path.join(tmp, "packed")
     load_table(spark, sf_dir, "events").repartition(64, "event_id").write.mode(
         "overwrite"
@@ -182,7 +186,7 @@ def scan_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference is a full extra scan), and aggregate.  Doubles survive the
     text round trip exactly (Spark writes shortest-round-trip decimal
     strings)."""
-    tmp = os.path.join(tempfile.mkdtemp(prefix="hmr_csv_"), "customer_csv")
+    tmp = os.path.join(work_dir("csv", sf_dir), "customer_csv")
     cust = load_table(spark, sf_dir, "customer")
     cust.write.mode("overwrite").option("header", True).csv(tmp)
     back = (
@@ -215,7 +219,7 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     only lists/opens the matching partition directory (partition pruning —
     plan-asserted in tests); at scale that's the difference between
     scanning one status and scanning the table."""
-    tmp = os.path.join(tempfile.mkdtemp(prefix="hmr_part_"), "orders_by_status")
+    tmp = os.path.join(work_dir("part", sf_dir), "orders_by_status")
     load_table(spark, sf_dir, "orders").write.partitionBy(
         "o_orderstatus"
     ).mode("overwrite").parquet(tmp)

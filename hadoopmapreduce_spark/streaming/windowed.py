@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_table, work_dir
 from hadoopmapreduce_spark.registry import query
 
 
@@ -68,7 +68,11 @@ def _events_stream(
 
 
 def _run_stream_to_parquet(
-    spark: SparkSession, out: DataFrame, name: str, output_mode: str = "complete"
+    spark: SparkSession,
+    out: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Execute a finite streaming query (``availableNow`` trigger) with a
     parquet file sink via ``foreachBatch``, then read the result back.
@@ -77,8 +81,16 @@ def _run_stream_to_parquet(
     windowed aggregation in ``complete``/``update`` mode to files (the plain
     file sink is append-only, which on a finite replay would suppress every
     window the final watermark hasn't passed).  Data flows executors→files;
-    the driver never materializes rows."""
-    outdir = tempfile.mkdtemp(prefix=f"hmr_{name}_")
+    the driver never materializes rows.
+
+    With ``sf_dir`` the scratch dir is deterministic per (query, fixture)
+    and wiped per call (fresh checkpoint is REQUIRED — a stale one marks
+    the replay as already processed and the sink sees nothing), bounding
+    /tmp growth across repeated invocations."""
+    if sf_dir is not None:
+        outdir = work_dir(f"stream_{name}", sf_dir, fresh=True)
+    else:
+        outdir = tempfile.mkdtemp(prefix=f"hmr_{name}_")
     target = os.path.join(outdir, "result")
     write_mode = "overwrite" if output_mode == "complete" else "append"
 
@@ -149,7 +161,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
-    return _run_stream_to_parquet(spark, out, "windowed_counts")
+    return _run_stream_to_parquet(spark, out, "windowed_counts", sf_dir=sf_dir)
 
 
 @query(
@@ -178,7 +190,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     out = agg.select(F.col("w.start").alias("window_start"), "event_type", "n")
-    return _run_stream_to_parquet(spark, out, "sliding_counts")
+    return _run_stream_to_parquet(spark, out, "sliding_counts", sf_dir=sf_dir)
 
 
 @query(
@@ -233,7 +245,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n_events",
     )
-    return _run_stream_to_parquet(spark, out, "session_windows")
+    return _run_stream_to_parquet(spark, out, "session_windows", sf_dir=sf_dir)
 
 
 @query(
@@ -252,7 +264,7 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = _events_stream(spark, sf_dir).select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return _run_stream_to_parquet(spark, dedup, "distinct_users", output_mode="append")
+    return _run_stream_to_parquet(spark, dedup, "distinct_users", output_mode="append", sf_dir=sf_dir)
 
 
 @query(
@@ -312,7 +324,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("delta_us"),
     )
     return _run_stream_to_parquet(
-        spark, joined, "view_purchase_join", output_mode="append"
+        spark, joined, "view_purchase_join", output_mode="append", sf_dir=sf_dir
     )
 
 
@@ -359,7 +371,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     emitted = _run_stream_to_parquet(
-        spark, counted, "stateful_user_totals", output_mode="update"
+        spark, counted, "stateful_user_totals", output_mode="update", sf_dir=sf_dir
     )
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
@@ -407,7 +419,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
     )
     return _run_stream_to_parquet(
-        spark, enriched, "static_enrich", output_mode="append"
+        spark, enriched, "static_enrich", output_mode="append", sf_dir=sf_dir
     )
 
 
@@ -445,7 +457,9 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, max_files_per_trigger=int(mft) if mft else None
     ).filter(F.col("event_type") == "purchase").select("user_id", "value")
 
-    snapdir = tempfile.mkdtemp(prefix="hmr_stream_merge_")
+    # fresh per call: a stale checkpoint would mark the replay as already
+    # processed, and the versioned snapshot chain must restart at v1
+    snapdir = work_dir("stream_merge", sf_dir, fresh=True)
 
     def _latest() -> str | None:
         versions = sorted(
@@ -474,7 +488,9 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             combined = batch_agg
-        nxt = int(prev.split("_v")[1]) + 1 if prev else 1
+        # parse the version from the BASENAME: the mkdtemp random suffix can
+        # itself contain "_v", which a full-path split would trip over
+        nxt = int(os.path.basename(prev).split("_v")[1]) + 1 if prev else 1
         combined.write.mode("overwrite").parquet(
             os.path.join(snapdir, f"snap_v{nxt}")
         )

@@ -12,7 +12,7 @@ import math
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.functions.numeric import dsum, lsum
+from hadoopmapreduce_spark.functions.numeric import davg, dsum, lavg, lsum
 from hadoopmapreduce_spark.operators.windows import (
     EWMA_ALPHA,
     FUNNEL_STEPS,
@@ -40,11 +40,17 @@ def test_lsum_equals_dsum_within_bound(spark, batches):
             # far inside lsum's 9.0e11 exactness window at scale 4
             dsum("x", 4).alias("d"),
             lsum("x", 4, max_group_sum=4e7).alias("l"),
+            davg("x", 6).alias("da"),
+            lavg("x", 6, max_group_sum=4e7).alias("la"),
         )
         .collect()
     )
     for r in out:
         assert r["d"] == r["l"], f"grp {r['grp']}: {r['d']!r} != {r['l']!r}"
+        # within the bound the scaled sums are identical doubles, so the
+        # averages (sum / same count) must be too — keeps lavg's contract
+        # exercised now that production call sites use davg
+        assert r["da"] == r["la"], f"grp {r['grp']}: {r['da']!r} != {r['la']!r}"
 
 
 @settings(max_examples=5, deadline=None)
