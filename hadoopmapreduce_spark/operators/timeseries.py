@@ -241,3 +241,50 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interp_value"),
         F.col("day_value").isNull().cast("int").alias("is_gap"),
     )
+
+
+@query(
+    "ts_rollup_time_hierarchy",
+    oracle="""
+    WITH keyed AS (
+      SELECT CAST(EXTRACT(year FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS mo,
+             CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS dy,
+             value
+      FROM events)
+    SELECT yr, mo, dy,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {total} AS total_value,
+           CAST(GROUPING(yr) + GROUPING(mo) + GROUPING(dy) AS BIGINT) AS lvl
+    FROM keyed
+    GROUP BY ROLLUP (yr, mo, dy)
+    """.format(total=sql_dsum("value", 6)),
+)
+def ts_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one pass over the event stream
+    produces day, month, year, and grand-total aggregates simultaneously
+    via ``ROLLUP(year, month, day)`` — the continuous-aggregate shape a
+    time-series store materializes per chunk.
+
+    Spark plans a single Expand + partial/final hash aggregate (each input
+    row fans to its 4 hierarchy levels map-side, partial sums absorb the
+    fan-out before the shuffle); counts and decimal-domain sums make every
+    level hash-exact.  ``lvl`` (sum of GROUPING bits) disambiguates a NULL
+    rollup level from a genuinely-NULL key, and both engines emit it
+    identically."""
+    e = load_table(spark, sf_dir, "events")
+    yr = F.year("ts").cast("long").alias("yr")
+    mo = F.month("ts").cast("long").alias("mo")
+    dy = F.dayofmonth("ts").cast("long").alias("dy")
+    return (
+        e.select(yr, mo, dy, "value")
+        .rollup("yr", "mo", "dy")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+            (
+                F.grouping("yr") + F.grouping("mo") + F.grouping("dy")
+            ).cast("long").alias("lvl"),
+        )
+        .select("yr", "mo", "dy", "n_events", "total_value", "lvl")
+    )

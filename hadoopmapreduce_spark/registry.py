@@ -88,6 +88,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "streaming_merge_upsert",
     "dq_anomaly_sigma",
     "agg_cms_heavy_hitters",
+    "ts_rollup_time_hierarchy",
 )
 
 
