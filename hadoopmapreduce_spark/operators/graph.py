@@ -252,3 +252,71 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank (explicit rank-then-id tie-break)."""
     ranks = pagerank_int(copurchase_edges(spark, sf_dir), iters=5)
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
+def _bfs_oracle(iters: int) -> str:
+    ctes = [
+        """d0 AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist
+      FROM (SELECT node FROM deg ORDER BY node LIMIT 3))"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT dir.dst AS node, p.dist + 1 AS dist
+        FROM directed dir JOIN d{i - 1} p ON p.node = dir.src)
+      GROUP BY 1)"""
+        )
+    return f"""
+    WITH {_EDGES_SQL},
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM directed GROUP BY 1),
+    {", ".join(ctes)}
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d{iters} GROUP BY 1
+    """
+
+
+@query("graph_bfs_distances", oracle=_bfs_oracle(4))
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: hop distance from the
+    3 lowest-id parts, 4 synchronous frontier expansions (the BSP iteration
+    pattern Pregel/Giraph built on), reported as nodes-per-distance.
+
+    Each round is relax-then-min: union the previous labels with
+    edge-propagated ``dist+1`` candidates and take the per-node minimum —
+    one shuffle per round, keyed on the node id like PageRank's, over the
+    same cached directed-edge table.  Distances are small integers, so
+    every engine agrees exactly; the frontier count per distance is the
+    hash-checked output (node-level labels would be 20k rows of the same
+    information)."""
+    edges = copurchase_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    dist = (
+        nodes.orderBy("node")
+        .limit(3)
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(4):
+        propagated = (
+            directed.join(dist, directed["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -89,6 +89,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "dq_anomaly_sigma",
     "agg_cms_heavy_hitters",
     "ts_rollup_time_hierarchy",
+    "graph_bfs_distances",
 )
 
 
