@@ -45,7 +45,14 @@ _EDGES_SQL = """
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected co-purchase edges (u < v) from lineitem."""
+    """Distinct undirected co-purchase edges (u < v) from lineitem.
+
+    Cached here — not in each consumer — so all three graph queries
+    (triangles, PageRank, BFS) share ONE in-memory edge table per fixture:
+    Spark's CacheManager keys entries by canonicalized plan, so the identical
+    plan built by each query resolves to the same ``InMemoryRelation`` instead
+    of re-running the distinct + self-join per query (the edge build dominated
+    the family's cold cost when derived three times)."""
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -53,7 +60,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = items.alias("a")
     b = items.alias("b")
-    return (
+    edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -61,7 +68,39 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        .cache()
     )
+    _CACHED.append(edges)
+    return edges
+
+
+def directed_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions of the undirected edge set, cached once and shared by
+    the iterative queries (PageRank joins it every iteration, BFS every
+    round)."""
+    edges = copurchase_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    _CACHED.append(directed)
+    return directed
+
+
+# Cached graph DataFrames, in creation order.  Plan-keyed caching means this
+# holds duplicates of a handful of distinct entries; release_graph_caches()
+# exists so long sessions that sweep many fixtures (bench best-of-N, pytest)
+# can drop dead fixtures' entries instead of waiting for storage-memory LRU,
+# which under pressure can evict the HOT fixture mid-bench.
+_CACHED: list[DataFrame] = []
+
+
+def release_graph_caches() -> None:
+    """Unpersist every graph cache created so far (non-blocking — safe only
+    once the caller has materialized any results it still needs)."""
+    while _CACHED:
+        _CACHED.pop().unpersist(blocking=False)
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -84,10 +123,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Cache lifetime: entries are keyed by canonicalized plan, so repeated
     invocations over the same fixture REUSE one entry rather than piling
-    up copies; they are reclaimed by storage-memory LRU, not explicitly
-    (eager unpersist would race the caller's lazy materialization of the
-    returned DataFrame)."""
+    up copies; they are reclaimed by storage-memory LRU or explicitly via
+    :func:`release_graph_caches` (eager unpersist here would race the
+    caller's lazy materialization of the returned DataFrame)."""
     edges = edges.cache()
+    _CACHED.append(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -108,6 +148,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .cache()
     )
+    _CACHED.append(oriented)
     # Adjacency-intersection count: for oriented edge (a,b), every common
     # out-neighbor closes one triangle, and the orientation (acyclic total
     # order) finds each triangle from exactly one edge.  The per-node
@@ -152,7 +193,15 @@ def pagerank_int(edges: DataFrame, iters: int = 5) -> DataFrame:
     (floor) along every directed edge and folds with
     ``0.15e12 + (85 * Σcontrib) div 100`` — all positive integers, so Spark's
     ``div`` (truncating) and DuckDB's ``//`` (flooring) agree and the sums
-    are exact regardless of accumulation order."""
+    are exact regardless of accumulation order.
+
+    int64 headroom: total mass is conserved at ≤ N·1e12, so a node's
+    incoming ``Σ(rank div degree)`` is ≤ N·1e12 and the ``85 *`` multiply
+    is bounded by 85·N·1e12, which stays under 2^63 for N up to ~1.08e5
+    nodes even in the worst case (ALL mass funnelled into one node).  Real
+    mass distributions spread far below that bound; past ~1e5 nodes either
+    lower the scale (1e9 buys 1e8 nodes) or note that ANSI Spark/DuckDB
+    both fail loudly (overflow error), never silently corrupt."""
     directed = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -160,6 +209,7 @@ def pagerank_int(edges: DataFrame, iters: int = 5) -> DataFrame:
     # materialize once: the edge+degree table feeds every iteration, and
     # without it each iteration re-derives the whole co-purchase pipeline
     with_deg = directed.join(deg, "src").cache()
+    _CACHED.append(with_deg)
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(_PR_INIT).cast("long").alias("rank")
     )
@@ -297,26 +347,43 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     every engine agrees exactly; the frontier count per distance is the
     hash-checked output (node-level labels would be 20k rows of the same
     information)."""
-    edges = copurchase_edges(spark, sf_dir)
-    directed = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).cache()
+    directed = directed_copurchase_edges(spark, sf_dir)
     nodes = directed.select(F.col("src").alias("node")).distinct()
-    dist = (
+    sources = (
         nodes.orderBy("node")
         .limit(3)
         .select("node", F.lit(0).cast("long").alias("dist"))
     )
-    for _ in range(4):
-        propagated = (
-            directed.join(dist, directed["src"] == dist["node"])
-            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-        )
+    dist = bfs_relax_min(directed, sources, rounds=4)
+    return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def bfs_relax_min(
+    directed: DataFrame, sources: DataFrame, rounds: int
+) -> DataFrame:
+    """``rounds`` synchronous relax-then-min BFS rounds from ``sources``
+    (columns ``node``, ``dist``) over ``directed`` (columns ``src``,
+    ``dst``); returns the per-node minimum distance labels.
+
+    Lineage discipline: ``dist`` feeds BOTH arms of each round (the union
+    arm and the propagate arm), so without a cut the physical plan doubles
+    every round — 2^rounds recomputations of the base subtree (round 4's
+    measured cost was 12.8 s vs PageRank's 2.5 s over the same graph, whose
+    loop references its state once and grows linearly).  A per-round eager
+    ``localCheckpoint`` severs the lineage so every round starts from a
+    materialized node-count-sized table — the same discipline
+    ``dedup_clusters_twostar`` uses for its star rounds.  At cluster scale
+    this is one node-keyed shuffle + one label-table materialization per
+    round, independent of round count."""
+    dist = sources
+    for _ in range(rounds):
+        propagated = directed.join(
+            dist, directed["src"] == dist["node"]
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         dist = (
             dist.unionByName(propagated)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
         )
-    return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return dist
