@@ -862,7 +862,42 @@ def dq_anomaly_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_cms_heavy_hitters")  # rows-only: CMS hash slots are engine-specific
+_CMS_D, _CMS_W = 4, 1024
+
+
+def _cms_oracle() -> str:
+    """DuckDB twin of the Count-Min grid: the (row, slot) hash is the first
+    8 md5 nibbles of ``user_id:row`` as a 32-bit integer mod W — identical
+    in both engines (round 5 swap from xxhash64, which kept this rows-only).
+    """
+    slot = (
+        "('0x' || substr(md5({uid}::VARCHAR || ':' || {r}::VARCHAR), 1, 8))"
+        f"::BIGINT % {_CMS_W}"
+    )
+    return f"""
+    WITH ev AS (SELECT user_id FROM events),
+    rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+    probes AS (
+      SELECT user_id, r, {slot.format(uid='user_id', r='r')} AS slot
+      FROM ev, rows_),
+    sketch AS (
+      SELECT r, slot, CAST(COUNT(*) AS BIGINT) AS c
+      FROM probes GROUP BY 1, 2),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM ev GROUP BY 1
+      ORDER BY exact_n DESC, user_id ASC LIMIT 20),
+    probed AS (
+      SELECT t.user_id, t.exact_n, rows_.r,
+             {slot.format(uid='t.user_id', r='rows_.r')} AS slot
+      FROM top t, rows_)
+    SELECT p.user_id, p.exact_n, CAST(MIN(s.c) AS BIGINT) AS est_n
+    FROM probed p JOIN sketch s ON p.r = s.r AND p.slot = s.slot
+    GROUP BY 1, 2
+    """
+
+
+@query("agg_cms_heavy_hitters", oracle=_cms_oracle())
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch heavy hitters: estimate the top-20 users' event
     counts from a fixed 4x1024 counter grid instead of a per-key table.
@@ -875,16 +910,26 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over (row, slot); estimate = broadcast the 4096-row grid
     back and take min over the d probed counters.
 
-    Rows-only check (xxhash64 slots have no DuckDB twin); the CMS
-    guarantees — estimate >= exact, overestimate <= eps*N at the standard
-    bound — are asserted in tests/test_behavioral_semantics.py."""
-    D, W = 4, 1024
+    The probe hash is the first 8 md5 nibbles of ``user_id:row`` — an
+    engine-portable 32-bit hash (same md5-prefix trick as
+    ``sample_split_train_val_test``), so since round 5 the whole sketch is
+    oracle-checked exactly; the CMS guarantees — estimate >= exact,
+    overestimate <= eps*N at the standard bound — are additionally
+    asserted in tests/test_behavioral_semantics.py."""
+    D, W = _CMS_D, _CMS_W
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    probes = [
-        F.struct(
-            F.lit(i).alias("row"),
-            F.pmod(F.xxhash64("user_id", F.lit(i)), F.lit(W)).alias("slot"),
+
+    def slot(i: int):
+        key = F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.lit(str(i))
+        ).cast("binary")
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            % F.lit(W)
         )
+
+    probes = [
+        F.struct(F.lit(i).cast("long").alias("row"), slot(i).alias("slot"))
         for i in range(D)
     ]
     sketch = (

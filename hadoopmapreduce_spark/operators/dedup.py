@@ -262,7 +262,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash — Hamming-distance near-dup (rows-only; xxhash64 has no DuckDB twin)
+# SimHash — Hamming-distance near-dup
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 48
@@ -271,31 +271,82 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
 SIMHASH_MAX_HAMMING = 3  # pigeonhole: ≤3 flipped bits ⇒ ≥1 of 4 bands intact
 
 
-@query("simhash_dedup")  # rows-only: fingerprint depends on xxhash64
+def _simhash_oracle() -> str:
+    """DuckDB twin of the full SimHash pipeline.  The token hash is the
+    first 12 md5 nibbles as a 48-bit integer — bit-identical in both engines
+    (round 5 swap from xxhash64, which has no DuckDB twin and kept this
+    query rows-only)."""
+    votes = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN w ELSE -w END)"
+        f" AS BIGINT) AS v{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN CAST({1 << bit} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w
+      FROM toks GROUP BY 1, 2),
+    hashed AS (
+      SELECT doc_id, w,
+             ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+      FROM tf),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM hashed GROUP BY 1),
+    fps AS (
+      SELECT doc_id, {fp_terms} AS fp FROM votes),
+    banded AS (
+      SELECT doc_id, fp, band_id,
+             (fp >> (band_id * {SIMHASH_BAND_BITS})) & {mask} AS band_val
+      FROM fps, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band_id)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM banded a
+      JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("simhash_dedup", oracle=_simhash_oracle())
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 48-bit fingerprints from token-frequency bit
     votes, banded candidate join (Hamming ≤ 3 guarantees a shared 12-bit
     band by pigeonhole), exact Hamming verification via bit_count(xor).
 
-    Stays entirely in codegen: token hashing is xxhash64, bit votes are 48
-    conditional sums in one groupBy, and the band join is equi — the same
-    bounded-fan-out property as MinHash-LSH.  Fingerprints are
-    localCheckpoint-ed before the self-join: without it both join sides
-    re-run the tokenize+48-sum aggregation (ReuseExchange doesn't always
-    fire across the band explode), and at scale the fingerprint table is
-    ~#docs rows of (long, long) — vastly cheaper to materialize than to
-    recompute from text.  (Round-4 re-measure of the r2→r3 bench doubling:
-    r2's 1.91 s did not reproduce — warm best-of-3 is ~3.2 s for the old
-    plan, ~2.8 s with this checkpoint; the delta was mostly run variance
-    plus the double-computation this removes.)  Rows-only check (no DuckDB
-    xxhash64); semantic correctness is pinned by unit tests on perturbed
-    documents (tests/test_dedup_semantics.py)."""
+    Stays entirely in codegen: the token hash is the first 12 md5 nibbles
+    as a 48-bit integer (bit-identical in Spark and DuckDB — the same
+    engine-portable trick as sample_split_train_val_test; this replaced
+    xxhash64 in round 5 and promoted the query from rows-only to a full
+    row+schema+hash oracle), bit votes are 48 conditional sums in one
+    groupBy, and the band join is equi — the same bounded-fan-out property
+    as MinHash-LSH.  Fingerprints are localCheckpoint-ed before the
+    self-join: without it both join sides re-run the tokenize+48-sum
+    aggregation (ReuseExchange doesn't always fire across the band
+    explode), and at scale the fingerprint table is ~#docs rows of
+    (long, long) — vastly cheaper to materialize than to recompute from
+    text.  Semantic correctness is additionally pinned by unit tests on
+    perturbed documents (tests/test_dedup_semantics.py)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
-    h = F.xxhash64(F.col("tok"))
+    h = F.conv(
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 12), 16, 10
+    ).cast("long")
     votes = tf.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -338,7 +389,9 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
