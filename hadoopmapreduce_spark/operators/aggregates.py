@@ -778,8 +778,14 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
         )
 
-    base = partial_state(orders.filter(F.col("o_orderdate") < cutoff))
-    delta = partial_state(orders.filter(F.col("o_orderdate") >= cutoff))
+    # the two predicates must PARTITION the table — a plain </>= pair drops
+    # NULL order dates from both partials while the oracle's full-table
+    # aggregate still counts them, so NULLs are routed explicitly into the
+    # base partition (the general MV-maintenance posture: unknown-date rows
+    # belong to the immutable history, never the refresh delta)
+    is_base = (F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull()
+    base = partial_state(orders.filter(is_base))
+    delta = partial_state(orders.filter(~is_base))
     merged = (
         base.unionByName(delta)
         .groupBy("o_orderpriority")

@@ -506,6 +506,14 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     final = _latest()
+    if final is None:
+        # zero micro-batches (e.g. an events dir with no data files): there
+        # is no snapshot to read — return an empty frame with the output
+        # schema instead of letting read.parquet(None) raise a TypeError
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_purchases bigint, total_value double",
+        )
     return spark.read.parquet(final).select(
         "user_id",
         "n_purchases",
