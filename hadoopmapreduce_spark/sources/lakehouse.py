@@ -5,6 +5,13 @@ the v1 image), so these raise with a clear message instead of failing deep
 inside py4j.  The call shapes are the real ones: when the jar is present the
 bodies become one-liners and nothing else in the engine changes (they are
 ordinary DataFrame sources/sinks to every operator here).
+
+Round-5 availability probe (2026-08-13): ``importlib.util.find_spec`` finds
+neither ``delta`` (delta-spark) nor ``pyiceberg``; ``pyspark/jars`` contains
+no delta/iceberg runtime jar and there is no ivy cache to resolve
+``spark.jars.packages`` offline.  Installing is out of scope for this build
+(no network / no pip), so the parquet MERGE emulation below remains the
+driver-green path for the semantics.
 """
 
 from __future__ import annotations
