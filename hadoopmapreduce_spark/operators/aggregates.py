@@ -963,3 +963,42 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_n"))
         .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles per group (p25/p50/p90/p99 of order value
+    by priority) — the SLA-reporting staple.
+
+    percentile_disc returns an actual data value (the smallest value whose
+    cumulative distribution reaches the fraction), so unlike interpolating
+    percentile_cont there is NO float arithmetic to drift between engines —
+    both pick the identical element, making this exactly oracle-checkable
+    where ``agg_approx_quantiles`` is rows-only by design.  Cost is one
+    grouped sort (same class as any per-group window); the 100 TB
+    estimation path remains percentile_approx, with this as its exactness
+    referee at audit time."""
+    o = load_table(spark, sf_dir, "orders")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_pdisc_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+        FROM _pdisc_orders GROUP BY 1
+        """
+    )

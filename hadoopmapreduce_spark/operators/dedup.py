@@ -8,8 +8,9 @@ Pipeline shapes:
   exact_dedup          hash → groupBy                    1 shuffle, linear
   ngram_jaccard_pairs  shingle → self-equi-join → ratio  oracle/baseline only
   minhash_lsh_dedup    shingle → minhash sig → band join exact-verify; linear-ish
-  simhash_dedup        token hash → bit-vote → band join rows-only (xxhash)
+  simhash_dedup        token hash → bit-vote → band join md5-prefix hash; oracle
   embedding_near_dup   exact pairwise cosine             oracle/baseline only
+  dedup_fuzzy_blocking block key → levenshtein verify    field-typo linkage; oracle
 """
 
 from __future__ import annotations
@@ -687,4 +688,71 @@ def connected_components_twostar(pairs: DataFrame) -> DataFrame:
     # labels fall out as the per-node min over the star edges
     return edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.least(F.col("doc_id"), F.min("dst")).alias("canonical_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution — blocking + edit-distance verify
+# --------------------------------------------------------------------------
+
+FUZZY_MAX_EDIT = 1
+
+
+@query(
+    "dedup_fuzzy_blocking",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, length(c_name) - 1) AS blk
+      FROM customer),
+    pairs AS (
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+      FROM blocked a
+      JOIN blocked b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
+    SELECT cust_a, cust_b, edit_dist FROM pairs
+    WHERE edit_dist <= {FUZZY_MAX_EDIT}
+    """,
+)
+def dedup_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution near-dup detection: blocking key + edit-distance
+    verify — the record-linkage pattern (Fellegi-Sunter style pipelines)
+    that exact/minhash dedup does not cover because it targets FIELD-level
+    typos, not token-level overlap.
+
+    Blocking: the key is the name minus its final character, so a block is
+    "same name modulo a trailing typo" — block size is bounded by the
+    alphabet (constant, ~10 here since the tail is a digit) at EVERY scale
+    factor, which keeps the candidate pair count linear in table size the
+    same way MinHash bands bound shingle candidates.  (A first cut blocked
+    on an interior substring; with synthetic zero-padded names that
+    degenerated into one table-sized block = all-pairs — exactly the
+    failure mode blocking exists to avoid, so the key is chosen to bound
+    block cardinality structurally, not by data luck.)  levenshtein then
+    verifies ``<= {FUZZY_MAX_EDIT}`` edits on the full name.  At 100 TB
+    the block key would be a phonetic or q-gram key per field; the shape —
+    equi-join on the block key, edit distance only inside blocks, never
+    all-pairs — is the production one.  levenshtein is JVM codegen in
+    Spark and a native function in DuckDB, with identical classic
+    edit-distance semantics (probed: both return 3 for kitten→sitting)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
     )

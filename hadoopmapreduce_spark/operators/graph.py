@@ -387,3 +387,31 @@ def bfs_relax_min(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM directed GROUP BY 1)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (degree → node count) —
+    the first profiling query run on any production graph (skew detection:
+    a heavy tail here is what motivates the degree orientation in
+    :func:`triangle_count` and salting elsewhere).
+
+    Two hash aggregates over the shared cached directed-edge table — the
+    node-keyed one reuses the partitioning every other graph query
+    shuffles on, and the histogram is at most max-degree rows."""
+    directed = directed_copurchase_edges(spark, sf_dir)
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -131,3 +131,88 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("valid_to"),
     )
     return untouched.unionByName(closed).unionByName(new_versions)
+
+
+@query(
+    "table_diff_reconcile",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             md5(o_orderstatus || '|' ||
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             md5(o_orderstatus || '|' ||
+                 CAST(CAST(CASE WHEN o_orderkey % 100 = 0
+                                THEN o_totalprice + 10.0
+                                ELSE o_totalprice END
+                           AS DECIMAL(18,2)) AS VARCHAR)) AS h
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS k, md5('NEW|row') AS h
+      FROM orders WHERE o_orderkey % 500 = 0),
+    diff AS (
+      SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.h <> v2.h THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM diff GROUP BY 1
+    """,
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (anti-entropy table diff): classify every key
+    across two table versions as added / removed / changed / unchanged by
+    comparing per-row content hashes — the audit a lakehouse runs to verify
+    a replica or validate a migration, and the third member of the mutation
+    family next to MERGE (``merge_upsert``) and SCD2.
+
+    The second version is derived deterministically from the first inside
+    the query (drop keys %97, bump price on keys %100, add keys %500 under
+    a shifted keyspace) so both engines diff identical snapshots.  Shape:
+    hash per row (content never shuffles — the md5 does), one full outer
+    join on the key, then a 4-group count.  At 100 TB both sides bucket or
+    z-order on the key and the join is co-located; the hash comparison
+    makes row width irrelevant to shuffle volume."""
+    o = load_table(spark, sf_dir, "orders")
+    # hash through decimal(18,2), not raw double->string: the two engines
+    # agree on decimal formatting unconditionally, double formatting only
+    # for shortest-round-trip-identical cases
+    row_hash = lambda price: F.md5(  # noqa: E731
+        F.concat(
+            F.col("o_orderstatus"),
+            F.lit("|"),
+            price.cast("decimal(18,2)").cast("string"),
+        ).cast("binary")
+    )
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"), row_hash(F.col("o_totalprice")).alias("h")
+    )
+    bumped = F.when(
+        F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 10.0
+    ).otherwise(F.col("o_totalprice"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(F.col("o_orderkey").alias("k"), row_hash(bumped).alias("h"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+                F.md5(F.lit("NEW|row").cast("binary")).alias("h"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    change = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

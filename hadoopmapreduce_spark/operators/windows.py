@@ -432,3 +432,114 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "window_distribution_suite",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderpriority AS priority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           NTILE(10)      OVER w AS decile
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile over
+    the per-priority price order — the analytic trio behind score
+    normalization and decile reporting.
+
+    Engine parity is exact because all three are ratios of integers the
+    engines agree on (rank-1)/(n-1), rank/n, bucket index): the only float
+    arithmetic is one division of identical operands.  The ORDER BY is a
+    total order (price, then key) so ranks are deterministic.  One shuffle
+    on the partition key, same cost class as groupBy."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@query(
+    "event_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN event_type IN ('view', 'click') THEN 0 ELSE 1 END AS kind
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    carried AS (
+      SELECT user_id, ts, event_type, value, kind,
+             last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    attributed AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND ts - touch_ts <= INTERVAL 24 HOURS
+                  THEN touch_type ELSE 'none' END AS touch_type,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM carried WHERE kind = 1)
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS DOUBLE) AS total_value
+    FROM attributed GROUP BY 1
+    """,
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's most
+    recent view/click within a 24 h lookback (else 'none') — the marketing
+    version of the as-of join, composed as union + one ordered window pass
+    instead of a range join (1 shuffle on user_id vs 2).
+
+    Ordering is total (ts, kind, event_type): a touch at the exact purchase
+    timestamp sorts first and gets the credit, deterministically in both
+    engines.  Value sums run in exact decimal and convert to double once."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    kind = F.when(F.col("event_type").isin("view", "click"), 0).otherwise(1)
+    tagged = e.select("user_id", "ts", "event_type", "value", kind.alias("kind"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_type")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch_type = F.last(
+        F.when(F.col("kind") == 0, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    carried = tagged.select(
+        "*", touch_type.alias("touch_type"), touch_ts.alias("touch_ts")
+    ).filter(F.col("kind") == 1)
+    attributed = carried.select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.col("ts").cast("long") - F.col("touch_ts").cast("long")
+                <= 24 * 3600
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise("none")
+        .alias("touch_type"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").cast("decimal(28,6)").cast("double").alias("total_value"),
+    )

@@ -318,3 +318,54 @@ def test_bfs_constant_plan_per_round(spark, sf_dir):
     assert "ExistingRDD" in physical_plan(d1)
     # constant per-round work: plan size independent of BFS depth
     assert next_round_exchanges(d1) == next_round_exchanges(d3)
+
+
+def test_bloom_prefilter_prunes_before_exact_join(spark, sf_dir):
+    """The explicit bloom must actually prune: fewer fact rows reach the
+    exact join than exist in lineitem, the result still matches the plain
+    join exactly (covered by the oracle), and the plan stays broadcast +
+    codegen (no cartesian, no Python)."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.joins import (
+        BLOOM_BITS,
+        join_bloom_prefilter,
+    )
+
+    df = join_bloom_prefilter(spark, sf_dir)
+    assert_not_contains(df, "CartesianProduct", "BatchEvalPython")
+    assert_contains(df, "BroadcastHashJoin")
+
+    # quantify the prune on the fixture: bloom-passing rows << all rows
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    slots = dim.select(
+        F.pmod(F.xxhash64("p_partkey"), F.lit(BLOOM_BITS)).alias("s")
+    ).distinct()
+    passing = (
+        li.select(F.pmod(F.xxhash64("l_partkey"), F.lit(BLOOM_BITS)).alias("s"))
+        .join(slots, "s")
+        .count()
+    )
+    total = li.count()
+    # the dim keys fill <5% of the bloom, so >90% of fact rows must drop
+    assert passing < total * 0.1, (passing, total)
+
+
+def test_fuzzy_blocking_bounded_blocks(spark, sf_dir):
+    """Blocking must bound candidate generation: the largest block is
+    alphabet-sized (name minus last char ⇒ ≤ ~10 members), never
+    table-sized — the structural guarantee that keeps pair count linear."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    biggest = (
+        c.groupBy(F.expr("substr(c_name, 1, length(c_name) - 1)"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest <= 12, biggest
