@@ -582,3 +582,59 @@ def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
         (k_long % 7).alias("k_mod"),
     )
+
+
+@query(
+    "fn_struct_suite",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             {'status': o_orderstatus, 'price': CAST(o_totalprice AS DECIMAL(18,2))} AS st,
+             {'status': o_orderstatus,
+              'price': CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)} AS stj
+      FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT o_orderkey AS orderkey,
+           st.status AS status_field,
+           CAST(st.price AS DOUBLE) AS price_field,
+           CASE WHEN st.status = 'O' AND st.price > 100000 THEN 1 ELSE 0 END
+             AS is_big_open,
+           CAST(to_json(stj) AS VARCHAR) AS st_json
+    FROM s
+    """,
+)
+def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct scalar functions: construct (named_struct), field access,
+    predicates over fields, and JSON serialization — the nested-type
+    surface the reference's flat string records never had (SURVEY.md §1.1:
+    "no nested types").
+
+    The struct itself never appears in the output (engines canonicalize
+    nested values differently in result sets); everything compared is a
+    scalar PROJECTION of it, plus to_json whose field order is the
+    construction order in both engines.  The serialized struct carries the
+    price as a decimal-formatted STRING: engines agree on decimal→string
+    unconditionally, while JSON *number* serialization differs (DuckDB
+    strips the trailing zero of 465799.50, Spark keeps the scale)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"), price_dec.alias("price")
+    )
+    stj = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        price_dec.cast("string").alias("price"),
+    )
+    with_s = o.select(
+        F.col("o_orderkey").alias("orderkey"), st.alias("st"), stj.alias("stj")
+    )
+    return with_s.select(
+        "orderkey",
+        F.col("st.status").alias("status_field"),
+        F.col("st.price").cast("double").alias("price_field"),
+        F.when(
+            (F.col("st.status") == "O") & (F.col("st.price") > 100000), 1
+        )
+        .otherwise(0)
+        .alias("is_big_open"),
+        F.to_json(F.col("stj")).alias("st_json"),
+    )

@@ -960,3 +960,79 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "topk_terms_per_lang",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, tok AS term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, term, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, term ASC) AS INT) AS rk
+      FROM counts)
+    SELECT lang, term, n, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def topk_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms PER LANGUAGE — the partitioned form of ``topk_terms``
+    (global top-k has a bounded-heap physical plan; per-group top-k is one
+    shuffle on the group key + a rank filter, the pattern every
+    "top N per category" report uses).  Tie-break (count desc, term asc) is
+    total, so ranks are engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "term", "n", "rk")
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             MAX(CAST(ts AS TIMESTAMP)) AS latest_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    global_max AS (SELECT MAX(latest_ts) AS g FROM per_type)
+    SELECT event_type, latest_ts,
+           CAST(date_diff('second', latest_ts, g) AS BIGINT) AS lag_seconds,
+           n_events
+    FROM per_type, global_max
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per event type, the latest timestamp and its
+    lag (seconds) behind the freshest record in the table — the first
+    monitor a streaming ingest gets (a stuck source shows up as a growing
+    lag on one type).
+
+    One grouped MAX + a broadcast of the 1-row global max; lag arithmetic
+    is integer seconds — nothing to drift."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    gmax = per_type.agg(F.max("latest_ts").alias("g"))
+    return per_type.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "latest_ts",
+        (F.col("g").cast("long") - F.col("latest_ts").cast("long")).alias(
+            "lag_seconds"
+        ),
+        "n_events",
+    )

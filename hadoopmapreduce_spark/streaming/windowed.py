@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -518,4 +518,49 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_purchases",
         F.col("s").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "streaming_sliding_topk",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP))
+                       - INTERVAL '12 hours']) AS window_start
+      FROM events),
+    counts AS (
+      SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM starts GROUP BY 1, 2),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, event_type ASC) AS INT)
+               AS rk
+      FROM counts)
+    SELECT window_start, event_type, n, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def streaming_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 event types per sliding 1-day/12-h window.
+
+    The streaming stage computes only the windowed counts (watermarked,
+    mergeable, bounded state — rank state would be neither); the top-k is a
+    rank filter applied when READING the sink, which is how production
+    trending dashboards work: the stream maintains counts, the query layer
+    ranks.  Tie-break on event_type keeps ranks deterministic."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = agg.select(F.col("w.start").alias("window_start"), "event_type", "n")
+    counts = _run_stream_to_parquet(spark, out, "sliding_topk", sf_dir=sf_dir)
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n", "rk")
     )
