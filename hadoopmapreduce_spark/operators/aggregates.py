@@ -1002,3 +1002,41 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _pdisc_orders GROUP BY 1
         """
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     FILTER (WHERE l_linestatus = 'O') AS DECIMAL(28,2))
+                AS DOUBLE) AS open_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: several differently-predicated aggregates
+    in ONE scan+shuffle — the idiom that replaces N self-joins or N CASE
+    pyramids in reporting queries (and at 100 TB, N table scans).
+
+    Spark and DuckDB both implement SQL:2003 FILTER; the conditional sum
+    stays in the exact decimal domain like every money sum here."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_fc_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         FILTER (WHERE l_linestatus = 'O') AS DECIMAL(28,2))
+                    AS DOUBLE) AS open_revenue,
+               COUNT(*) AS n_total
+        FROM _fc_lineitem GROUP BY 1
+        """
+    )

@@ -756,3 +756,61 @@ def dedup_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
     )
+
+
+# --------------------------------------------------------------------------
+# shingle containment — asymmetric (quote/subset) duplication
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS s
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+           LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / ca.n AS containment
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    WHERE CAST(c AS DOUBLE) / ca.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B| / |A| — the quote/subset
+    detector Jaccard misses: a short document wholly embedded in a long one
+    has high containment but low Jaccard (the union is dominated by the
+    long doc), and training-data decontamination cares about exactly that
+    direction.  Ordered pairs (containment is not symmetric).
+
+    Same scale posture as ``ngram_jaccard_pairs``: the shingle self-join is
+    the documented exact baseline (quadratic in per-shingle doc frequency);
+    at 100 TB the candidate step is the MinHash band join, with containment
+    computed only on candidates."""
+    sh = _shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    containment = F.col("c").cast("double") / F.col("na")
+    return (
+        inter.join(ca, "doc_a")
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

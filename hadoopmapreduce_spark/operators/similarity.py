@@ -422,3 +422,70 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val"),
         )
     )
+
+
+FILTER_LABELS = (1, 2, 3)
+
+
+@query(
+    "knn_filtered_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+               FROM e),
+         q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT * FROM n WHERE label IN {FILTER_LABELS}),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+           FROM q JOIN c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, label, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search: exact cosine top-k restricted to
+    corpus vectors whose label passes a predicate — the "filtered ANN"
+    shape every production vector store needs (pre-filtering beats
+    post-filtering top-k, which can return < k rows after the filter
+    removes hits).
+
+    The filter composes BEFORE scoring, so Catalyst pushes it to the scan
+    and the scoring pass touches only qualifying vectors; everything else
+    (broadcast probes, one-scan scoring, bounded per-query top-k) matches
+    :func:`knn_cosine_topk`.  At scale the same predicate composes with
+    the IVF/LSH bucket join instead."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    n = e.select(
+        "vec_id", "label", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    corpus = n.filter(F.col("label").isin(*FILTER_LABELS))
+    scored = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine", "rk")
+    )

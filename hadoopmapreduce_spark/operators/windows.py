@@ -543,3 +543,50 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("v").cast("decimal(28,6)").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "window_gap_islands",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey AS custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS m
+      FROM orders),
+    grouped AS (
+      SELECT custkey, m,
+             m - ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY m)
+               AS island_key
+      FROM months)
+    SELECT custkey,
+           CAST(MIN(m) AS BIGINT) AS start_month,
+           CAST(MAX(m) AS BIGINT) AS end_month,
+           CAST(COUNT(*) AS BIGINT) AS streak_months
+    FROM grouped GROUP BY custkey, island_key
+    """,
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: for each customer, the maximal streaks of
+    consecutive active months (months with >= 1 order) — the classic
+    sessionization-by-index pattern (island key = value minus row_number,
+    constant within a consecutive run).
+
+    Everything is integer month indexes (y*12+m-1), so island keys and
+    streak bounds are engine-exact; cost is one shuffle on custkey shared
+    by the window and the island aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        F.col("o_custkey").alias("custkey"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("m"),
+    ).distinct()
+    w = W.partitionBy("custkey").orderBy("m")
+    grouped = months.select(
+        "custkey", "m", (F.col("m") - F.row_number().over(w)).alias("island_key")
+    )
+    return grouped.groupBy("custkey", "island_key").agg(
+        F.min("m").alias("start_month"),
+        F.max("m").alias("end_month"),
+        F.count(F.lit(1)).alias("streak_months"),
+    ).drop("island_key")
