@@ -1040,3 +1040,63 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _fc_lineitem GROUP BY 1
         """
     )
+
+
+@query(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'part', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the star schema: per table, row
+    count vs distinct-key count and the duplicate surplus — the constraint
+    check a lakehouse runs because nothing else enforces PKs there.
+
+    Finding, pinned by this very query: the fixture generator REUSES
+    (l_orderkey, l_linenumber) pairs at sf>=0.1 (~118k dup rows at sf0.1)
+    — the reason NOTES.md warns that "obviously unique" keys must never be
+    trusted as window tie-breaks.  Each leg is one exact distinct-agg scan
+    (Expand + partial dedup); at extreme cardinality the HLL variant
+    (`agg_approx_count_distinct`) replaces the exact legs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def leg(df: DataFrame, name: str, key_cols: list[str]) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*[F.col(k) for k in key_cols]).alias("n_keys"),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(k) for k in key_cols])
+            ).alias("n_dup_rows"),
+        ).select("table_name", "n_rows", "n_keys", "n_dup_rows")
+
+    return (
+        leg(o, "orders", ["o_orderkey"])
+        .unionByName(leg(c, "customer", ["c_custkey"]))
+        .unionByName(leg(p, "part", ["p_partkey"]))
+        .unionByName(leg(li, "lineitem", ["l_orderkey", "l_linenumber"]))
+    )

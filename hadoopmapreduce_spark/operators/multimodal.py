@@ -168,3 +168,66 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select(
         "doc_id", F.explode(frames).alias("frame_idx")
     ).select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
+MM_CHUNK_BYTES = 64
+
+
+@query(
+    "mm_chunk_manifest",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_bytes
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, n_bytes, i.i AS chunk_idx,
+             CAST(i.i * {MM_CHUNK_BYTES} AS BIGINT) AS offset_bytes,
+             CAST(least({MM_CHUNK_BYTES},
+                        n_bytes - i.i * {MM_CHUNK_BYTES}) AS BIGINT)
+               AS chunk_len,
+             md5(substr(text, i.i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES}))
+               AS chunk_hash
+      FROM sized,
+           LATERAL (SELECT unnest(range(0,
+                      CAST(ceil(n_bytes / {MM_CHUNK_BYTES}.0) AS BIGINT))) AS i) i)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, offset_bytes,
+           chunk_len, chunk_hash
+    FROM chunks
+    """,
+)
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunk manifest for binary payloads: each asset split into
+    fixed-size ranges with per-chunk content hashes — the manifest a blob
+    store / content-addressable cache keeps for large multimodal assets
+    (range reads, dedup at chunk granularity, resumable transfer).
+
+    Runs on the payload BYTES (substr on binary stays in codegen; no
+    decode, honoring the opaque-blob convention).  The fixture payload is
+    utf-8 of ASCII text, so the oracle can express the same ranges with
+    text substr + md5 — byte-identical input to the hash on both engines.
+    At 100 TB this is a narrow per-row explode bounded by payload size;
+    output rows = Σ ceil(bytes/chunk), no shuffle at all."""
+    assets = _assets(spark, sf_dir)
+    n_chunks = F.ceil(
+        F.col("meta.n_bytes").cast("double") / MM_CHUNK_BYTES
+    ).cast("int")
+    chunked = assets.select(
+        "doc_id",
+        "payload",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    offset = F.col("chunk_idx").cast("long") * MM_CHUNK_BYTES
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        offset.alias("offset_bytes"),
+        F.least(
+            F.lit(MM_CHUNK_BYTES).cast("long"), F.col("n_bytes") - offset
+        ).alias("chunk_len"),
+        F.md5(
+            F.expr(f"substring(payload, chunk_idx * {MM_CHUNK_BYTES} + 1, "
+                   f"{MM_CHUNK_BYTES})")
+        ).alias("chunk_hash"),
+    )
