@@ -1100,3 +1100,117 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(p, "part", ["p_partkey"]))
         .unionByName(leg(li, "lineitem", ["l_orderkey", "l_linenumber"]))
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap OR-aggregation: each user_id sets
+    one bit (word = id div 64, mask = 1 << id mod 64); per (group, word)
+    the masks bit_or together, then popcounts sum per group.
+
+    This is the roaring-bitmap technique warehouses use when exact distinct
+    at scale matters: unlike COUNT(DISTINCT) (Expand + dedup shuffle of
+    every raw id) the bitmap states are FIXED-WIDTH and mergeable — partial
+    aggregation absorbs duplicates map-side, the shuffle carries at most
+    |groups| x |id-range|/64 words, and states merge across days/partitions
+    like any algebraic aggregate (HLL's exact sibling; dense-id domains
+    only — sparse domains need the compressed/roaring layout).  The oracle
+    is plain COUNT(DISTINCT), proving bitmap == exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = ev.select(
+        "event_type",
+        (F.col("user_id") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(user_id % 64 as int))").alias(
+            "mask"
+        ),
+    )
+    grid = words.groupBy("event_type", "word").agg(
+        F.bit_or("mask").alias("bits")
+    )
+    return grid.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_users")
+    )
+
+
+@query(
+    "agg_pareto_nation_n80",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey,
+             o.o_custkey AS custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nationkey, CAST(SUM(r) AS DECIMAL(38,2)) AS total_r,
+             CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM rev GROUP BY 1),
+    run AS (
+      SELECT nationkey, custkey, r,
+             CAST(SUM(r) OVER (PARTITION BY nationkey
+                               ORDER BY r DESC, custkey
+                               ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2))
+               AS cum_r
+      FROM rev)
+    SELECT run.nationkey,
+           CAST(COUNT(*) FILTER (
+             WHERE (cum_r - r) * 100 < total_r * 80) AS BIGINT) AS n80_custs,
+           tot.n_cust AS n_total_custs
+    FROM run JOIN tot ON run.nationkey = tot.nationkey
+    GROUP BY 1, 3
+    """,
+)
+def agg_pareto_nation_n80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (N80): per nation, how many top customers make
+    up 80% of order revenue — the who-matters analysis behind every
+    account-tier decision.
+
+    A customer is in the N80 set while the revenue BEFORE them is under
+    80% of the nation total, evaluated as exact-decimal cross-multiplied
+    integers ((cum - r) * 100 < total * 80 — no division, no epsilon).
+    The running sum partitions by nation (bounded per-key sort, never a
+    global window); revenue, totals, and the cumulative sum all stay in
+    the decimal domain end-to-end."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(
+        F.sum("r").cast("decimal(38,2)").alias("total_r"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    w = (
+        W.partitionBy("nationkey")
+        .orderBy(F.desc("r"), F.asc("custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = rev.select(
+        "nationkey",
+        "custkey",
+        "r",
+        F.sum("r").over(w).cast("decimal(38,2)").alias("cum_r"),
+    )
+    in_n80 = (F.col("cum_r") - F.col("r")) * 100 < F.col("total_r") * 80
+    return (
+        run.join(tot, "nationkey")
+        .groupBy("nationkey", F.col("n_cust").alias("n_total_custs"))
+        .agg(F.sum(F.when(in_n80, 1).otherwise(0)).cast("long").alias("n80_custs"))
+        .select("nationkey", "n80_custs", "n_total_custs")
+    )

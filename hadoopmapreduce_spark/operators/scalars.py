@@ -638,3 +638,44 @@ def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_big_open"),
         F.to_json(F.col("stj")).alias("st_json"),
     )
+
+
+@query(
+    "fn_array_hof_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 8)) AS INT) AS n_long,
+           CASE WHEN len(list_filter(toks, x -> x LIKE 'term%')) > 0
+                THEN 1 ELSE 0 END AS any_term,
+           CASE WHEN len(list_filter(toks, x -> NOT length(x) > 0)) = 0
+                THEN 1 ELSE 0 END AS all_nonempty,
+           list_reverse(toks)[1] AS last_tok,
+           CAST(list_position(toks, toks[1]) AS INT) AS first_pos
+    FROM t
+    """,
+)
+def fn_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates: filter-count, exists, forall, reverse
+    indexing, and position — the HOF surface beyond fn_array_suite's
+    transform/aggregate.  exists/forall compile to Spark's ArrayExists/
+    ArrayForAll codegen; DuckDB expresses them as list_filter lengths, with
+    identical boolean semantics on non-null elements."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 8)).alias("n_long"),
+        F.exists(toks, lambda x: x.startswith("term"))
+        .cast("int")
+        .alias("any_term"),
+        F.forall(toks, lambda x: F.length(x) > 0).cast("int").alias(
+            "all_nonempty"
+        ),
+        F.element_at(F.reverse(toks), 1).alias("last_tok"),
+        F.array_position(toks, F.element_at(toks, 1))
+        .cast("int")
+        .alias("first_pos"),
+    )
