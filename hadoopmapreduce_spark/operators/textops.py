@@ -1036,3 +1036,94 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+@query(
+    "pipeline_training_data_prep",
+    oracle=f"""
+    WITH deduped AS (
+      SELECT min_by(doc_id, doc_id) AS doc_id,
+             min_by(text, doc_id) AS text,
+             min_by(lang, doc_id) AS lang
+      FROM documents GROUP BY md5(text)),
+    scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_distinct(regexp_split_to_array(text, '\\s+')))
+                  AS BIGINT) AS n_distinct
+      FROM deduped),
+    kept AS (
+      -- quality gate in exact integer arithmetic: >= 8 tokens and
+      -- type-token ratio > 0.5 (cross-multiplied, no division)
+      SELECT * FROM scored
+      WHERE n_tokens >= 8 AND n_distinct * 2 > n_tokens),
+    bucketed AS (
+      SELECT lang, n_tokens,
+             ((({_MD5_NIBBLE_SQL.format(i=1)} * 16
+                + {_MD5_NIBBLE_SQL.format(i=2)}) * 16
+                + {_MD5_NIBBLE_SQL.format(i=3)}) * 16
+                + {_MD5_NIBBLE_SQL.format(i=4)}) % 1000 AS bucket
+      FROM kept),
+    labeled AS (
+      SELECT lang, n_tokens,
+             CASE WHEN bucket < 800 THEN 'train'
+                  WHEN bucket < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM bucketed)
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data preparation: exact dedup (canonical = min
+    doc_id per content hash) → quality gate (length + type-token ratio,
+    exact integer cross-multiplication) → deterministic content-derived
+    80/10/10 split → per-(split, lang) doc and token accounting.  The
+    composite a user of this engine actually runs nightly — every stage is
+    an operator registered individually, proven here to compose in ONE
+    lazy DAG (one scan, two shuffles: the dedup groupBy and the final
+    rollup; the gate and split are narrow).
+
+    Determinism end-to-end: md5 content hash for dedup and split bucket,
+    integer token counts, no floats anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    deduped = (
+        d.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id", "text", "lang")
+        .groupBy("h")
+        .agg(
+            F.min_by("doc_id", "doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+            F.min_by("lang", "doc_id").alias("lang"),
+        )
+    )
+    ts = F.split(F.col("text"), r"\s+")
+    scored = deduped.select(
+        "lang",
+        "text",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("long").alias("n_distinct"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 8)
+        & (F.col("n_distinct") * 2 > F.col("n_tokens"))
+    )
+    md5 = F.md5(F.col("text").cast("binary"))
+
+    def nib(i: int):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(md5, i, 1)) - 1
+
+    bucket = (((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)) % 1000
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

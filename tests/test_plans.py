@@ -369,3 +369,30 @@ def test_fuzzy_blocking_bounded_blocks(spark, sf_dir):
         .collect()[0][0]
     )
     assert biggest <= 12, biggest
+
+
+def test_bitmap_distinct_partial_aggregation(spark, sf_dir):
+    """The bitmap grid must build with partial (map-side) aggregation — the
+    mergeable-state property that makes it COUNT(DISTINCT)'s scale sibling."""
+    from hadoopmapreduce_spark.operators.aggregates import agg_bitmap_distinct
+
+    plan = physical_plan(agg_bitmap_distinct(spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert_not_contains(agg_bitmap_distinct(spark, sf_dir), "Expand")
+
+
+def test_chunk_manifest_no_shuffle(spark, sf_dir):
+    """The chunk manifest is a narrow per-row explode — zero exchanges."""
+    from hadoopmapreduce_spark.operators.multimodal import mm_chunk_manifest
+
+    plan = physical_plan(mm_chunk_manifest(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_filtered_knn_predicate_reaches_scan(spark, sf_dir):
+    """knn_filtered_topk pre-filters: the label predicate must push to the
+    parquet scan (pre-filtering, not post-filtering top-k)."""
+    from hadoopmapreduce_spark.operators.similarity import knn_filtered_topk
+
+    plan = physical_plan(knn_filtered_topk(spark, sf_dir))
+    assert "PushedFilters:" in plan and "label" in plan.split("PushedFilters:")[1].split("\n")[0]
