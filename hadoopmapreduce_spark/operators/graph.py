@@ -415,3 +415,82 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = directed_copurchase_edges(spark, sf_dir)
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+BASKET_MIN_SUPPORT = 3
+BASKET_TOP = 20
+
+
+@query(
+    "graph_basket_lift_top",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    item_cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM items GROUP BY 1),
+    pair_cnt AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}),
+    scored AS (
+      SELECT p.u, p.v, p.c_uv,
+             CAST(p.c_uv * n.n AS DOUBLE) / (cu.c * cv.c) AS lift
+      FROM pair_cnt p
+      JOIN item_cnt cu ON cu.l_partkey = p.u
+      JOIN item_cnt cv ON cv.l_partkey = p.v
+      CROSS JOIN n_orders n)
+    SELECT u, v, c_uv, lift FROM scored
+    ORDER BY lift DESC, u ASC, v ASC
+    LIMIT {BASKET_TOP}
+    """,
+)
+def graph_basket_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket LIFT mining: top-{BASKET_TOP} co-purchased part pairs by
+    lift = P(a,b) / (P(a)·P(b)), min support {BASKET_MIN_SUPPORT} — the
+    association-rule measure behind "frequently bought together" (PMI's
+    retail sibling; ``pmi_top_pairs`` is the text-corpus analogue).
+
+    All counts are exact integers; lift = (c_uv · N) as DOUBLE / (c_u ·
+    c_v) — identical integer operands give identical doubles in both
+    engines, so even the ORDER BY lift agrees bit-for-bit (ties break on
+    the pair).  Pair generation is the same order-key self-join as
+    ``copurchase_edges`` (fan-out bounded by items-per-order²); the
+    support HAVING prunes before the dimension joins, and the 1-row order
+    count broadcasts."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+        .filter(F.col("c_uv") >= BASKET_MIN_SUPPORT)
+    )
+    cu = item_cnt.select(F.col("l_partkey").alias("u"), F.col("c").alias("cu"))
+    cv = item_cnt.select(F.col("l_partkey").alias("v"), F.col("c").alias("cv"))
+    lift = (F.col("c_uv") * F.col("n")).cast("double") / (
+        F.col("cu") * F.col("cv")
+    )
+    return (
+        pair_cnt.join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select("u", "v", "c_uv", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
+        .limit(BASKET_TOP)
+    )

@@ -216,3 +216,49 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+SCD2_LOOKUP_DATE = "2024-03-15"  # between INITIAL and AS_OF: pre-change view
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey AS custkey, c_name AS name,
+             '{SCD2_INITIAL_DATE}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer),
+    changes AS (
+      SELECT custkey, name || '_v2' AS name FROM dim WHERE custkey % 7 = 0),
+    hist AS (
+      SELECT custkey, name, valid_from, valid_to FROM dim
+      WHERE custkey NOT IN (SELECT custkey FROM changes)
+      UNION ALL
+      SELECT custkey, name, valid_from, '{SCD2_AS_OF}' AS valid_to FROM dim
+      WHERE custkey IN (SELECT custkey FROM changes)
+      UNION ALL
+      SELECT custkey, name, '{SCD2_AS_OF}' AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to
+      FROM changes)
+    SELECT custkey, name, valid_from
+    FROM hist
+    WHERE valid_from <= '{SCD2_LOOKUP_DATE}'
+      AND (valid_to IS NULL OR valid_to > '{SCD2_LOOKUP_DATE}')
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup over the SCD2 history: the version of
+    every customer valid AT {SCD2_LOOKUP_DATE} (valid_from <= t < valid_to,
+    open rows unbounded) — the query side of SCD2 that
+    :func:`scd2_customer_history` builds, completing the build→query pair.
+    One narrow filter over the history; at scale it composes with a fact
+    join on (key, as-of date) exactly like any dimension lookup, and the
+    interval predicate prunes history partitions when valid_from is the
+    partition column.  Exactly one version per key must qualify — the
+    invariant the half-open interval semantics guarantee."""
+    hist = scd2_customer_history(spark, sf_dir)
+    t = F.lit(SCD2_LOOKUP_DATE)
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("custkey", "name", "valid_from")

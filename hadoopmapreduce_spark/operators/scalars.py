@@ -679,3 +679,38 @@ def fn_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("first_pos"),
     )
+
+
+@query(
+    "fn_binary_suite",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_bytes,
+           to_base64(text::BLOB) AS b64,
+           md5(text) AS content_md5,
+           hex(substr(text, 1, 4)::BLOB) AS head_hex,
+           CAST(8 * length(text) AS INT) AS bit_len
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def fn_binary_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary family over payload bytes: octet length, base64, md5, hex of
+    a byte-range head, bit length — the blob toolkit the multimodal
+    convention (binary payload + typed metadata) relies on.  The fixture
+    text is ASCII so utf-8 bytes == characters and both engines hash/encode
+    identical byte strings; Spark's hex() uppercases, DuckDB's hex() also
+    uppercases — base64 alphabets are RFC 4648 in both, but Spark emits
+    MIME-wrapped output (CRLF every 76 chars, java.util.Base64.getMimeEncoder
+    heritage) while DuckDB emits the bare form, so the wrap is stripped."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.replace(F.base64(payload), F.lit("\r\n"), F.lit("")).alias("b64"),
+        F.md5(payload).alias("content_md5"),
+        F.hex(F.expr("substring(encode(text, 'utf-8'), 1, 4)")).alias(
+            "head_hex"
+        ),
+        F.bit_length(payload).alias("bit_len"),
+    )
