@@ -1214,3 +1214,99 @@ def agg_pareto_nation_n80(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(in_n80, 1).otherwise(0)).cast("long").alias("n80_custs"))
         .select("nationkey", "n80_custs", "n_total_custs")
     )
+
+
+@query(
+    "agg_weighted_avg_exact",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l.l_discount AS DECIMAL(8,2)))
+                     AS DECIMAL(38,4)) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE)
+             AS weighted_disc,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted average discount per brand: Σ(w·x)/Σ(w) with BOTH
+    sums accumulated in exact decimal and ONE double division at the end —
+    the weighted-mean discipline (a naive avg(w*x)/avg(w) in floats drifts
+    with partitioning; this is partition-order-independent by
+    construction).  One fact-dim join (dim broadcasts) + one grouped
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    wx = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(8,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (
+                F.sum(wx).cast("decimal(38,4)").cast("double")
+                / F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+            ).alias("weighted_disc"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "ts_mom_revenue_change",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS rev
+      FROM orders GROUP BY 1),
+    with_prev AS (
+      SELECT m, rev, LAG(rev) OVER (ORDER BY m) AS prev_rev
+      FROM monthly)
+    SELECT m AS month_idx,
+           CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN prev_rev IS NULL THEN NULL
+                ELSE CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE)
+           END AS mom_change
+    FROM with_prev
+    """,
+)
+def ts_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly exact-decimal totals, LAG,
+    and one double division of identical decimal-derived operands — the
+    trend metric every revenue dashboard opens with.
+
+    The window orders a ~50-row monthly rollup (aggregate FIRST, window
+    over the aggregate — never a window over the raw fact table for a
+    per-month metric); integer month indexes keep the order total."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev")
+    )
+    w = W.orderBy("m")
+    with_prev = monthly.select(
+        "m", "rev", F.lag("rev").over(w).alias("prev_rev")
+    )
+    return with_prev.select(
+        F.col("m").alias("month_idx"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.when(F.col("prev_rev").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("rev") - F.col("prev_rev")).cast("double")
+            / F.col("prev_rev").cast("double")
+        )
+        .alias("mom_change"),
+    )
