@@ -24,14 +24,59 @@ from __future__ import annotations
 
 import sys
 
+_SUBCOMMAND_USAGE = """\
+usage: python -m hadoopmapreduce_spark <impressions> <clicks> <combined> <out>
+       python -m hadoopmapreduce_spark list
+       python -m hadoopmapreduce_spark run <query_id> <sf_dir> [limit]
+       python -m hadoopmapreduce_spark explain <query_id> <sf_dir>"""
+
+
+def _registry_main(argv: list[str]) -> int:
+    """Registry subcommands: list / run / explain over the 180+ registered
+    queries — the engine as a standalone tool, beyond the reference's
+    4-arg CTR contract (which stays byte-compatible below)."""
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    cmd = argv[0]
+    if cmd == "list":
+        from hadoopmapreduce_spark.registry import ORACLES, QUERIES
+
+        for name in sorted(QUERIES):
+            kind = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if cmd in ("run", "explain"):
+        if len(argv) < 3:
+            print(_SUBCOMMAND_USAGE, file=sys.stderr)
+            return 1
+        name, sf_dir = argv[1], argv[2]
+        from hadoopmapreduce_spark.registry import QUERIES
+
+        if name not in QUERIES:
+            print(f"unknown query id {name!r} (see `list`)", file=sys.stderr)
+            return 1
+        from hadoopmapreduce_spark.session import get_spark
+
+        spark = get_spark("hmr-cli")
+        df = QUERIES[name](spark, sf_dir)
+        if cmd == "explain":
+            from hadoopmapreduce_spark.plans import physical_plan
+
+            print(physical_plan(df))
+        else:
+            limit = int(argv[3]) if len(argv) > 3 else 20
+            df.show(limit, truncate=False)
+        return 0
+    print(_SUBCOMMAND_USAGE, file=sys.stderr)
+    return 1
+
 
 def main(argv: list[str]) -> int:
+    if argv and argv[0] in ("list", "run", "explain"):
+        return _registry_main(argv)
     if len(argv) != 4:
-        print(
-            "usage: python -m hadoopmapreduce_spark "
-            "<impressions_dir> <clicks_dir> <combined_dir> <output_dir>",
-            file=sys.stderr,
-        )
+        print(_SUBCOMMAND_USAGE, file=sys.stderr)
         return 1
     impressions, clicks, combined, output = argv
 

@@ -103,3 +103,37 @@ def test_cli_end_to_end(tmp_path):
         "0\t{u1/x1fa1/x1e1",
         "0\t{u2/x1fa2/x1e0",
     ]
+
+
+def test_cli_list_subcommand():
+    """`list` prints every registered query id with its check kind, without
+    starting a SparkSession."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "hadoopmapreduce_spark", "list"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) >= 180
+    kinds = {l.split("\t")[1] for l in lines}
+    assert kinds == {"oracle", "rows-only"}
+    assert any(l.startswith("ctr_flagship\t") for l in lines)
+
+
+def test_cli_unknown_query_errors():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "hadoopmapreduce_spark", "run", "nope", "/tmp"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 1
+    assert "unknown query id" in proc.stderr
