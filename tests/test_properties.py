@@ -153,3 +153,94 @@ def test_morton_key_bijective_and_monotone_in_blocks(spark, points):
     )
     for r in df.collect():
         assert r.z == py_z(r.x, r.y)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 4000)),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_bitmap_distinct_equals_count_distinct(spark, pairs):
+    """The bitmap OR-aggregation must equal COUNT(DISTINCT) for ANY dense
+    non-negative id multiset, including adversarial duplicate patterns —
+    the exactness claim behind agg_bitmap_distinct."""
+    df = spark.createDataFrame(pairs, "grp string, uid long")
+    words = df.select(
+        "grp",
+        (F.col("uid") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(uid % 64 as int))").alias(
+            "mask"
+        ),
+    )
+    via_bitmap = {
+        r["grp"]: r["n"]
+        for r in words.groupBy("grp", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .groupBy("grp")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("n"))
+        .collect()
+    }
+    exact = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp")
+        .agg(F.countDistinct("uid").alias("n"))
+        .collect()
+    }
+    assert via_bitmap == exact
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5"]), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_bounds_and_self_identity(spark, docs):
+    """Containment semantics on generated corpora: every emitted value is in
+    (0, 1]; and a document whose shingle set is a subset of another's has
+    containment exactly 1.0 in that direction (append a known superset pair
+    to every corpus to keep the assertion non-vacuous)."""
+    from hadoopmapreduce_spark.operators.dedup import CONTAINMENT_THRESHOLD
+
+    texts = [" ".join(d) for d in docs]
+    base = "x1 x2 x3 x4 x5 x6"
+    texts.append(base)                     # doc N-2 (subset)
+    texts.append(base + " x7 x8 x9")       # doc N-1 (superset)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # inline the operator pipeline over the generated frame (the registered
+    # query is fixture-bound; semantics are what we pin here)
+    ts = F.split(F.col("text"), r"\s+")
+    n = F.size(ts)
+    sh3 = F.zip_with(
+        F.zip_with(
+            F.slice(ts, 1, n - 2), F.slice(ts, 2, n - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(ts, 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    sh = df.select("doc_id", F.explode(F.array_distinct(sh3)).alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = inter.join(
+        cnt.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    ).select(
+        "doc_a", "doc_b",
+        (F.col("c").cast("double") / F.col("na")).alias("containment"),
+    ).collect()
+    subset_id, superset_id = len(texts) - 2, len(texts) - 1
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in out}
+    assert all(0.0 < v <= 1.0 for v in got.values())
+    assert got[(subset_id, superset_id)] == 1.0
+    assert CONTAINMENT_THRESHOLD <= 1.0
