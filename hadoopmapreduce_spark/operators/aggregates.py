@@ -1310,3 +1310,37 @@ def ts_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mom_change"),
     )
+
+
+@query(
+    "agg_cube_grouping_id",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING metadata: gid disambiguates "NULL because this
+    row aggregates over the column" from "NULL data value" — the
+    correctness detail every cube consumer needs and plain cube output
+    cannot express.  Same single Expand + partial/final aggregate plan as
+    agg_cube; the grouping bits are free metadata."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "gid",
+            "n",
+        )
+    )

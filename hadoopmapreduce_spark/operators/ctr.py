@@ -440,3 +440,69 @@ def scan_textkv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cohort"),
         F.col("value").cast("bigint").alias("ctr_bp"),
     )
+
+
+@query(
+    "scan_dirty_json_quarantine",
+    oracle="""
+    WITH built AS (
+      SELECT lang,
+             CASE
+               WHEN doc_id % 7 = 0 THEN
+                 substr('{"n": ' || CAST(n_chars AS VARCHAR) || '}', 1,
+                        length('{"n": ' || CAST(n_chars AS VARCHAR) || '}') - 2)
+               WHEN doc_id % 13 = 0 THEN '{"n": null}'
+               ELSE '{"n": ' || CAST(n_chars AS VARCHAR) || '}'
+             END AS js
+      FROM documents),
+    parsed AS (
+      SELECT lang,
+             CASE WHEN json_valid(js)
+                  THEN CAST(json_extract_string(js, '$.n') AS BIGINT)
+             END AS n
+      FROM built)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) FILTER (WHERE n IS NULL) AS BIGINT) AS n_quarantined,
+           CAST(SUM(n) AS BIGINT) AS n_sum
+    FROM parsed GROUP BY 1
+    """,
+)
+def scan_dirty_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 as a REGISTERED operator: parse a JSON column with a deliberate
+    corruption mix (truncated objects for doc_id%7, explicit null fields
+    for %13) and QUARANTINE-COUNT the unusable records instead of
+    reusing stale values like the reference (``ClickThru.java:113-120``
+    catches the JSONException, prints, and silently re-emits the previous
+    record's mapper-instance buffer — SURVEY.md §2.3 E1 documents choosing
+    null-out + count as the engine policy; tests pin the parse behavior,
+    this query makes the metric queryable).
+
+    "Unusable" is field-null after a tolerant parse — covering both
+    malformed JSON (Spark's from_json yields a null field; DuckDB guards
+    with json_valid) and well-formed-but-null, the two cases a downstream
+    consumer cannot distinguish or use.  Pure codegen scan + one hash
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    good = F.concat(
+        F.lit('{"n": '), F.col("n_chars").cast("string"), F.lit("}")
+    )
+    js = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr(
+                "substr(concat('{\"n\": ', cast(n_chars as string), '}'), 1, "
+                "length(concat('{\"n\": ', cast(n_chars as string), '}')) - 2)"
+            ),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.lit('{"n": null}'))
+        .otherwise(good)
+    )
+    parsed = d.select(
+        "lang", F.from_json(js, "n bigint").getField("n").alias("n")
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count(F.when(F.col("n").isNull(), 1)).alias("n_quarantined"),
+        F.sum("n").alias("n_sum"),
+    )
