@@ -218,3 +218,52 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="purchase_id long, user_id long, purchase_ts timestamp, "
         "last_view_ts timestamp",
     )
+
+
+def _sum_tokens_py(n: pd.Series) -> int:
+    # int64 summation in pandas is exact (no float detour) — the UDAF
+    # result must hash-match the oracle's BIGINT SUM
+    return int(n.sum())
+
+
+def _count_rows_py(n: pd.Series) -> int:
+    # the Series->scalar type hints are load-bearing: they are what makes
+    # pandas_udf infer GROUPED_AGG eval type (a hintless lambda infers
+    # SCALAR and fails analysis inside agg())
+    return int(len(n))
+
+
+@query(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE vectorized UDAF: a ``pandas_udf`` in GROUPED_AGG mode (Arrow
+    series in → one scalar out per group), completing the UDF surface next
+    to the scalar pandas UDF, the grouped-map transform, the cogrouped
+    as-of, and the Python UDTF.  Contract query: the production path for
+    a plain sum is the built-in (its codegen twin is this oracle); the
+    UDAF tier exists for aggregations Spark lacks, and this pins the API
+    + exactness (int64 pandas summation, no float detour).
+
+    GROUPED_AGG UDAFs also work as window functions over unbounded frames
+    — same Arrow batch path.  Unlike grouped-map, partial aggregation is
+    NOT available (each group's values gather to one executor), which is
+    the documented scale trade: use only when the aggregate is truly
+    custom."""
+    # wrapped here, not at module level: pandas_udf parses its DDL return
+    # type eagerly and needs an active session.  Both aggregates are UDAFs
+    # — Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT)
+    sum_tokens = F.pandas_udf(_sum_tokens_py, "long")
+    count_rows = F.pandas_udf(_count_rows_py, "long")
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        sum_tokens(F.col("n_chars")).alias("total_chars"),
+        count_rows(F.col("n_chars")).alias("n_docs"),
+    )
