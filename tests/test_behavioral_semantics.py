@@ -192,3 +192,35 @@ def test_cms_estimates_bound_exact_counts(spark, sf_dir):
     for r in rows:
         assert r.est_n >= r.exact_n, (r.user_id, r.est_n, r.exact_n)
         assert r.est_n <= r.exact_n + eps * n_total, (r.user_id, r.est_n)
+
+
+def test_bloom_false_positive_rate_within_theory(spark, sf_dir):
+    """The explicit bloom's false-positive rate must sit near the k=1
+    theoretical bound (fill ratio = 1-exp(-n/m) ~= n/m for small fill):
+    probing keys KNOWN to be absent should pass at roughly n_set/m, far
+    below 5x the bound — a broken hash or mask math shows up as a
+    dramatically higher rate."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.joins import BLOOM_BITS
+
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 10)
+        .select("p_partkey")
+    )
+    n_set = dim.count()
+    slots = dim.select(
+        F.pmod(F.xxhash64("p_partkey"), F.lit(BLOOM_BITS)).alias("s")
+    ).distinct()
+    # absent keys: shift the keyspace far past any real partkey
+    absent = dim.select((F.col("p_partkey") + 10_000_000).alias("k"))
+    hits = (
+        absent.select(F.pmod(F.xxhash64("k"), F.lit(BLOOM_BITS)).alias("s"))
+        .join(slots, "s")
+        .count()
+    )
+    fpr = hits / max(1, n_set)
+    bound = n_set / BLOOM_BITS  # k=1 fill ratio
+    assert fpr <= 5 * bound + 0.05, (fpr, bound, n_set)
