@@ -35,6 +35,11 @@ from hadoopmapreduce_spark.registry import query
 _PR_INIT = 1_000_000_000_000
 _PR_BASE = 150_000_000_000  # 0.15 * _PR_INIT
 
+# triangle_count broadcasts its adjacency table below this edge count (the
+# adjacency is ~n rows x ~sqrt(m) longs — a few hundred MB at 20M edges,
+# routine broadcast; past it the shuffled join is the right plan anyway)
+BROADCAST_ADJ_MAX_EDGES = 20_000_000
+
 _EDGES_SQL = """
     items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     edges AS (
@@ -153,12 +158,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # out-neighbor closes one triangle, and the orientation (acyclic total
     # order) finds each triangle from exactly one edge.  The per-node
     # out-lists are bounded by the orientation (~sqrt(m) entries), so the
-    # adjacency table is node-count-sized — it broadcasts, and the heavy
-    # intersection runs in whole-stage codegen with NO wedge-sized shuffle
-    # (materializing wedges cost ~3x this formulation's wall time).
+    # adjacency table is node-count-sized, and the heavy intersection runs
+    # in whole-stage codegen with NO wedge-sized shuffle (materializing
+    # wedges cost ~3x this formulation's wall time).
+    #
+    # Join strategy is chosen by edge count, not left to the 10 MB
+    # auto-broadcast default: past that default the adjacency silently
+    # demotes to two sort-merge joins that SHIP the neighbor arrays through
+    # two shuffles — measured 3.5x slower (38s vs 11s) at a 10.8M-edge
+    # graph.  Up to ~20M edges the adjacency is a few hundred MB — routine
+    # broadcast territory (Spark's hard cap is 8 GB) — so we hint it
+    # explicitly; beyond that bound we fall through to the shuffled join,
+    # which is the correct plan when the adjacency no longer fits.  The
+    # count is free: `edges` is cached and already materialized by the
+    # degree aggregation.
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
+    if edges.count() <= BROADCAST_ADJ_MAX_EDGES:
+        adj = F.broadcast(adj.localCheckpoint(eager=True))
     n_tri = (
         oriented.join(
             adj.select(F.col("src"), F.col("nbrs").alias("a_nbrs")), "src"
