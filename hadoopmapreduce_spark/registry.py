@@ -26,70 +26,65 @@ ORACLES: dict[str, str] = {}
 
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
-# coverage rotates across rounds instead of re-checking the same prefix:
-# round 4 fronts the last 21 queries that have never had a driver verdict
-# (the 14 scalar-function suites, the aggregation tail, the window tail),
-# the four round-3 hash fails whose oracle SQL is now BIGINT-cast
-# (``token_count_bpe``, ``sample_stratified``, ``pack_token_budget``,
-# ``mm_payload_stats``), ``q22_sales_opportunity`` (predicate loosened to be
-# non-vacuous), and the two formerly-sampled UDF queries now running on full
-# input (``udtf_bigram_expand``, ``udf_cogrouped_asof``).  Queries not named
-# here keep registration order after the pinned prefix — nothing is ever
-# dropped, so verdicts union toward full coverage across rounds.
+# coverage rotates across rounds instead of re-checking the same prefix.
+# Round 5 fronts: (a) the 29 round-5 operators that have never had a driver
+# verdict, (b) the two queries promoted from rows-only to full oracles this
+# round (``simhash_dedup`` via the engine-portable md5-prefix hash,
+# ``agg_cms_heavy_hitters`` likewise), (c) operators registered late in
+# round 5, and (d) a rotation of the oldest (round-1) greens so stale
+# verdicts get re-confirmed against current code (VERDICT r4 ask #6 — the
+# never-checked set takes precedence over a full 50-oldest sweep; the
+# rotation continues next round).  Queries not named here keep registration
+# order after the pinned prefix — nothing is ever dropped, so verdicts union
+# toward full coverage across rounds.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # scalar-function suites (never checked)
-    "fn_array_suite",
-    "fn_json_suite",
-    "fn_conditional_suite",
-    "fn_regex_suite",
-    "fn_cast_suite",
-    "fn_map_suite",
-    "fn_explode_suite",
-    "fn_fuzzy_suite",
-    "fn_bitwise_suite",
-    "fn_trycast_suite",
-    "fn_array_setops",
-    "fn_map_transform_suite",
-    "fn_interval_suite",
-    "fn_variant_suite",
-    # aggregation tail (never checked)
-    "agg_string_concat_groups",
-    "agg_mode_deterministic",
-    "agg_equidepth_histogram",
-    "dq_referential_integrity",
-    # window tail (never checked)
-    "ewma_user_value",
-    "funnel_steps_per_user",
-    "cohort_retention",
-    # round-3 hash fails, oracle SQL now BIGINT-cast (re-adjudicate)
-    "token_count_bpe",
-    "sample_stratified",
-    "pack_token_budget",
-    "mm_payload_stats",
-    # previously-vacuous / previously-sampled queries (re-adjudicate)
-    "q22_sales_opportunity",
-    "udtf_bigram_expand",
-    "udf_cogrouped_asof",
-    # new this round (never checked)
-    "dedup_clusters_twostar",
-    "streaming_static_enrich",
-    "join_bucketed_colocated",
-    "ts_gapfill_locf",
-    "ts_resample_ohlc",
-    "graph_copurchase_triangles",
-    "graph_pagerank_int",
-    "layout_zorder_stats",
-    "maintenance_compact_roundtrip",
-    "scan_csv_source",
-    "sink_partitioned_pruned",
-    "incremental_agg_merge",
-    "ts_interpolate_linear",
-    "sample_split_train_val_test",
-    "streaming_merge_upsert",
-    "dq_anomaly_sigma",
+    # round-5 operators, never driver-checked
+    "scan_dirty_json_quarantine",
+    "join_bloom_prefilter",
+    "agg_percentile_disc",
+    "agg_filter_clause",
+    "dq_uniqueness_audit",
+    "agg_bitmap_distinct",
+    "agg_pareto_nation_n80",
+    "agg_weighted_avg_exact",
+    "ts_mom_revenue_change",
+    "agg_cube_grouping_id",
+    "window_distribution_suite",
+    "event_attribution_last_touch",
+    "window_gap_islands",
+    "fn_struct_suite",
+    "fn_array_hof_suite",
+    "fn_binary_suite",
+    "udaf_pandas_grouped_agg",
+    "table_diff_reconcile",
+    "scd2_asof_lookup",
+    "topk_terms_per_lang",
+    "dq_freshness_lag",
+    "pipeline_training_data_prep",
+    "dedup_fuzzy_blocking",
+    "doc_containment_pairs",
+    "knn_filtered_topk",
+    "mm_chunk_manifest",
+    "graph_degree_distribution",
+    "graph_basket_lift_top",
+    "streaming_sliding_topk",
+    # promoted from rows-only to full oracle this round
+    "simhash_dedup",
     "agg_cms_heavy_hitters",
-    "ts_rollup_time_hierarchy",
-    "graph_bfs_distances",
+    # round-1 greens, verdicts 4 rounds stale (rotation)
+    "ctr_flagship",
+    "existence_join",
+    "group_avg_ctr",
+    "agg_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sessionize_events",
+    "agg_salted_skew",
+    "join_broadcast_dim_chain",
+    "window_topk_per_group",
+    "set_union_all_counts",
+    "sort_topk_orders",
+    "fn_date_suite",
 )
 
 
