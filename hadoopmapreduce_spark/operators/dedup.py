@@ -15,7 +15,7 @@ Pipeline shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hadoopmapreduce_spark.catalog import load_table
@@ -831,4 +831,112 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fwd.unionByName(rev).filter(
         F.col("containment") >= CONTAINMENT_THRESHOLD
+    )
+
+
+# --------------------------------------------------------------------------
+# exact substring-span dedup — character-level duplicated spans
+# --------------------------------------------------------------------------
+
+SUBSTRING_WINDOW = 30  # chars; Lee et al. (ACL'22) use 50 tokens — same idea
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+             substr(text, CAST(i.i AS INT), {SUBSTRING_WINDOW}) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) - {SUBSTRING_WINDOW} + 2)) AS i) i
+      WHERE length(text) >= {SUBSTRING_WINDOW}),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+    hits AS (SELECT p.doc_id, p.i FROM pos p JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN prev_i IS NULL OR i - prev_i > {SUBSTRING_WINDOW}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM (SELECT doc_id, i,
+                   LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+            FROM hits)),
+    spans AS (
+      SELECT doc_id, isl,
+             MAX(i) - MIN(i) + {SUBSTRING_WINDOW} AS chars
+      FROM isl GROUP BY doc_id, isl)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_spans,
+           CAST(SUM(chars) AS BIGINT) AS dup_chars
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans, the Spark-friendly form of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22): every character position opens a
+    ``SUBSTRING_WINDOW``-char window; a window whose text occurs more than
+    once anywhere in the corpus (cross-doc or within-doc) is duplicated, and
+    overlapping/adjacent duplicated windows merge into maximal spans
+    (interval merge: all windows share one length, so a new span starts
+    exactly when consecutive start offsets differ by more than the window).
+    Output per affected doc: span count and total duplicated chars — the
+    numbers a substring-level trainer would cut.
+
+    Scale shape: the position table is linear in corpus chars (one row per
+    char, same order as token-level ops like ``token_count_bpe``), and the
+    duplicate test is a partial-aggregated groupBy on the gram plus a hash
+    join back — never an all-pairs doc join, and never a global suffix sort.
+    A true suffix array adds maximal-match *extension* beyond the fixed
+    window; the fixed window is the standard scalable surrogate (it finds
+    every duplicated run ≥ window chars, merged to full extent by the
+    interval union).  Reference has no dedup at all (ClickThru.java:1-189;
+    [EXT] mandate)."""
+    k = SUBSTRING_WINDOW
+    # The fixture is a one-file scan → one input partition; the explode fans
+    # a few thousand docs into ~1 row per corpus char, so force a spread
+    # BEFORE the fan-out or a single task does all gram hashing.  The same
+    # repartition exchange feeds both consumers of ``pos`` (the gram count
+    # and the join probe), so Spark reuses one shuffle (ReusedExchange)
+    # instead of recomputing the fan-out per branch (measured 8.6→1.9 s at
+    # sf0.1).  At 100 TB the scan arrives already partitioned and this
+    # exchange drops out — keyed on doc_id so it stays a plain hash spread.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= k)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - k + 1)).alias("pi"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pi").cast("long").alias("i"),
+        F.expr(f"substring(text, pi, {k})").alias("gram"),
+    )
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    run = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    isl = hits.withColumn("prev_i", F.lag("i").over(w)).withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("prev_i").isNull() | (F.col("i") - F.col("prev_i") > k), 1
+            ).otherwise(0)
+        ).over(run),
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        (F.max("i") - F.min("i") + k).alias("chars")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("chars").cast("long").alias("dup_chars"),
     )

@@ -68,6 +68,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "graph_degree_distribution",
     "graph_basket_lift_top",
     "streaming_sliding_topk",
+    "dedup_substring_spans",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",

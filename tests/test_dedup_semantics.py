@@ -144,3 +144,53 @@ def test_twostar_matches_label_propagation(spark, sf_dir):
         for r in dd.dedup_clusters_twostar(spark, sf_dir).collect()
     }
     assert lp == ts
+
+
+def _hex_chain(seed: str, n: int) -> str:
+    """Deterministic non-repeating filler: chained md5 hex, truncated to n."""
+    import hashlib
+
+    out = ""
+    h = seed
+    while len(out) < n:
+        h = hashlib.md5(h.encode()).hexdigest()
+        out += h
+    return out[:n]
+
+
+def test_substring_spans_cross_doc_run(spark, monkeypatch):
+    """A 70-char run shared by two docs → one merged span of 70 chars each
+    (window=30: duplicated windows at 41 consecutive offsets merge)."""
+    import hadoopmapreduce_spark.operators.dedup as dd
+
+    shared = _hex_chain("shared", 70)
+    d0 = _hex_chain("p0", 40) + shared + _hex_chain("s0", 40)
+    d1 = _hex_chain("p1", 55) + shared + _hex_chain("s1", 25)
+    docs = _docs(spark, [d0, d1, _hex_chain("far", 120)])
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.dedup.load_table",
+        lambda spark_, sf_dir, name: docs,
+    )
+    rows = {r["doc_id"]: r for r in dd.dedup_substring_spans(spark, "x").collect()}
+    assert set(rows) == {0, 1}
+    for i in (0, 1):
+        assert rows[i]["dup_spans"] == 1
+        assert rows[i]["dup_chars"] == 70
+
+
+def test_substring_spans_within_doc_repeat(spark, monkeypatch):
+    """The same 30-char block twice within ONE doc, separated by a unique
+    gap longer than the window → two separate 30-char spans."""
+    import hadoopmapreduce_spark.operators.dedup as dd
+
+    block = _hex_chain("block", 30)
+    doc = _hex_chain("a", 35) + block + _hex_chain("gap", 45) + block + _hex_chain("z", 35)
+    docs = _docs(spark, [doc, _hex_chain("other", 100)])
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.dedup.load_table",
+        lambda spark_, sf_dir, name: docs,
+    )
+    rows = {r["doc_id"]: r for r in dd.dedup_substring_spans(spark, "x").collect()}
+    assert rows[0]["dup_spans"] == 2
+    assert rows[0]["dup_chars"] == 60
+    assert 1 not in rows
