@@ -267,3 +267,153 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_tokens(F.col("n_chars")).alias("total_chars"),
         count_rows(F.col("n_chars")).alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# t-digest — mergeable quantile sketch (partial digests → merge), the
+# UDAF-tier sketch NOTES.md round 5 planned.  Deterministic by construction:
+# bucket assignment is content-derived, every compress sorts its input, and
+# the merge concatenates buckets in bucket order — so the driver's value
+# hash is stable even though the estimate is approximate (rows-only
+# registration, like the other sketches; error bound pinned in
+# tests/test_udfs.py).
+# --------------------------------------------------------------------------
+
+TDIGEST_DELTA = 100
+TDIGEST_BUCKETS = 16
+TDIGEST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _tdigest_compress(means, weights, delta=TDIGEST_DELTA):
+    """One pass of t-digest clustering (Dunning & Ertl, k0-style size cap
+    ``4·n·q(1-q)/δ``).  Input order does not matter: centroids are sorted
+    by (mean, weight) first, so the result is a pure function of the
+    multiset — the property that makes the sketch mergeable AND the output
+    deterministic under Spark's nondeterministic partial ordering."""
+    import numpy as np
+
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    order = np.lexsort((weights, means))
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        m, w = float(m), float(w)
+        q = (w_before + cur_w / 2.0 + w / 2.0) / total
+        cap = 4.0 * total * q * (1.0 - q) / delta
+        if cur_w + w <= cap:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def _tdigest_quantile(means, weights, q):
+    """Standard centroid-midpoint linear interpolation; clamps to the
+    extreme centroid means outside the first/last midpoints."""
+    total = sum(weights)
+    target = q * total
+    cum = 0.0
+    mids = []
+    for m, w in zip(means, weights):
+        mids.append((cum + w / 2.0, m))
+        cum += w
+    if target <= mids[0][0]:
+        return mids[0][1]
+    for (c0, m0), (c1, m1) in zip(mids, mids[1:]):
+        if target <= c1:
+            return m0 + (m1 - m0) * ((target - c0) / (c1 - c0))
+    return mids[-1][1]
+
+
+@query("udaf_tdigest_quantiles")
+def udaf_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile sketch over lineitem extendedprice per return
+    flag, built the way a 100 TB job must: stage 1 digests each
+    content-derived bucket independently (``applyInPandas`` per (flag,
+    bucket) — the map-side partial), stage 2 merges the ≤δ-centroid partials
+    per flag and reads the quantiles off the merged digest.  Only centroid
+    lists cross the stage-2 shuffle (≤δ rows × 16 buckets per group), never
+    raw values — the sketch property that replaces a full sort at scale.
+
+    Rows-only by design (a t-digest has no SQL twin); the rank-error bound
+    (≤ ~2·q(1-q)·4/δ of n) and the merge-vs-direct consistency are pinned in
+    tests/test_udfs.py.  Reference has no quantiles at all
+    (ClickThru.java:1-189; [EXT] mandate)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType as _D,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % TDIGEST_BUCKETS
+        ).alias("bucket"),
+    )
+
+    partial_schema = StructType(
+        [
+            StructField("flag", StringType()),
+            StructField("bucket", LongType()),
+            StructField("means", ArrayType(_D())),
+            StructField("weights", ArrayType(_D())),
+        ]
+    )
+
+    def build(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vals = pdf["v"].to_numpy()
+        m, w = _tdigest_compress(vals, [1.0] * len(vals))
+        return pd.DataFrame(
+            {"flag": [key[0]], "bucket": [key[1]], "means": [m], "weights": [w]}
+        )
+
+    partials = li.groupBy("flag", "bucket").applyInPandas(build, partial_schema)
+
+    out_schema = StructType(
+        [
+            StructField("flag", StringType()),
+            StructField("q", _D()),
+            StructField("est", _D()),
+        ]
+    )
+
+    def merge(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("bucket", kind="mergesort")
+        means: list[float] = []
+        weights: list[float] = []
+        for ms, ws in zip(pdf["means"], pdf["weights"]):
+            means.extend(ms)
+            weights.extend(ws)
+        m, w = _tdigest_compress(means, weights)
+        return pd.DataFrame(
+            {
+                "flag": key[0],
+                "q": list(TDIGEST_QS),
+                "est": [_tdigest_quantile(m, w, q) for q in TDIGEST_QS],
+            }
+        )
+
+    return partials.groupBy("flag").applyInPandas(merge, out_schema)

@@ -69,6 +69,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "graph_basket_lift_top",
     "streaming_sliding_topk",
     "dedup_substring_spans",
+    "udaf_tdigest_quantiles",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
