@@ -70,6 +70,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "streaming_sliding_topk",
     "dedup_substring_spans",
     "udaf_tdigest_quantiles",
+    "streaming_late_data_audit",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",

@@ -564,3 +564,164 @@ def streaming_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("window_start", "event_type", "n", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# late-data audit — watermark drops surfaced as a first-class result
+# --------------------------------------------------------------------------
+
+LATE_SLICE_MOD = 10  # event_id % 10 == 7 → replayed late
+LATE_SLICE_REM = 7
+LATE_WM_DELAY = "24 hours"
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '24 hours' AS w
+      FROM events WHERE event_id % {LATE_SLICE_MOD} <> {LATE_SLICE_REM}
+    ),
+    kept AS (
+      SELECT ts, event_type FROM events
+      WHERE event_id % {LATE_SLICE_MOD} <> {LATE_SLICE_REM}
+      UNION ALL
+      SELECT ts, event_type FROM events
+      WHERE event_id % {LATE_SLICE_MOD} = {LATE_SLICE_REM}
+        AND time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+            + INTERVAL '1 hour' > (SELECT w FROM wm)
+    )
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM kept GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP), '__late_dropped__',
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    WHERE event_id % {LATE_SLICE_MOD} = {LATE_SLICE_REM}
+      AND time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+          + INTERVAL '1 hour' <= (SELECT w FROM wm)
+    """,
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed counts where LATE DATA ACTUALLY DROPS, with the
+    engine's own drop counter (``numRowsDroppedByWatermark``) emitted as a
+    first-class audit row — the observability a production pipeline needs
+    before trusting a watermark setting, and the one number none of the
+    other streaming queries surface.
+
+    Replay is three deterministic files (oldest-mtime first, one per
+    micro-batch): [0] every on-time event except a heartbeat, [1] the
+    heartbeat (the single min-(ts, event_id) on-time event), [2] the late
+    slice (``event_id % 10 == 7``).  The heartbeat batch exists because the
+    micro-batch engine's late-record filter for batch N uses the watermark
+    advanced through batch N-2 (measured on this Spark: the filter lags the
+    reported per-batch watermark by exactly one batch; a two-file replay
+    therefore never drops anything).  With it, batch 2 filters against
+    ``max(on-time ts) - 24 h`` — the heartbeat is the min-ts row, so it
+    cannot shift that max, and the oracle needs no batch modeling.
+
+    A dropped row is one whose hour window has closed: ``window_end <=
+    watermark``.  The watermark carries fixture-microsecond grain while
+    window ends are hour-aligned, so the boundary-equality case (where
+    drop-strictness would matter) cannot arise.  Update-mode sink tags each
+    emission with its epoch; the final answer takes the last emission per
+    (window, type) key.  Oracle vs engine is a REAL cross-check: the SQL
+    twin recomputes both the surviving counts and the drop total from the
+    replay rule alone, so a Spark watermark regression flips the hash.
+
+    The audit row is ``replayed rows − rows surviving in the final
+    windows`` — both read back from the engine, not from the oracle's rule.
+    It is deliberately NOT ``numRowsDroppedByWatermark``: that metric
+    counts rows entering the STATE STORE, i.e. after map-side partial
+    aggregation has combined late raw rows into (window, type) partials
+    (measured here: 965 late raw rows → 906 distinct dropped groups →
+    metric 906).  The group-granularity relationship is pinned in
+    tests/test_streaming.py; the metric's partition-dependence (a group
+    split across input partitions counts twice) is why it can't feed an
+    exact oracle.
+
+    At 100 TB the same plan runs unchanged on an infinite source: state is
+    bounded by the watermark horizon (windows ≤ 25 h old), and the audit
+    row becomes a metrics-stream `StreamingQueryListener` feed instead of a
+    sentinel union."""
+    import glob as _glob
+    import shutil as _shutil
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    base = work_dir("stream_late_audit", sf_dir, fresh=True)
+    replay = os.path.join(base, "replay")
+    os.makedirs(replay)
+
+    late = ev.filter(F.col("event_id") % LATE_SLICE_MOD == LATE_SLICE_REM)
+    ontime = ev.filter(F.col("event_id") % LATE_SLICE_MOD != LATE_SLICE_REM)
+    heartbeat = ontime.orderBy("ts", "event_id").limit(1)
+    first = ontime.join(
+        heartbeat.select("event_id"), "event_id", "left_anti"
+    )
+    for i, sl in enumerate([first, heartbeat, late]):
+        tmp = os.path.join(base, f"slice{i}")
+        sl.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(replay, f"batch_{i:03d}.parquet")
+        _shutil.move(part, dst)
+        # FileStreamSource replays oldest-modification-time first; pin an
+        # artificial strictly-increasing mtime so batch order is the replay
+        # order by construction, not by write-latency accident
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    agg = (
+        stream.withWatermark("ts", LATE_WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+
+    target = os.path.join(base, "result")
+
+    def _sink(batch_df: DataFrame, epoch: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch)).write.mode("append").parquet(
+            target
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+    )
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    emitted = spark.read.parquet(target)
+    last = W.partitionBy("window_start", "event_type").orderBy(F.desc("epoch"))
+    final = (
+        emitted.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "event_type", "n_events")
+    )
+    # two scalar actions (replay size, surviving total) — audit arithmetic,
+    # not a data-sized collect
+    replayed = spark.read.parquet(replay).count()
+    survived = final.agg(F.sum("n_events").cast("long")).collect()[0][0] or 0
+    audit = spark.createDataFrame(
+        [(None, "__late_dropped__", replayed - survived)],
+        "window_start timestamp, event_type string, n_events bigint",
+    )
+    return final.unionByName(audit)

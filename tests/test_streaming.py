@@ -204,3 +204,82 @@ def test_late_data_dropped(spark, tmp_path):
     rows = {r["ws"].isoformat(): r["n"] for r in spark.table("t_late_sink").collect()}
     # hour-0 window: only the on-time event; the late arrival (id=3) dropped
     assert rows.get("2024-01-01T00:00:00") == 1
+
+
+def test_late_audit_metric_counts_state_groups(spark, tmp_path):
+    """Pin the discovered granularity of ``numRowsDroppedByWatermark``: it
+    counts rows entering the state store — i.e. post-partial-aggregation
+    (window, type) groups — not raw late rows.  Controlled replay: one
+    on-time batch, one heartbeat, one late batch of 4 raw rows spanning 2
+    distinct closed windows in a single input partition → metric must be 2,
+    while the audit row reports all 4."""
+    import glob
+    import os
+    import shutil
+
+    def slice_file(rows, i):
+        df = spark.createDataFrame(
+            rows, "event_id long, s string, event_type string"
+        ).select("event_id", F.col("s").cast("timestamp").alias("ts"), "event_type")
+        tmp = str(tmp_path / f"s{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = str(tmp_path / "replay" / f"batch_{i:03d}.parquet")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+
+    # on-time batch: max ts 2024-01-03 00:00 → wm = Jan 2 00:00 after 24h
+    slice_file([(1, "2024-01-03 00:00:00", "view")], 0)
+    # heartbeat (min ts of the on-time data in the real operator; here any
+    # row that does not raise the max)
+    slice_file([(2, "2024-01-02 12:00:00", "view")], 1)
+    # late: 4 raw rows, 2 distinct closed hour-windows (ends Jan 1 01:00 /
+    # 02:00, both <= wm Jan 2 00:00)
+    slice_file(
+        [
+            (3, "2024-01-01 00:10:00", "view"),
+            (4, "2024-01-01 00:20:00", "view"),
+            (5, "2024-01-01 01:10:00", "view"),
+            (6, "2024-01-01 01:20:00", "view"),
+        ],
+        2,
+    )
+    replay = str(tmp_path / "replay")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    agg = (
+        stream.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda b, e: b.count())
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drops = [
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    ]
+    assert sum(drops) == 2, drops  # groups, not the 4 raw rows
+
+
+def test_late_audit_sentinel_nonvacuous(spark, sf_dir):
+    """The fixture replay must actually drop rows (otherwise the audit query
+    proves nothing) and kept + dropped must reconstruct the full table."""
+    from hadoopmapreduce_spark.streaming.windowed import streaming_late_data_audit
+    from hadoopmapreduce_spark.catalog import load_table
+
+    rows = streaming_late_data_audit(spark, sf_dir).collect()
+    dropped = [r for r in rows if r["event_type"] == "__late_dropped__"]
+    assert len(dropped) == 1 and dropped[0]["n_events"] > 0
+    total = sum(r["n_events"] for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
