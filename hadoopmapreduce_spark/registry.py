@@ -71,6 +71,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "udaf_tdigest_quantiles",
     "streaming_late_data_audit",
+    "streaming_dim_refresh_enrich",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",

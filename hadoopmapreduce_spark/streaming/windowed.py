@@ -725,3 +725,142 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start timestamp, event_type string, n_events bigint",
     )
     return final.unionByName(audit)
+
+
+# --------------------------------------------------------------------------
+# dim-refresh enrichment — stream-static join where the static side moves
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dim_refresh_enrich",
+    oracle="""
+    WITH dim1 AS (
+      SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer),
+    dim2 AS (
+      SELECT c_custkey AS user_id,
+             upper(c_mktsegment) ||
+               CASE WHEN c_custkey % 5 = 0 THEN '_MIGRATED' ELSE '' END AS segment
+      FROM customer),
+    enr AS (
+      SELECT COALESCE(CASE WHEN e.event_id % 3 = 0 THEN d1.segment END,
+                      CASE WHEN e.event_id % 3 <> 0 THEN d2.segment END)
+               AS segment,
+             e.value
+      FROM events e
+      LEFT JOIN dim1 d1 ON e.event_id % 3 = 0 AND e.user_id = d1.user_id
+      LEFT JOIN dim2 d2 ON e.event_id % 3 <> 0 AND e.user_id = d2.user_id
+      WHERE e.event_type = 'purchase')
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total_value
+    FROM enr
+    WHERE segment IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def streaming_dim_refresh_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment where the static side is REFRESHED while
+    the stream runs — the production reality ``streaming_static_enrich``
+    idealizes away: reference data changes under a running job, and the
+    contract is that each micro-batch joins against the snapshot current at
+    its trigger (a dim refresh lands at the next trigger, never mid-batch).
+
+    Two dim snapshots are published to parquet up front (v1: raw market
+    segment; v2: a deterministic migration — uppercased, every 5th customer
+    suffixed ``_MIGRATED``).  The replay is the deterministic 3-file split
+    (``event_id % 3``, mtime-ordered), and ``foreachBatch`` re-reads the
+    CURRENT snapshot directory at each epoch — v2 is published after epoch
+    0 commits, so epoch 0 enriches via v1 and epochs 1-2 via v2.  The
+    oracle replays exactly that slice→snapshot mapping in SQL, so a replay
+    that joined the wrong snapshot version flips the hash.
+
+    Scale shape: the per-batch dim read is one broadcast-sized scan per
+    trigger (rate-limited by trigger cadence, not per-row lookups); the
+    join is broadcast so the stream side never shuffles.  Enriched rows
+    append to the sink with their epoch; the final per-segment totals stay
+    in the exact decimal domain."""
+    import glob as _glob
+    import shutil as _shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    base = work_dir("stream_dim_refresh", sf_dir, fresh=True)
+    replay = os.path.join(base, "replay")
+    os.makedirs(replay)
+
+    dim_v1 = cust.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    dim_v2 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat(
+            F.upper("c_mktsegment"),
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("_MIGRATED")).otherwise(
+                F.lit("")
+            ),
+        ).alias("segment"),
+    )
+    current = os.path.join(base, "dim_current")
+    pending = os.path.join(base, "dim_pending")
+    dim_v1.write.parquet(current)
+    dim_v2.write.parquet(pending)
+
+    for i in range(3):
+        sl = ev.filter(F.col("event_id") % 3 == i)
+        tmp = os.path.join(base, f"slice{i}")
+        sl.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(replay, f"batch_{i:03d}.parquet")
+        _shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    target = os.path.join(base, "result")
+
+    def _enrich(batch_df: DataFrame, epoch: int) -> None:
+        dim = spark.read.parquet(current)
+        batch_df.join(F.broadcast(dim), "user_id").select(
+            "segment", F.col("value").cast("decimal(18,6)").alias("value")
+        ).write.mode("append").parquet(target)
+        if epoch == 0:
+            # the refresh: v2 becomes current AFTER this batch commits, so
+            # the next trigger (and every later one) picks it up
+            _shutil.rmtree(current)
+            _shutil.move(pending, current)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+    )
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_enrich)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return (
+        spark.read.parquet(target)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("value").cast("decimal(28,6)").cast("double").alias("total_value"),
+        )
+    )

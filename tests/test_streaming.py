@@ -283,3 +283,18 @@ def test_late_audit_sentinel_nonvacuous(spark, sf_dir):
     assert len(dropped) == 1 and dropped[0]["n_events"] > 0
     total = sum(r["n_events"] for r in rows)
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_dim_refresh_sees_both_versions(spark, sf_dir):
+    """Epoch 0 must enrich via dim v1 (no _MIGRATED suffix) and later epochs
+    via v2 — so the output contains migrated segments, and only migrated
+    rows from the non-first slices (the oracle pins exact counts; this pins
+    non-vacuity of the version switch)."""
+    from hadoopmapreduce_spark.streaming.windowed import (
+        streaming_dim_refresh_enrich,
+    )
+
+    rows = streaming_dim_refresh_enrich(spark, sf_dir).collect()
+    segs = {r["segment"] for r in rows}
+    assert any(s.endswith("_MIGRATED") for s in segs)
+    assert any(not s.endswith("_MIGRATED") for s in segs)
