@@ -458,3 +458,97 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# multi-probe bloom — k=3 hash functions over a dense broadcast word array
+# --------------------------------------------------------------------------
+
+BLOOM_K = 3
+BLOOM_WORDS = BLOOM_BITS // 64
+
+
+@query(
+    "join_bloom_multiprobe",
+    oracle=f"""
+    SELECT s.s_name AS supp_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l.l_extendedprice', 2)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 9000
+    GROUP BY 1
+    """,
+)
+def join_bloom_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=3 sibling of ``join_bloom_prefilter``: three independent hash
+    probes per key against ONE dense 4096-bit bloom carried as a 64-word
+    ``array<bigint>`` scalar.  k>1 is what production blooms use — at equal
+    bits, 3 probes cut the false-positive rate from the k=1 fill ratio p to
+    ~(1-e^(-kn/m))^3 (pinned against theory in
+    tests/test_behavioral_semantics.py).
+
+    Mechanics differ from the k=1 variant on purpose, covering the second
+    of the two portable bloom layouts: instead of joining probe rows to a
+    64-row (word → bits) table, the whole filter collapses to a 1-row array
+    via ``array_sort(collect_list(struct(word, bits)))`` (sort makes the
+    driver-free array construction deterministic), broadcast with a scalar
+    cross-join, and probed by ``element_at`` + mask AND per hash — k
+    codegen conjuncts, zero extra joins, so the probe side never shuffles
+    at any scale.  Seeds come from ``xxhash64(key, seed_i)`` (Spark-side
+    only, never compared cross-engine).  False positives only waste probe
+    rows; the exact broadcast join behind the filter makes the result equal
+    to the plain join, which is what the oracle runs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_name")
+    )
+
+    def slot(key: str, seed: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(BLOOM_BITS))
+
+    exploded = dim.select(
+        F.explode(
+            F.array(*[slot("s_suppkey", i) for i in range(BLOOM_K)])
+        ).alias("s")
+    ).select(
+        (F.col("s") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(s % 64 as int))").alias("mask"),
+    )
+    words = exploded.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    dense = (
+        spark.range(BLOOM_WORDS)
+        .withColumnRenamed("id", "word")
+        .join(words, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+    )
+    bloom = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))),
+            lambda x: x["bits"],
+        ).alias("bw")
+    )
+
+    probed = li.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        s = f"pmod(xxhash64(l_suppkey, {i}), {BLOOM_BITS})"
+        probe = (
+            f"(element_at(bw, cast({s} div 64 as int) + 1) & "
+            f"shiftleft(cast(1 as bigint), cast({s} % 64 as int))) != 0"
+        )
+        cond = cond & F.expr(probe)
+    pruned = probed.filter(cond).drop("bw")
+
+    return (
+        pruned.join(F.broadcast(dim), pruned["l_suppkey"] == dim["s_suppkey"])
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 2).alias("revenue"),
+        )
+    )

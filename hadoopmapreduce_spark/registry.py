@@ -72,6 +72,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "udaf_tdigest_quantiles",
     "streaming_late_data_audit",
     "streaming_dim_refresh_enrich",
+    "join_bloom_multiprobe",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",

@@ -224,3 +224,58 @@ def test_bloom_false_positive_rate_within_theory(spark, sf_dir):
     fpr = hits / max(1, n_set)
     bound = n_set / BLOOM_BITS  # k=1 fill ratio
     assert fpr <= 5 * bound + 0.05, (fpr, bound, n_set)
+
+
+def test_multiprobe_bloom_fp_rate_within_theory(spark, sf_dir):
+    """k=3 bloom: probing absent keys must pass all three probes at roughly
+    the theoretical (1 - e^(-kn/m))^k — far below the k=1 fill ratio, which
+    is the whole point of multi-probe.  A mask/word math bug (e.g. probes
+    accidentally correlated) shows up as a rate near the k=1 bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.joins import BLOOM_BITS, BLOOM_K
+
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    n_set = dim.count()
+    slots = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64("s_suppkey", F.lit(i)), F.lit(BLOOM_BITS)
+                    )
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("s")
+    ).distinct()
+    slot_set = {r["s"] for r in slots.collect()}  # ≤ 3·n_set ints — tiny
+    # absent keys: far past any real suppkey; widen the probe pool so the
+    # measured rate has resolution even when n_set is small
+    absent = spark.range(20_000).select((F.col("id") + 50_000_000).alias("k"))
+    probe = absent.select(
+        "k",
+        *[
+            F.pmod(F.xxhash64("k", F.lit(i)), F.lit(BLOOM_BITS)).alias(f"s{i}")
+            for i in range(BLOOM_K)
+        ],
+    ).collect()
+    fp = sum(
+        1
+        for r in probe
+        if all(r[f"s{i}"] in slot_set for i in range(BLOOM_K))
+    )
+    fpr = fp / len(probe)
+    fill = 1.0 - math.exp(-BLOOM_K * n_set / BLOOM_BITS)
+    theory = fill**BLOOM_K
+    assert fpr <= 5 * theory + 0.01, (fpr, theory, n_set)
+    # and it must beat the k=1 bound when the filter is meaningfully loaded
+    if n_set >= 32:
+        assert fpr < n_set / BLOOM_BITS, (fpr, n_set / BLOOM_BITS)
