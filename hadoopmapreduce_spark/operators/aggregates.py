@@ -1344,3 +1344,73 @@ def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_weighted_quantile_exact",
+    oracle="""
+    WITH pv AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS wt
+      FROM lineitem GROUP BY 1, 2),
+    cw AS (
+      SELECT flag, price, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM pv),
+    qs AS (SELECT unnest([1, 2, 3]) AS qn)
+    SELECT flag, CAST(qn AS DOUBLE) / 4 AS q, MIN(price) AS wquantile
+    FROM cw CROSS JOIN qs
+    WHERE cum * 4 >= tot * qn
+    GROUP BY flag, qn
+    """,
+)
+def agg_weighted_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (q ∈ {.25, .5, .75}) of extendedprice
+    weighted by quantity, per return flag — the lower-weighted-quantile
+    definition: the smallest x whose cumulative weight reaches q·W.  The
+    deterministic exact counterpart to the t-digest sketch
+    (``udaf_tdigest_quantiles``): same question, sort-based answer.
+
+    Determinism discipline: weights collapse to one row per (flag, price)
+    FIRST (so the cumulative sum is over unique, totally-ordered keys —
+    never order-dependent within ties), weights accumulate in
+    DECIMAL(28,2), and the threshold test is integer-scaled
+    (``cum·4 ≥ tot·qn``) instead of a float multiply.  Scale shape: one
+    partial-agg groupBy plus one window over (flag)-partitioned unique
+    prices — the window's sort is per-flag, not global, and at 100 TB the
+    grouped pre-aggregation has already crushed the row count to distinct
+    price points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("wt")
+        )
+    )
+    run = W.partitionBy("flag").orderBy("price").rowsBetween(W.unboundedPreceding, 0)
+    cw = pv.select(
+        "flag",
+        "price",
+        F.sum("wt").over(run).alias("cum"),
+        F.sum("wt").over(W.partitionBy("flag")).alias("tot"),
+    )
+    qs = spark.range(1, 4).select(F.col("id").cast("int").alias("qn"))
+    return (
+        cw.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 4 >= F.col("tot") * F.col("qn"))
+        .groupBy("flag", "qn")
+        .agg(F.min("price").alias("wquantile"))
+        .select(
+            "flag",
+            (F.col("qn").cast("double") / 4).alias("q"),
+            "wquantile",
+        )
+    )

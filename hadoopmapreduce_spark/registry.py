@@ -73,6 +73,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "streaming_late_data_audit",
     "streaming_dim_refresh_enrich",
     "join_bloom_multiprobe",
+    "agg_weighted_quantile_exact",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",

@@ -279,3 +279,26 @@ def test_multiprobe_bloom_fp_rate_within_theory(spark, sf_dir):
     # and it must beat the k=1 bound when the filter is meaningfully loaded
     if n_set >= 32:
         assert fpr < n_set / BLOOM_BITS, (fpr, n_set / BLOOM_BITS)
+
+
+def test_weighted_quantile_literal_semantics(spark, monkeypatch):
+    """Pin the lower-weighted-quantile rule on hand-computable data:
+    prices 10/20/30 with weights 1/1/2 → W=4; q=.25 → cum(10)=1 ≥ 1;
+    q=.5 → cum(20)=2 ≥ 2; q=.75 → cum(30)=4 ≥ 3."""
+    from pyspark.sql import functions as F
+
+    import hadoopmapreduce_spark.operators.aggregates as ag
+
+    li = spark.createDataFrame(
+        [("A", 10.0, 1.0), ("A", 20.0, 1.0), ("A", 30.0, 2.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.aggregates.load_table",
+        lambda spark_, sf_dir, name: li,
+    )
+    rows = {
+        r["q"]: r["wquantile"]
+        for r in ag.agg_weighted_quantile_exact(spark, "x").collect()
+    }
+    assert rows == {0.25: 10.0, 0.5: 20.0, 0.75: 30.0}
