@@ -552,3 +552,88 @@ def join_bloom_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join — bucketed, with canonical-bucket dedup
+# --------------------------------------------------------------------------
+
+IVL_ANCHOR = "1992-01-01"  # week-bucket epoch, aligned to the TPC-H date range
+IVL_WEEKS = 372            # covers 1992..1999
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH iv AS (
+      SELECT l_shipdate AS s,
+             CAST(l_shipdate + to_days(CAST(l_quantity AS INT) % 28) AS DATE) AS e
+      FROM lineitem),
+    weeks AS (
+      SELECT CAST(DATE '{IVL_ANCHOR}' + to_days(7 * CAST(k.k AS INT)) AS DATE) AS ws,
+             CAST(DATE '{IVL_ANCHOR}' + to_days(7 * CAST(k.k AS INT) + 6) AS DATE) AS we
+      FROM (SELECT unnest(range(0, {IVL_WEEKS})) AS k) k
+      WHERE k.k % 4 = 0)
+    SELECT w.ws AS week_start, CAST(COUNT(*) AS BIGINT) AS n_overlapping
+    FROM iv a JOIN weeks w ON a.s <= w.we AND w.ws <= a.e
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join done the way it must be done at 100 TB: both
+    sides keyed to fixed-width time buckets and EQUI-joined on the bucket,
+    with the exact overlap predicate applied after co-location — never the
+    naive theta-join (which Spark can only execute as broadcast-nested-loop
+    and an oracle CAN run, which is exactly what the DuckDB twin does).
+
+    Shipping intervals [shipdate, shipdate + quantity%28 days] (the fixture
+    carries no receiptdate; the synthetic end is deterministic in both
+    engines) against every 4th calendar week since {IVL_ANCHOR}.  The fact
+    side explodes into the ≤5 week-buckets its interval spans; the week
+    side IS its bucket (bucket width == interval width on that side).
+
+    The subtle part is dedup without ``distinct``: a fact interval spanning
+    several promo weeks meets each week in multiple shared buckets, so the
+    join keeps only the CANONICAL bucket — the bucket containing
+    ``greatest(interval_start, week_start)``, i.e. where the overlap
+    begins.  Every overlapping pair survives exactly once, by arithmetic
+    instead of a dedup shuffle (the fixture's duplicated
+    (l_orderkey, l_linenumber) pairs make row-identity dedup unsafe here
+    anyway).  One explode + one shuffle-equi-join + one partial-agg count:
+    linear, skew-free (buckets are time-uniform), AQE-compatible."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("s"),
+        F.date_add(
+            "l_shipdate", F.pmod(F.col("l_quantity").cast("int"), F.lit(28))
+        ).alias("e"),
+    )
+    anchor = F.lit(IVL_ANCHOR).cast("date")
+    weeks = (
+        spark.range(IVL_WEEKS)
+        .filter(F.col("id") % 4 == 0)
+        .select(
+            F.col("id").cast("int").alias("bucket"),
+            F.date_add(anchor, (F.col("id") * 7).cast("int")).alias("ws"),
+            F.date_add(anchor, (F.col("id") * 7 + 6).cast("int")).alias("we"),
+        )
+    )
+    fact = li.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.datediff(F.col("s"), anchor) / 7).cast("int"),
+                (F.datediff(F.col("e"), anchor) / 7).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    overlap = (F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e"))
+    canonical = (
+        F.datediff(F.greatest(F.col("s"), F.col("ws")), anchor) / 7
+    ).cast("int") == F.col("bucket")
+    return (
+        fact.join(weeks, "bucket")
+        .filter(overlap & canonical)
+        .groupBy(F.col("ws").alias("week_start"))
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )

@@ -396,3 +396,15 @@ def test_filtered_knn_predicate_reaches_scan(spark, sf_dir):
 
     plan = physical_plan(knn_filtered_topk(spark, sf_dir))
     assert "PushedFilters:" in plan and "label" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """The bucketed interval join must execute as an equi-join on the
+    bucket — never a nested-loop theta join (that would be the shape that
+    dies at 100 TB and is the whole reason the operator exists)."""
+    from hadoopmapreduce_spark.operators.joins import join_interval_overlap
+
+    df = join_interval_overlap(spark, sf_dir)
+    assert_not_contains(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+    plan = physical_plan(df)
+    assert "Join" in plan  # and it joins via hash/sort-merge on the bucket
