@@ -231,3 +231,105 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f"{MM_CHUNK_BYTES})")
         ).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking — variable boundaries that survive insertions
+# --------------------------------------------------------------------------
+
+CDC_WINDOW = 16   # boundary-decision window (chars)
+CDC_MASK = 64     # boundary iff window-hash % CDC_MASK == 0 → ~64-char chunks
+
+
+@query(
+    "mm_cdc_chunking",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+             CAST(i.i AS BIGINT) AS i
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, CAST(greatest(length(text) - {CDC_WINDOW} + 1, 1) AS BIGINT) + 1)) AS i) i),
+    bnd AS (
+      SELECT doc_id, text, n, i
+      FROM pos
+      WHERE i = 1
+         OR (i + {CDC_WINDOW} - 1 <= n
+             AND ('0x' || substr(md5(substr(text, CAST(i AS INT), {CDC_WINDOW})), 1, 8))::BIGINT
+                 % {CDC_MASK} = 0)),
+    chunks AS (
+      SELECT doc_id, text, n, i AS start_pos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT)
+               AS chunk_idx,
+             COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i), n + 1)
+               AS next_pos
+      FROM bnd)
+    SELECT doc_id, chunk_idx, start_pos,
+           CAST(next_pos - start_pos AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(start_pos AS INT),
+                      CAST(next_pos - start_pos AS INT))) AS chunk_hash
+    FROM chunks
+    WHERE next_pos > start_pos
+    """,
+)
+def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS family): a chunk boundary opens
+    wherever the hash of the local {CDC_WINDOW}-char window ≡ 0 (mod
+    {CDC_MASK}), so boundaries are a function of CONTENT, not offset — an
+    insertion re-chunks only its neighborhood, while the fixed-size
+    manifest (``mm_chunk_manifest``) shifts every later chunk.  That
+    stability is what makes chunk-hash dedup work across document
+    revisions, the storage-level dedup primitive under backup/blob systems.
+
+    The rolling hash is the repo's engine-portable md5-prefix integer (same
+    construction both engines, NOTES.md playbook #6) rather than a true
+    Rabin fingerprint — boundary QUALITY (uniform ~{CDC_MASK}-char chunks)
+    is identical, only incremental computability differs, which matters to
+    a byte-stream chunker but not to a set-oriented engine evaluating all
+    windows at once.  Shape: char-linear position explode (repartitioned
+    before the fan-out like ``dedup_substring_spans``), boundary filter,
+    one per-doc window pass (LEAD over boundary offsets), then substring +
+    hash per chunk — no shuffle larger than the boundary set."""
+    from pyspark.sql import Window as W
+
+    w, m = CDC_WINDOW, CDC_MASK
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").cast("long").alias("n"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n") - w + 1, F.lit(1)))
+        ).alias("i"),
+    )
+    is_boundary = (F.col("i") == 1) | (
+        (F.col("i") + w - 1 <= F.col("n"))
+        & (
+            F.conv(F.substring(F.md5(F.expr(f"substring(text, i, {w})")), 1, 8), 16, 10)
+            .cast("long")
+            % m
+            == 0
+        )
+    )
+    bnd = pos.filter(is_boundary)
+    ww = W.partitionBy("doc_id").orderBy("i")
+    chunks = bnd.select(
+        "doc_id",
+        "text",
+        "n",
+        F.col("i").cast("long").alias("start_pos"),
+        F.row_number().over(ww).cast("long").alias("chunk_idx"),
+        F.coalesce(F.lead("i").over(ww), F.col("n") + 1).alias("next_pos"),
+    )
+    return chunks.filter(F.col("next_pos") > F.col("start_pos")).select(
+        "doc_id",
+        "chunk_idx",
+        "start_pos",
+        (F.col("next_pos") - F.col("start_pos")).cast("long").alias("chunk_len"),
+        F.md5(
+            F.expr("substring(text, cast(start_pos as int), cast(next_pos - start_pos as int))")
+        ).alias("chunk_hash"),
+    )

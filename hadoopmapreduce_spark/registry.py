@@ -75,6 +75,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "join_bloom_multiprobe",
     "agg_weighted_quantile_exact",
     "join_interval_overlap",
+    "mm_cdc_chunking",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
@@ -90,7 +91,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "join_broadcast_dim_chain",
     "window_topk_per_group",
     "set_union_all_counts",
-    "sort_topk_orders",
 )
 
 

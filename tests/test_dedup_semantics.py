@@ -194,3 +194,40 @@ def test_substring_spans_within_doc_repeat(spark, monkeypatch):
     assert rows[0]["dup_spans"] == 2
     assert rows[0]["dup_chars"] == 60
     assert 1 not in rows
+
+
+def test_cdc_chunks_survive_insertion(spark, monkeypatch):
+    """The content-defined property: inserting text mid-document must leave
+    the chunking of the untouched tail intact (shared chunk hashes), which
+    is exactly what fixed-size chunking cannot do when the insertion isn't
+    chunk-aligned."""
+    import hadoopmapreduce_spark.operators.multimodal as mm
+
+    prefix = _hex_chain("prefix", 400)
+    tail = _hex_chain("tail", 400)
+    inserted = _hex_chain("ins", 37)  # deliberately not 64-aligned
+    docs = spark.createDataFrame(
+        [
+            (0, prefix + tail, "en", "src0", 800),
+            (1, prefix + inserted + tail, "en", "src0", 837),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.multimodal.load_table",
+        lambda spark_, sf_dir, name: docs,
+    )
+    rows = mm.mm_cdc_chunking(spark, "x").collect()
+    h0 = {r["chunk_hash"] for r in rows if r["doc_id"] == 0}
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    shared = h0 & h1
+    # boundaries re-synchronize after the insertion: the tail's chunks (and
+    # usually the prefix's) dedup across the two revisions
+    assert shared, "no chunk survived the insertion — not content-defined"
+    # and the fixed-size manifest on the same pair shares nothing after the
+    # unaligned insertion (beyond the identical prefix chunks)
+    fixed = mm.mm_chunk_manifest(spark, "x").collect()
+    f0 = [r["chunk_hash"] for r in fixed if r["doc_id"] == 0]
+    f1 = [r["chunk_hash"] for r in fixed if r["doc_id"] == 1]
+    n_prefix_aligned = len(prefix) // mm.MM_CHUNK_BYTES
+    assert set(f0[n_prefix_aligned:]) & set(f1[n_prefix_aligned:]) == set()
