@@ -228,3 +228,100 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", 2).alias("total_price"),
     )
+
+
+@query(
+    "scan_nested_struct_pruned",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum("l.l_quantity", 2)} AS sum_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def scan_nested_struct_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-columnar layout round trip: denormalize order → customer
+    struct + SORTED lineitem array into one nested parquet (the
+    document-shaped layout wide lakehouse tables actually use), then answer
+    a per-segment rollup reading ONLY ``cust.mktsegment`` and
+    ``items.l_quantity`` — nested schema pruning means the scan touches two
+    leaf columns out of the whole nested tree (pinned in tests/
+    test_plans.py via ReadSchema).
+
+    Determinism: ``collect_list`` order is partition-dependent, so the item
+    array is ``array_sort``-ed (struct sort = total multiset order — safe
+    even though the fixture reuses (l_orderkey, l_linenumber) pairs at
+    sf≥0.1); the per-order item sum folds the sorted array in fixed order
+    via ``aggregate`` in the decimal domain.  The oracle recomputes from
+    the FLAT tables — equality proves the denormalize/renormalize round
+    trip loses nothing.  At 100 TB the nested write is one fact-side
+    shuffle (order key), and every later query over the nested copy reads
+    just its leaf columns — the read-amplification win that justifies the
+    layout."""
+    tmp = work_dir("nested", sf_dir)
+    target = os.path.join(tmp, "orders_nested")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("items")
+    )
+    nested = (
+        o.join(F.broadcast(c).hint("broadcast"), o.o_custkey == c.c_custkey)
+        .join(items, o.o_orderkey == items.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.struct("c_name", "c_mktsegment", "c_acctbal").alias("cust"),
+            "items",
+        )
+    )
+    nested.write.mode("overwrite").parquet(target)
+
+    ndf = spark.read.parquet(target)
+    # items.l_quantity is lifted to a top-level array FIRST
+    # (GetArrayStructFields — a shape the nested-pruning rule rewrites into
+    # the scan).  Accessing the field inside the fold's lambda instead
+    # (x["l_quantity"]) defeats NestedColumnAliasing and the scan reads the
+    # whole item struct — measured here, and pinned in tests/test_plans.py.
+    return (
+        ndf.select(
+            F.col("cust.c_mktsegment").alias("mktsegment"),
+            F.col("items.l_quantity").alias("qtys"),
+        )
+        .select(
+            "mktsegment",
+            F.size("qtys").alias("n_items_row"),
+            F.aggregate(
+                F.col("qtys"),
+                F.lit(0).cast("decimal(18,2)"),
+                # re-cast per step: decimal + widens to (19,2), which must
+                # fold back to the accumulator type (per-order qty ≤ 7×50,
+                # nowhere near the (18,2) bound)
+                lambda acc, x: (acc + x.cast("decimal(18,2)")).cast(
+                    "decimal(18,2)"
+                ),
+            ).alias("qty_row"),
+        )
+        .groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items_row").cast("long").alias("n_items"),
+            F.sum("qty_row").cast("double").alias("sum_qty"),
+        )
+    )

@@ -35,6 +35,19 @@ def assert_not_contains(df: DataFrame, *needles: str) -> None:
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:
-    """All ReadSchema column lists from parquet scans in the plan."""
-    plan = physical_plan(df)
-    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    """All ReadSchema column lists from parquet scans in the plan.
+
+    Captures to end-of-line (a nested ReadSchema contains inner ``>``
+    which the old first-``>`` capture chopped mid-struct), and widens
+    ``spark.sql.maxMetadataStringLength`` for the duration — the default
+    100-char explain truncation hides trailing leaf columns exactly when a
+    test needs to see them."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    try:
+        plan = physical_plan(df)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    return re.findall(r"ReadSchema: struct<(.*)$", plan, re.MULTILINE)

@@ -76,6 +76,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "agg_weighted_quantile_exact",
     "join_interval_overlap",
     "mm_cdc_chunking",
+    "scan_nested_struct_pruned",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
@@ -90,7 +91,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "agg_salted_skew",
     "join_broadcast_dim_chain",
     "window_topk_per_group",
-    "set_union_all_counts",
 )
 
 

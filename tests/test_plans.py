@@ -408,3 +408,19 @@ def test_interval_overlap_is_equi_join(spark, sf_dir):
     assert_not_contains(df, "BroadcastNestedLoopJoin", "CartesianProduct")
     plan = physical_plan(df)
     assert "Join" in plan  # and it joins via hash/sort-merge on the bucket
+
+
+def test_nested_scan_prunes_to_leaf_columns(spark, sf_dir):
+    """Nested schema pruning: the scan over the denormalized nested parquet
+    must read only the two leaf fields the rollup touches — reading the
+    whole cust struct or item array would be the read-amplification the
+    layout exists to avoid."""
+    from hadoopmapreduce_spark.operators.layout import scan_nested_struct_pruned
+
+    df = scan_nested_struct_pruned(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert schemas, "no parquet scan found"
+    s = schemas[0]
+    assert "c_mktsegment" in s and "l_quantity" in s
+    for dropped in ("c_name", "c_acctbal", "l_extendedprice", "o_totalprice"):
+        assert dropped not in s, (dropped, s)
