@@ -325,3 +325,61 @@ def scan_nested_struct_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty_row").cast("double").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_partition_pruned_dynamic",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-01', '1995-02', '1995-03')
+    GROUP BY 1
+    """,
+)
+def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — the partition-elimination Spark
+    applies when the pruning predicate lives on the OTHER side of a join:
+    the fact table is hive-partitioned by month, the quarter→month mapping
+    exists only in a dim table, and the query filters on quarter.  A static
+    planner must scan all ~81 month partitions; DPP broadcasts the filtered
+    dim's join keys first and injects them as a runtime partition filter
+    (``dynamicpruningexpression`` — pinned in tests/test_plans.py), so the
+    scan opens 3 directories.
+
+    At 100 TB this is THE difference between reading a quarter and reading
+    seven years: ``sink_partitioned_pruned`` pins static pruning (predicate
+    directly on the partition column); this pins the join-driven case a
+    star schema actually hits.  The month dim is built from the fact's own
+    distinct months (a real deployment reads its date dim); revenue stays
+    decimal-domain.  The oracle inlines the quarter→month mapping, making
+    spark-vs-oracle a true DPP-correctness check, not a tautology."""
+    tmp = work_dir("dpp", sf_dir)
+    target = os.path.join(tmp, "orders_by_month")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.mode("overwrite").partitionBy("month").parquet(target)
+
+    fact = spark.read.parquet(target)
+    dim = (
+        fact.select("month")
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("month", 1, 4),
+                F.lit("-Q"),
+                F.ceil(F.substring("month", 6, 2).cast("int") / 3).cast("string"),
+            ),
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("quarter") == "1995-Q1")), "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+    )

@@ -590,3 +590,54 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("end_month"),
         F.count(F.lit(1)).alias("streak_months"),
     ).drop("island_key")
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — which no SQL engine
+    supports directly (distinct aggregates are banned in window frames) —
+    via the first-occurrence-flag identity: a value contributes to the
+    running distinct count exactly at its first appearance, so
+    ``row_number() per (key, value) == 1`` summed cumulatively IS the
+    running distinct count.  Per user: how many distinct event types they
+    had produced as of each event.
+
+    Two window passes over the same user-keyed partitioning (the second
+    sort subsumes the first's), tie-broken to a total order by
+    (ts, event_id) since the fixture has same-timestamp events.  Scale:
+    both windows partition by user_id — no global sort anywhere; state is
+    one row per in-flight (user, type) at the first pass and a running
+    scalar at the second."""
+    e = load_table(spark, sf_dir, "events")
+    first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(run).cast("long").alias("distinct_types_so_far"),
+        )
+    )

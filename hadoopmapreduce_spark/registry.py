@@ -77,6 +77,8 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "join_interval_overlap",
     "mm_cdc_chunking",
     "scan_nested_struct_pruned",
+    "join_partition_pruned_dynamic",
+    "window_running_distinct",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
@@ -89,8 +91,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "sessionize_events",
     "agg_salted_skew",
-    "join_broadcast_dim_chain",
-    "window_topk_per_group",
 )
 
 

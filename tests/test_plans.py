@@ -424,3 +424,16 @@ def test_nested_scan_prunes_to_leaf_columns(spark, sf_dir):
     assert "c_mktsegment" in s and "l_quantity" in s
     for dropped in ("c_name", "c_acctbal", "l_extendedprice", "o_totalprice"):
         assert dropped not in s, (dropped, s)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The join-driven quarter filter must reach the partitioned fact scan
+    as a runtime partition filter — a static plan reads all ~81 month
+    directories and DPP is the only mechanism that can cut them."""
+    from hadoopmapreduce_spark.operators.layout import (
+        join_partition_pruned_dynamic,
+    )
+
+    df = join_partition_pruned_dynamic(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
