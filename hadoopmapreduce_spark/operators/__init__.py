@@ -23,6 +23,7 @@ _MODULES = (
     "timeseries",
     "graph",
     "layout",
+    "sqltext",
 )
 
 

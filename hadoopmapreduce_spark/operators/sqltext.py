@@ -1,0 +1,71 @@
+"""[GEN] SQL-text interface: the engine's ``spark.sql`` surface as a
+first-class registered query.
+
+Every other query in the registry declares its plan through the DataFrame
+API; a user of the reference switching to this engine also gets plain SQL
+over the catalog (``register_views`` publishes every fixture table as a
+temp view; ``python -m hadoopmapreduce_spark run`` executes either form).
+This module pins that surface with queries whose Spark SQL string IS the
+oracle string — one text, two engines — restricted to the shared
+ANSI dialect both Spark and DuckDB parse identically (typed DATE literals,
+explicit DECIMAL casts for every float aggregate, CAST(COUNT AS BIGINT)).
+
+Reference parity: the reference has no SQL layer at all (ClickThru.java is
+the whole program); SURVEY.md §2.1 derives its semantics as a SQL query —
+``sql_shared_ctr`` runs exactly that derived statement as text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoopmapreduce_spark.catalog import register_views
+from hadoopmapreduce_spark.registry import query
+
+# one string, two engines — the shared-dialect discipline is the point
+SHARED_REVENUE_SQL = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY n.n_name
+"""
+
+SHARED_CTR_SQL = """
+SELECT e.props AS referrer_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM events e
+LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+WHERE e.event_type = 'view'
+GROUP BY e.props
+"""
+
+
+@query("sql_shared_revenue", oracle=SHARED_REVENUE_SQL)
+def sql_shared_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1995 revenue per nation, executed from SQL TEXT via ``spark.sql``
+    over the registered catalog views — the identical string runs as the
+    DuckDB oracle, so the check covers the SQL parser/analyzer surface, not
+    just the DataFrame layer.  Catalyst plans text and DataFrame forms into
+    the same physical tree (broadcast dims, partial aggs); nothing
+    perf-relevant changes at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_REVENUE_SQL)
+
+
+@query("sql_shared_ctr", oracle=SHARED_CTR_SQL)
+def sql_shared_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CTR semantics (SURVEY.md §2.1: existence join +
+    DISTINCT + grouped flag count, ClickThru.java:130-151) as one shared
+    SQL text over the events fixture — view events joined against the
+    distinct set of converting users.  The DISTINCT subquery is
+    load-bearing exactly as in the reference (N purchases count once)."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_CTR_SQL)

@@ -79,6 +79,8 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "scan_nested_struct_pruned",
     "join_partition_pruned_dynamic",
     "window_running_distinct",
+    "sql_shared_revenue",
+    "sql_shared_ctr",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
@@ -89,8 +91,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "sessionize_events",
-    "agg_salted_skew",
 )
 
 
