@@ -70,6 +70,10 @@ def main() -> None:
         "ts_gapfill_locf", "join_bucketed_colocated",
         "graph_bfs_distances", "join_bloom_prefilter",
         "event_attribution_last_touch",
+        # round-5 continuation families
+        "dedup_substring_spans", "mm_cdc_chunking", "join_interval_overlap",
+        "agg_weighted_quantile_exact", "join_partition_pruned_dynamic",
+        "window_running_distinct", "sql_shared_revenue",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",
