@@ -302,3 +302,53 @@ def test_weighted_quantile_literal_semantics(spark, monkeypatch):
         for r in ag.agg_weighted_quantile_exact(spark, "x").collect()
     }
     assert rows == {0.25: 10.0, 0.5: 20.0, 0.75: 30.0}
+
+
+def test_interval_overlap_matches_naive_join(spark, monkeypatch):
+    """Differential check on synthetic intervals: the bucketed+canonical
+    algorithm must count exactly the pairs the naive theta-join counts —
+    including intervals spanning many promo weeks (the canonical-bucket
+    dedup's hard case) and zero-length intervals."""
+    from pyspark.sql import functions as F
+
+    import hadoopmapreduce_spark.operators.joins as jn
+
+    # deterministic spread: ship dates across 1993-1994, lengths 0..27
+    rows = [
+        (i, f"1993-{1 + (i * 7) % 12:02d}-{1 + (i * 3) % 28:02d}", float((i * 11) % 28))
+        for i in range(300)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, d string, l_quantity double"
+    ).select(F.col("d").cast("date").alias("l_shipdate"), "l_quantity")
+    monkeypatch.setattr(
+        "hadoopmapreduce_spark.operators.joins.load_table",
+        lambda spark_, sf_dir, name: li,
+    )
+    bucketed = {
+        (r["week_start"], r["n_overlapping"])
+        for r in jn.join_interval_overlap(spark, "x").collect()
+    }
+    # naive: cross join + overlap predicate, counted per week
+    anchor = F.lit(jn.IVL_ANCHOR).cast("date")
+    iv = li.select(
+        F.col("l_shipdate").alias("s"),
+        F.date_add("l_shipdate", F.pmod(F.col("l_quantity").cast("int"), F.lit(28))).alias("e"),
+    )
+    weeks = (
+        spark.range(jn.IVL_WEEKS)
+        .filter(F.col("id") % 4 == 0)
+        .select(
+            F.date_add(anchor, (F.col("id") * 7).cast("int")).alias("ws"),
+            F.date_add(anchor, (F.col("id") * 7 + 6).cast("int")).alias("we"),
+        )
+    )
+    naive = {
+        (r["ws"], r["n"])
+        for r in iv.crossJoin(weeks)
+        .filter((F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e")))
+        .groupBy("ws")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert bucketed == naive

@@ -57,3 +57,28 @@ def test_q22_non_vacuous(spark, sf_dir):
     result proves nothing (round-2 finding)."""
     df = registry.QUERIES["q22_sales_opportunity"](spark, sf_dir)
     assert df.count() > 0
+
+
+def test_never_adjudicated_queries_sit_in_driver_window():
+    """The driver adjudicates the FIRST 50 of queries() per round; any
+    registered query with no verdict in any committed CORRECTNESS_r*.json
+    must therefore be inside that window, or it can never get a verdict.
+    Fails when someone registers a query without fronting it."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    adjudicated: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        adjudicated.update(json.load(open(path)).keys())
+    window = list(registry.ordered_queries())[:50]
+    missing = [
+        q
+        for q in registry.QUERIES
+        if q not in adjudicated and q not in window
+    ]
+    assert not missing, (
+        f"never-adjudicated queries outside the 50-query driver window: "
+        f"{missing} — add them to ADJUDICATION_PRIORITY"
+    )
