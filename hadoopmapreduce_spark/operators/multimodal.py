@@ -333,3 +333,50 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, cast(start_pos as int), cast(next_pos - start_pos as int))")
         ).alias("chunk_hash"),
     )
+
+
+from hadoopmapreduce_spark.registry import ORACLES as _ORACLES
+
+
+@query(
+    "mm_cdc_dedup_report",
+    oracle=f"""
+    WITH manifest AS ({_ORACLES["mm_cdc_chunking"]}),
+    per_hash AS (
+      SELECT chunk_hash,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(chunk_len) AS len
+      FROM manifest GROUP BY 1)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+           CAST(COUNT(*) AS BIGINT) AS uniq_chunks,
+           CAST(SUM(cnt - 1) AS BIGINT) AS dup_occurrences,
+           CAST(SUM((cnt - 1) * len) AS BIGINT) AS reclaimable_chars
+    FROM per_hash
+    """,
+)
+def mm_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-dedup answer on top of :func:`mm_cdc_chunking`: how many
+    content-defined chunks the corpus holds, how many are distinct, and how
+    many characters a chunk-store would reclaim by keeping one copy per
+    hash (identical hash ⇒ identical content ⇒ identical length, so
+    ``(cnt-1)·len`` is exact, not an estimate).  This is the number that
+    justifies CDC over fixed-size chunking for revision-heavy corpora —
+    the insertion-stability test in tests/test_dedup_semantics.py shows
+    WHY the reclaimable count survives edits.
+
+    Composes the registered manifest (Spark side reuses the same DataFrame;
+    the oracle wraps the manifest oracle as a CTE) — one extra groupBy on
+    the hash plus a global single-row fold: shuffle keyed on chunk_hash,
+    linear at any scale."""
+    manifest = mm_cdc_chunking(spark, sf_dir)
+    per_hash = manifest.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("chunk_len").alias("len")
+    )
+    return per_hash.agg(
+        F.sum("cnt").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).alias("uniq_chunks"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("dup_occurrences"),
+        F.sum((F.col("cnt") - 1) * F.col("len")).cast("long").alias(
+            "reclaimable_chars"
+        ),
+    )

@@ -81,6 +81,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "window_running_distinct",
     "sql_shared_revenue",
     "sql_shared_ctr",
+    "mm_cdc_dedup_report",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
@@ -90,7 +91,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "group_avg_ctr",
     "agg_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
 )
 
 
