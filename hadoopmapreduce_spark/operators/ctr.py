@@ -443,6 +443,72 @@ def scan_textkv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_textkv_writer_roundtrip",
+    oracle="""
+    WITH ctr AS (
+      SELECT CAST(i.ts AS DATE) AS view_date,
+             i.user_id % 10     AS cohort,
+             AVG(CASE WHEN c.user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ctr
+      FROM events i
+      LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type='click') c
+        ON i.user_id = c.user_id
+      WHERE i.event_type = 'view'
+      GROUP BY 1, 2
+    )
+    SELECT view_date, cohort,
+           CAST(ROUND(ctr * 10000) AS BIGINT) AS ctr_bp
+    FROM ctr
+    """,
+)
+def sink_textkv_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] WRITE side of the text-KV format as a first-class Spark sink:
+    the CTR result goes out through ``df.write.format("textkv")`` — the
+    Python Data Source writer (sources/textkv_source.py:TextKVWriter, task
+    staging + driver commit + ``_SUCCESS``, the FileOutputCommitter protocol
+    under the reference's TextOutputFormat, ``ClickThru.java:186-187``) —
+    then back in through the matching reader and is re-typed.  Complements
+    ``scan_textkv_source``, which exercises only the read half (its sink
+    goes through the built-in ``.text`` writer).
+
+    Scale: each write task streams its partition to one staged file (no
+    driver collect); commit is a metadata-only rename pass over one
+    message per task."""
+    import tempfile
+
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    outdir = tempfile.mkdtemp(prefix="hmr_textkv_w_")
+    flagged = _flagged_views(spark, sf_dir)
+    ctr = (
+        flagged.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("view_date", "cohort")
+        .agg(F.avg("clicked").alias("ctr"))
+    )
+    kv = ctr.select(
+        F.concat(
+            F.lit("["),
+            F.col("view_date").cast("string"),
+            F.lit(", "),
+            F.col("cohort").cast("string"),
+            F.lit("]"),
+        ).alias("key"),
+        F.round(F.col("ctr") * 10000, 0).cast("bigint").cast("string").alias("value"),
+    )
+    kv.write.format("textkv").mode("overwrite").save(outdir)
+    raw = spark.read.format("textkv").load(outdir)
+    return raw.select(
+        F.regexp_extract("key", r"^\[([^,]+), ([^\]]+)\]$", 1)
+        .cast("date")
+        .alias("view_date"),
+        F.regexp_extract("key", r"^\[([^,]+), ([^\]]+)\]$", 2)
+        .cast("bigint")
+        .alias("cohort"),
+        F.col("value").cast("bigint").alias("ctr_bp"),
+    )
+
+
+@query(
     "scan_dirty_json_quarantine",
     oracle="""
     WITH built AS (

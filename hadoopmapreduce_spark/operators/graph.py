@@ -435,6 +435,140 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+# k-core peel: k sits this far below the integer average degree.  The fixture
+# co-purchase graph is near-regular (degrees cluster tightly around the mean),
+# so k AT the mean collapses the core to empty in 2 rounds while k far below
+# it peels nothing; mean-20 is the regime where the peel cascades over
+# multiple rounds at every fixture SF (measured: fixpoint at round 5 for
+# sf0.001, round 4 for sf0.01).  The peel itself takes any k.
+KCORE_K_OFFSET = 20
+KCORE_ROUNDS = 6
+
+
+def kcore_peel_trace(
+    spark: SparkSession,
+    directed: DataFrame,
+    rounds: int = KCORE_ROUNDS,
+    k_offset: int = KCORE_K_OFFSET,
+) -> DataFrame:
+    """Bounded-round k-core degree peeling over ``directed`` (columns
+    ``src``, ``dst``, both directions present): repeatedly drop nodes whose
+    degree WITHIN the surviving subgraph is below k, and report the
+    per-round survivor census ``(round, n_nodes, n_edges)`` — round 0 is
+    the input graph, round r the graph after r peels.
+
+    k-core is the classic degree-peeling decomposition (Seidman 1983;
+    the BSP formulation is the standard Pregel/Giraph example alongside
+    PageRank and BFS).  k is data-derived: ``avg_degree - k_offset`` with
+    the average computed in exact integer arithmetic (Σdeg // n), so both
+    engines derive the identical k.
+
+    Scale shape: each round is ONE node-keyed shuffle (induced-degree
+    aggregate after two semi-join-shaped filters against the node-sized
+    alive set) — the same per-round cost as a BFS round.  The alive set is
+    referenced twice per round (src filter + dst filter), so like
+    :func:`bfs_relax_min` it gets a per-round eager ``localCheckpoint`` —
+    without the cut the plan doubles per round (round-4 BFS defect class).
+    Per-round census counts are scalar collects over the materialized
+    node-sized table (model-state-sized, like the dedup convergence
+    probes).  Rounds past the fixpoint are no-ops by construction, so a
+    fixed round count is exact whenever it covers convergence."""
+    alive = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes0 = alive.count()
+    n_directed0 = directed.count()
+    k = n_directed0 // n_nodes0 - k_offset
+    trace: list[tuple[int, int, int]] = []
+    for r in range(rounds + 1):
+        deg = (
+            directed.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        n_alive = alive.count()
+        tot_deg = deg.agg(
+            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("t")
+        ).collect()[0][0]
+        trace.append((r, n_alive, tot_deg // 2))
+        if r < rounds:
+            # nodes with zero induced edges are absent from `deg` and thus
+            # (correctly) peeled: their degree is below any positive k
+            alive = (
+                deg.filter(F.col("deg") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+    return spark.createDataFrame(
+        trace, "round bigint, n_nodes bigint, n_edges bigint"
+    )
+
+
+def _kcore_oracle(rounds: int, k_offset: int) -> str:
+    # MATERIALIZED CTEs are load-bearing: each round references the previous
+    # alive set twice, so DuckDB's default CTE inlining doubles the plan per
+    # round — the exact lineage blow-up the Spark side cuts with per-round
+    # localCheckpoints.
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM directed)"
+    ]
+    for i in range(rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT d.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM directed d
+      JOIN a{i} s ON s.node = d.src
+      JOIN a{i} t ON t.node = d.dst
+      GROUP BY 1)"""
+        )
+        if i < rounds:
+            ctes.append(
+                f"""a{i + 1} AS MATERIALIZED (
+      SELECT node FROM d{i} WHERE deg >= (SELECT k FROM kk))"""
+            )
+    census = "\n    UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM a{i}) AS n_nodes,
+               (SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) FROM d{i}) // 2
+                 AS n_edges"""
+        for i in range(rounds + 1)
+    )
+    return f"""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    directed AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    kk AS MATERIALIZED (
+      SELECT (SELECT COUNT(*) FROM directed)
+             // (SELECT COUNT(DISTINCT src) FROM directed)
+             - {k_offset} AS k),
+    {", ".join(ctes)}
+    {census}
+    """
+
+
+@query(
+    "graph_kcore_peel_trace",
+    oracle=_kcore_oracle(KCORE_ROUNDS, KCORE_K_OFFSET),
+)
+def graph_kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by degree peeling over the co-purchase graph:
+    ``KCORE_ROUNDS`` synchronous peel rounds at k = avg_degree -
+    ``KCORE_K_OFFSET``, reported as the per-round (nodes, edges) survivor
+    trace (see :func:`kcore_peel_trace`)."""
+    directed = directed_copurchase_edges(spark, sf_dir)
+    return kcore_peel_trace(spark, directed)
+
+
 BASKET_MIN_SUPPORT = 3
 BASKET_TOP = 20
 

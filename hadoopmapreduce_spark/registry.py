@@ -82,6 +82,8 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "sql_shared_revenue",
     "sql_shared_ctr",
     "mm_cdc_dedup_report",
+    "graph_kcore_peel_trace",
+    "sink_textkv_writer_roundtrip",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
@@ -89,8 +91,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "ctr_flagship",
     "existence_join",
     "group_avg_ctr",
-    "agg_pricing_summary",
-    "q3_shipping_priority",
 )
 
 

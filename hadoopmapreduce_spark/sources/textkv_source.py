@@ -29,8 +29,17 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
+import uuid
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class TextKVDataSource(DataSource):
@@ -45,6 +54,14 @@ class TextKVDataSource(DataSource):
 
     def reader(self, schema) -> "TextKVReader":
         return TextKVReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "TextKVWriter":
+        if [f.name for f in schema.fields] != ["key", "value"]:
+            raise ValueError(
+                "textkv writer requires exactly (key, value) columns, got "
+                f"{[f.name for f in schema.fields]!r}"
+            )
+        return TextKVWriter(self.options, overwrite)
 
 
 class TextKVReader(DataSourceReader):
@@ -77,6 +94,83 @@ class TextKVReader(DataSourceReader):
                     continue
                 key, _tab, value = line.partition("\t")
                 yield (key, value)
+
+
+@dataclass
+class TextKVCommit(WriterCommitMessage):
+    """One successful task's staged file (absolute path) and its row count."""
+
+    staged: str
+    rows: int
+
+
+class TextKVWriter(DataSourceWriter):
+    """Task-staged, driver-committed text-KV sink — the Python Data Source
+    writer half of the format (the reader half round-trips it).
+
+    Commit protocol mirrors Hadoop's ``FileOutputCommitter`` (the machinery
+    under the reference's ``TextOutputFormat``, ``ClickThru.java:186-187``):
+
+    * each task writes ``key\\tvalue`` lines to a UNIQUE staged file under
+      ``<path>/_staging-<job-uuid>/`` and returns its path in the commit
+      message — a retried/speculative task stages a different file, so
+      half-written output from a failed attempt is never visible;
+    * ``commit`` (driver, runs once, only if every task succeeded) renames
+      the staged files to ``part-NNNNN`` in deterministic order and drops a
+      ``_SUCCESS`` marker; rename-into-place is atomic per file on POSIX;
+    * ``abort`` removes the whole staging directory, leaving any prior
+      committed output untouched.
+
+    Same CONTRACT as the reader: local/shared-POSIX paths only (executors
+    ``open()`` the staged files, the driver renames them)."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("textkv writer requires a path")
+        self.path = path
+        self.overwrite = overwrite
+        # job-level staging dir, fixed at planning time on the driver so
+        # every task of this job (including retries) stages under one root
+        self.staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+
+    # executor-side
+    def write(self, iterator) -> TextKVCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(
+            self.staging,
+            f"task-{ctx.partitionId():05d}-attempt-{ctx.taskAttemptId()}",
+        )
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                key = "" if row[0] is None else str(row[0])
+                value = "" if row[1] is None else str(row[1])
+                fh.write(f"{key}\t{value}\n")
+                n += 1
+        return TextKVCommit(staged=staged, rows=n)
+
+    # driver-side
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.path, "part-*")):
+                os.remove(f)
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
+        # deterministic final numbering: sort by staged name (task id order)
+        staged = sorted(m.staged for m in messages if m is not None)
+        for i, src in enumerate(staged):
+            os.replace(src, os.path.join(self.path, f"part-{i:05d}"))
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 def register_textkv(spark) -> None:

@@ -136,3 +136,80 @@ def test_textkv_python_datasource_parallel_read(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2
     rows = {r["key"]: r["value"] for r in df.collect()}
     assert rows == {"[a, 1]": "x", "[b, 2]": "y\tz", "[c, 3]": "7"}
+
+
+def test_textkv_writer_roundtrip_and_success_marker(spark, tmp_path):
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    out = str(tmp_path / "kvout")
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", None)], "key string, value string"
+    ).repartition(3)
+    df.write.format("textkv").mode("overwrite").save(out)
+    import os
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    )
+    assert parts == [f"part-{i:05d}" for i in range(len(parts))]
+    assert not [f for f in os.listdir(out) if f.startswith("_staging")]
+    back = {
+        (r.key, r.value)
+        for r in spark.read.format("textkv").load(out).collect()
+    }
+    # None value is rendered as empty string by the line format
+    assert back == {("a", "1"), ("b", "2"), ("c", "")}
+
+
+def test_textkv_writer_overwrite_replaces_prior_output(spark, tmp_path):
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    out = str(tmp_path / "kvover")
+    first = spark.createDataFrame(
+        [(f"k{i}", str(i)) for i in range(100)], "key string, value string"
+    ).repartition(8)
+    first.write.format("textkv").mode("overwrite").save(out)
+    second = spark.createDataFrame(
+        [("only", "1")], "key string, value string"
+    ).coalesce(1)
+    second.write.format("textkv").mode("overwrite").save(out)
+    rows = spark.read.format("textkv").load(out).collect()
+    assert [(r.key, r.value) for r in rows] == [("only", "1")]
+
+
+def test_textkv_writer_abort_leaves_no_staging(spark, tmp_path):
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    out = str(tmp_path / "kvabort")
+    df = spark.createDataFrame(
+        [(1,), (2,)], "n int"
+    ).selectExpr("cast(n as string) as key",
+                 "assert_true(n < 2, 'boom') as value")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.write.format("textkv").mode("overwrite").save(out)
+    import os
+
+    leftovers = (
+        [f for f in os.listdir(out) if f.startswith("_staging")]
+        if os.path.isdir(out)
+        else []
+    )
+    assert leftovers == []
+
+
+def test_textkv_writer_rejects_wrong_schema(spark, tmp_path):
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="key, value"):
+        spark.createDataFrame([(1, 2)], "a int, b int").write.format(
+            "textkv"
+        ).mode("overwrite").save(str(tmp_path / "kvbad"))

@@ -146,3 +146,40 @@ def test_bfs_distances_on_path_graph(spark, tmp_path):
     out = {r.dist: r.n_nodes for r in graph_bfs_distances(spark, str(tmp_path)).collect()}
     # sources 1,2,3 at dist 0; 4 at 1; 5 at 2; 6 at 3; 7 at 4; 8 unreached
     assert out == {0: 3, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_kcore_peel_trace_pendant_chain(spark):
+    """K4 with a pendant chain 4-5-6 at k=2: the chain peels one node per
+    round (degree-1 end first, then its newly-exposed neighbor) and the
+    K4 core survives as the fixpoint."""
+    from hadoopmapreduce_spark.operators.graph import kcore_peel_trace
+
+    und = _edges(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+    )
+    directed = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # 16 directed edges over 6 nodes -> avg degree 16//6 = 2; offset 0 -> k=2
+    trace = {
+        r.round: (r.n_nodes, r.n_edges)
+        for r in kcore_peel_trace(spark, directed, rounds=4, k_offset=0).collect()
+    }
+    assert trace[0] == (6, 8)
+    assert trace[1] == (5, 7)  # node 6 (degree 1) peeled
+    assert trace[2] == (4, 6)  # node 5, now degree 1, peeled
+    assert trace[3] == (4, 6)  # K4 fixpoint: every degree 3 >= 2
+    assert trace[4] == (4, 6)
+
+
+def test_kcore_trace_is_monotone_on_fixture(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.graph import graph_kcore_peel_trace
+
+    rows = sorted(
+        graph_kcore_peel_trace(spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_nodes <= prev.n_nodes
+        assert cur.n_edges <= prev.n_edges
