@@ -714,3 +714,53 @@ def fn_binary_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.bit_length(payload).alias("bit_len"),
     )
+
+
+def _xxhash64_oracle() -> str:
+    from hadoopmapreduce_spark.functions import xxh64_sql as X
+
+    steps: list[tuple[str, str]] = []
+    h_key = X.hash_long_steps(steps, "doc_id", "42::HUGEINT", "k")
+    h_lang = X.hash_string_steps(steps, "lang", "42::HUGEINT", "g")
+    h_text = X.hash_string_steps(steps, "text", "42::HUGEINT", "c")
+    chain1 = X.hash_long_steps(steps, "doc_id", "42::HUGEINT", "x1")
+    h_chain = X.hash_string_steps(steps, "text", chain1, "x2")
+    return X.steps_to_sql(
+        "SELECT doc_id, lang, text FROM documents",
+        steps,
+        f"""SELECT doc_id,
+               {X.signed_col(h_key)} AS h_key,
+               {X.signed_col(h_lang)} AS h_lang,
+               {X.signed_col(h_text)} AS h_text,
+               {X.signed_col(h_chain)} AS h_chain
+        FROM __LAST__""",
+    )
+
+
+@query("fn_xxhash64_suite", oracle=_xxhash64_oracle())
+def fn_xxhash64_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxHash64 differential suite: Spark's ``xxhash64`` (seed 42) vs a
+    bit-exact DuckDB SQL port (functions/xxh64_sql.py — constant-multiplier
+    limb arithmetic on HUGEINT, list_reduce stripe/tail loops, chained CTE
+    steps).  Four shapes over ``documents``: the BIGINT fast path
+    (``hashLong``), short strings (``lang`` — the <32-byte tail-only
+    path), medium strings (``text``, 47-558 bytes — 1 to 17 rounds of the
+    4-accumulator stripe loop plus every tail branch), and multi-column
+    seed chaining (column i's hash seeds column i+1).
+
+    Why it matters: xxhash64 keys hash-partitioning, LSH band ids, and
+    bloom prefilters across this repo; until now those internals were
+    verified via their downstream OUTPUTS because DuckDB lacked the hash.
+    This suite pins the primitive itself, bit-for-bit, over every row of a
+    fixture table — so xxhash64-derived keys anywhere else can now be
+    trusted cross-engine (and promoted to full oracles where useful).
+
+    Scale: pure codegen JVM-side; one projection, no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("doc_id").alias("h_key"),
+        F.xxhash64("lang").alias("h_lang"),
+        F.xxhash64("text").alias("h_text"),
+        F.xxhash64("doc_id", "text").alias("h_chain"),
+    )

@@ -84,13 +84,13 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "mm_cdc_dedup_report",
     "graph_kcore_peel_trace",
     "sink_textkv_writer_roundtrip",
+    "fn_xxhash64_suite",
     # promoted from rows-only to full oracle this round
     "simhash_dedup",
     "agg_cms_heavy_hitters",
     # round-1 greens, verdicts 4 rounds stale (rotation)
     "ctr_flagship",
     "existence_join",
-    "group_avg_ctr",
 )
 
 
