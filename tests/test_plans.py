@@ -437,3 +437,43 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     df = join_partition_pruned_dynamic(spark, sf_dir)
     plan = physical_plan(df)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_kcore_constant_plan_per_round(spark, sf_dir):
+    """The k-core peel references its alive set twice per round (src filter
+    + dst filter) — the same double-reference shape whose uncut lineage
+    made BFS exponential in round 4.  Pin the per-round localCheckpoint:
+    the alive table is a materialized-RDD scan, and the induced-degree
+    plan built on it has the same exchange count regardless of how many
+    peel rounds preceded it."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.operators.graph import (
+        directed_copurchase_edges,
+    )
+
+    directed = directed_copurchase_edges(spark, sf_dir)
+
+    def peel(alive, k):
+        return (
+            directed.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+
+    alive0 = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive1 = peel(alive0, 2).localCheckpoint(eager=True)
+    alive3 = peel(peel(alive1, 2).localCheckpoint(eager=True), 2).localCheckpoint(
+        eager=True
+    )
+    assert "ExistingRDD" in physical_plan(alive1)
+    n1 = physical_plan(peel(alive1, 2)).count("Exchange")
+    n3 = physical_plan(peel(alive3, 2)).count("Exchange")
+    assert n1 == n3
