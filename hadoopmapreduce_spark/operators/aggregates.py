@@ -1414,3 +1414,114 @@ def agg_weighted_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wquantile",
         )
     )
+
+
+@query(
+    "agg_decile_lift_table",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1),
+    tiled AS (
+      SELECT custkey, rev_cents,
+             NTILE(10) OVER (ORDER BY rev_cents DESC, custkey) AS decile
+      FROM cust),
+    by_decile AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(rev_cents) AS cents
+      FROM tiled GROUP BY 1),
+    cum AS (
+      SELECT decile, n_customers, cents,
+             SUM(cents) OVER (ORDER BY decile) AS cum_cents,
+             SUM(cents) OVER () AS total_cents
+      FROM by_decile)
+    SELECT CAST(decile AS INT) AS decile,
+           n_customers,
+           CAST(cents AS DOUBLE) / 100 AS decile_revenue,
+           CAST((cum_cents::HUGEINT * 1000000) // total_cents AS BIGINT)
+             AS cum_share_ppm
+    FROM cum ORDER BY decile
+    """,
+)
+def agg_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue decile lift table (the marketing 'gains chart'):
+    rank customers by lifetime revenue, split into 10 equal tiles, report
+    per-decile customer count, revenue, and cumulative revenue share.
+
+    Scale shape — global ranking WITHOUT a single-partition window: a bare
+    ``NTILE(10) OVER (ORDER BY ...)`` funnels every row through one task.
+    Instead the per-customer aggregate is ``repartitionByRange`` on the
+    rank key, ranks are ``row_number`` WITHIN each range partition plus a
+    driver-side prefix-sum of the 32 per-partition counts (metadata-sized
+    collect), and the tile is computed arithmetically from the global rank
+    with NTILE's exact first-`n mod k`-tiles-get-one-extra semantics.  The
+    range boundaries Spark samples are nondeterministic, but rank =
+    offset + local row_number is invariant to them (keys are totally
+    ordered and duplicate-free), so the output is deterministic.
+
+    Exactness: revenue in integer cents; cumulative share in ppm via
+    integer floor-division (cum*1e6 runs in decimal(38) / HUGEINT — no
+    int64 headroom cliff at large SF)."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    parts = cust.repartitionByRange(
+        32, F.col("rev_cents").desc(), F.col("custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    parts = parts.localCheckpoint(eager=True)  # pin pids for the 2 passes
+    sizes = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_col = F.lit(0)
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("pid") == pid, F.lit(off)).otherwise(off_col)
+    lw = W.partitionBy("pid").orderBy(F.col("rev_cents").desc(), "custkey")
+    ranked = parts.select(
+        "custkey",
+        "rev_cents",
+        (off_col + F.row_number().over(lw)).alias("rank"),
+    )
+    # NTILE(k) of global rank r over n rows: first n%k tiles hold n/k+1
+    q, m = n_total // 10, n_total % 10
+    cutover = m * (q + 1)
+    decile = F.when(
+        F.col("rank") <= cutover, F.expr(f"(rank - 1) div {q + 1}")
+    ).otherwise(
+        F.lit(m) + F.expr(f"(rank - {cutover} - 1) div {max(q, 1)}")
+    ).cast("int") + 1
+    tiled = ranked.select("rev_cents", decile.alias("decile"))
+    byd = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("cents"),
+    )
+    cw = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = byd.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.sum("cents").over(cw).alias("cum_cents"),
+        F.sum("cents").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("total_cents"),
+    )
+    return cum.select(
+        "decile",
+        "n_customers",
+        (F.col("cents").cast("double") / 100).alias("decile_revenue"),
+        F.expr(
+            "CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000"
+            " div total_cents AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    ).orderBy("decile")

@@ -641,3 +641,147 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(run).cast("long").alias("distinct_types_so_far"),
         )
     )
+
+
+@query(
+    "window_rolling_median_exact",
+    oracle="""
+    SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+           quantile_cont(l_quantity, 0.5) OVER (
+             PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_median
+    FROM lineitem WHERE l_partkey % 50 = 0
+    """,
+)
+def window_rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-row median of order quantity per part — the rolling
+    robust-statistic window Spark has no built-in for (``median``/
+    ``percentile`` are aggregate-only; DuckDB windows ``quantile_cont``
+    natively).  Composed as collect_list over the row frame → array_sort →
+    arithmetic midpoint: for the ≤7-element frame the sort is O(1) per row
+    and everything stays JVM-side.
+
+    Determinism: quantities are small integers, so the even-count midpoint
+    (a+b)/2 is IEEE-exact and equals DuckDB's ``lower + (upper-lower)*0.5``
+    interpolation bit-for-bit.  The frame order is total on the emitted
+    columns — (shipdate, orderkey, linenumber) alone is NOT unique in the
+    fixture (the generator reuses orderkey/linenumber pairs at sf≥0.1), so
+    l_quantity joins the sort key; rows tying on all four are
+    interchangeable for both the output tuple and the window content.
+
+    Scale: partitioned by part — shuffles once on l_partkey, frames never
+    leave their partition, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col("l_quantity")).over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int")).cast("double")
+        + F.element_at(arr, (n / 2 + 1).cast("int")).cast("double")
+    ) / 2
+    med = F.when(n % 2 == 1, odd.cast("double")).otherwise(even)
+    return li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        med.alias("roll_median"),
+    )
+
+
+@query(
+    "event_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    joined AS (
+      SELECT p.event_id AS pid, t.event_type AS touch_type,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY t.ts, t.event_id) AS i,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS k
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.ts <= p.ts AND t.ts > p.ts - INTERVAL 24 HOURS),
+    credited AS (
+      SELECT touch_type,
+             1000000 // k + CASE WHEN i <= 1000000 % k THEN 1 ELSE 0 END
+               AS credit
+      FROM joined
+      UNION ALL
+      SELECT 'none' AS touch_type, 1000000 AS credit
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM joined j WHERE j.pid = p.event_id))
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(credit) AS BIGINT) AS micro_credit
+    FROM credited GROUP BY 1
+    """,
+)
+def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits exactly
+    1,000,000 micro-credits equally across every view/click in its 24 h
+    lookback (largest-remainder rounding — the first ``1e6 mod k`` touches
+    by time get the extra unit, so credit is integer-exact and sums to
+    1e6 per purchase by construction); purchases with no touch credit
+    'none'.  The fractional-credit version of event_attribution_last_touch
+    — no floating-point division anywhere.
+
+    Shape: purchase×touch pairs come from an equi-join on user_id with the
+    24 h range as a residual filter (hash join, not a nested-loop range
+    join); per-purchase rank/count are one window over pid.  At 100 TB
+    you'd bucket both sides by (user_id, day) so the pair blow-up stays
+    bounded by per-user-day activity."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (F.col("tts") <= F.col("pts"))
+        & (
+            F.col("tts").cast("long") > F.col("pts").cast("long") - 24 * 3600
+        ),
+    ).select("pid", "touch_type", "tts", "tid")
+    w = W.partitionBy("pid")
+    wo = w.orderBy("tts", "tid")
+    credited = joined.select(
+        "pid",
+        "touch_type",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    ).select(
+        "touch_type",
+        (
+            F.expr("1000000 div k")
+            + F.when(F.col("i") <= F.expr("1000000 % k"), 1).otherwise(0)
+        ).alias("credit"),
+    )
+    untouched = p.join(
+        joined.select("pid").distinct(), "pid", "left_anti"
+    ).select(F.lit("none").alias("touch_type"), F.lit(1000000).alias("credit"))
+    return (
+        credited.unionByName(untouched)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").cast("long").alias("micro_credit"),
+        )
+    )
