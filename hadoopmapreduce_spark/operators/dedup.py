@@ -181,6 +181,31 @@ def _affine_coeff(i: int, which: str, p: int) -> int:
 # P(candidate | jaccard j) = 1 - (1 - j^r)^b :
 #   j=0.65 → 0.9996 ;  j=0.9 → ~1-2e-14 ;  j=0.14 (fixture background) → 0.06
 
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, h0..h71) — the 72-way minhash signature.
+
+    One xxhash64 string hash per shingle, then k cheap affine transforms
+    h_i = (a_i*h + b_i) mod p (the classic universal family) — ~k× less
+    string-hashing work than k independent seeded xxhash calls, same
+    min-stability guarantees.  All arithmetic stays < 2^62 (p² < 2^62), so
+    ANSI int64 never overflows."""
+    sh = _shingles(spark, sf_dir)
+    k = MINHASH_ROWS_PER_BAND * MINHASH_BANDS
+    p = MINHASH_P
+    base = F.pmod(F.xxhash64(F.col("s")), F.lit(p))
+    coeffs = [(_affine_coeff(i, "a", p), _affine_coeff(i, "b", p)) for i in range(k)]
+    hashed = sh.withColumn("h", base)
+    return hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+
 
 @query("minhash_lsh_dedup", oracle=_NGRAM_ORACLE)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,22 +223,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output equals the exact-pairs oracle (same SQL twin as
     ngram_jaccard_pairs)."""
     sh = _shingles(spark, sf_dir)
-    k = MINHASH_ROWS_PER_BAND * MINHASH_BANDS
-    # one string hash per shingle, then k cheap affine transforms
-    # h_i = (a_i*h + b_i) mod p (the classic universal family) — ~k× less
-    # string-hashing work than k independent seeded xxhash calls, same
-    # min-stability guarantees
-    p = 2147483647  # 2^31 - 1
-    base = F.pmod(F.xxhash64(F.col("s")), F.lit(p))
-    coeffs = [(_affine_coeff(i, "a", p), _affine_coeff(i, "b", p)) for i in range(k)]
-    hashed = sh.withColumn("h", base)
-    sig = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
-    )
+    sig = _minhash_sig(spark, sf_dir)
     # band hash = xxhash of the r minhashes in the band
     bands = F.array(
         *[
@@ -939,4 +949,138 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dup_spans"),
         F.sum("chars").cast("long").alias("dup_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH eval — candidate-level cross-engine adjudication
+# --------------------------------------------------------------------------
+
+
+def _minhash_eval_oracle() -> str:
+    """DuckDB twin of the FULL minhash banding pipeline, candidate-exact.
+
+    Stage 1 reproduces the per-shingle Spark ``xxhash64`` bit-for-bit via
+    the functions/xxh64_sql.py port (chained CTE steps), then the 72
+    affine-min signature in plain BIGINT arithmetic.  Stage 2 banding keys
+    on the minhash TUPLE per band (see dedup_minhash_eval's docstring for
+    why), so no further hashing is needed.  Ground truth is the exact
+    n-gram Jaccard oracle."""
+    from hadoopmapreduce_spark.functions import xxh64_sql as X
+
+    p = MINHASH_P
+    k = MINHASH_ROWS_PER_BAND * MINHASH_BANDS
+    coeffs = [(_affine_coeff(i, "a", p), _affine_coeff(i, "b", p)) for i in range(k)]
+    steps: list[tuple[str, str]] = []
+    hs = X.hash_string_steps(steps, "s", "42::HUGEINT", "sh")
+    steps.append(("shh", f"(({X.signed_col(hs)}) % {p} + {p}) % {p}"))
+    mins = ",\n             ".join(
+        f"MIN((shh * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    sh_sql = r"""SELECT doc_id, s FROM (
+      SELECT DISTINCT doc_id, ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS s
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+           LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i)"""
+    sig_sql = X.steps_to_sql(
+        sh_sql, steps, f"SELECT doc_id, {mins} FROM __LAST__ GROUP BY doc_id"
+    )
+    m1 = ", ".join(f"h{3 * b}" for b in range(MINHASH_BANDS))
+    m2 = ", ".join(f"h{3 * b + 1}" for b in range(MINHASH_BANDS))
+    m3 = ", ".join(f"h{3 * b + 2}" for b in range(MINHASH_BANDS))
+    return f"""
+    WITH sig AS ({sig_sql}),
+    banded AS (
+      SELECT doc_id, i.i AS band_id,
+             [{m1}][i.i + 1] AS m1,
+             [{m2}][i.i + 1] AS m2,
+             [{m3}][i.i + 1] AS m3
+      FROM sig, LATERAL (SELECT unnest(range(0, {MINHASH_BANDS})) AS i) i),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.m1 = b.m1 AND a.m2 = b.m2
+       AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
+    truth AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE})),
+    hit AS (SELECT doc_a, doc_b FROM cand
+            INTERSECT SELECT doc_a, doc_b FROM truth)
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hit) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+                ELSE CAST(((SELECT COUNT(*) FROM hit) * 1000000)
+                          // (SELECT COUNT(*) FROM cand) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+                ELSE CAST(((SELECT COUNT(*) FROM hit) * 1000000)
+                          // (SELECT COUNT(*) FROM truth) AS BIGINT)
+           END AS recall_ppm
+    """
+
+
+@query("dedup_minhash_eval", oracle=_minhash_eval_oracle())
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the LSH banding against exact n-gram Jaccard
+    ground truth — the tuning harness that answers "are (r=3, b=24) right
+    for my corpus?" before a 100 TB dedup run.
+
+    Candidates here key each band on the minhash TUPLE (band_id, m1, m2,
+    m3) rather than minhash_lsh_dedup's 64-bit ``xxhash64`` band key: the
+    tuple is the banding *semantics* (hashing the band only narrows the
+    key for shuffle width, at a ~2^-64 collision cost — the primitive
+    itself is pinned bit-exact by fn_xxhash64_suite), and it lets the
+    DuckDB twin adjudicate the candidate SET exactly: this oracle
+    recomputes the per-shingle xxhash64 via the SQL port, the 72 affine
+    mins, the banding, the candidate join, and the truth join — the first
+    fully candidate-level cross-engine check of the LSH path (previously
+    verified through its post-verification OUTPUT only).
+
+    Output is one row: candidate/truth/hit counts plus precision and
+    recall in integer ppm (floor division; NULL-guarded).  At the fixture
+    banding curve, recall is ~1 and precision reflects the ~6 % background
+    candidate rate at j≈0.14."""
+    banded = _minhash_sig(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"h{3 * b}").alias("m1"),
+                        F.col(f"h{3 * b + 1}").alias("m2"),
+                        F.col(f"h{3 * b + 2}").alias("m3"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bnd"),
+    ).select("doc_id", "bnd.band_id", "bnd.m1", "bnd.m2", "bnd.m3")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.m1") == F.col("b.m1"))
+            & (F.col("a.m2") == F.col("b.m2"))
+            & (F.col("a.m3") == F.col("b.m3"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    one = nc.crossJoin(nt).crossJoin(nh)
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(None).cast("long")
+    ).otherwise(F.expr(f"{num} * 1000000 div {den}"))
+    return one.select(
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        ppm("n_hits", "n_candidates").alias("precision_ppm"),
+        ppm("n_hits", "n_truth").alias("recall_ppm"),
     )
