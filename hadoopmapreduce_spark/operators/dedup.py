@@ -957,6 +957,27 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _band_tuples(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, m1, m2, m3) — one row per LSH band keyed on the
+    band's minhash TUPLE (exact banding semantics; no band-key hash)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"h{3 * b}").alias("m1"),
+                        F.col(f"h{3 * b + 1}").alias("m2"),
+                        F.col(f"h{3 * b + 2}").alias("m3"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bnd"),
+    ).select("doc_id", "bnd.band_id", "bnd.m1", "bnd.m2", "bnd.m3")
+
+
 def _minhash_eval_oracle() -> str:
     """DuckDB twin of the FULL minhash banding pipeline, candidate-exact.
 
@@ -1039,22 +1060,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall in integer ppm (floor division; NULL-guarded).  At the fixture
     banding curve, recall is ~1 and precision reflects the ~6 % background
     candidate rate at j≈0.14."""
-    banded = _minhash_sig(spark, sf_dir).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.col(f"h{3 * b}").alias("m1"),
-                        F.col(f"h{3 * b + 1}").alias("m2"),
-                        F.col(f"h{3 * b + 2}").alias("m3"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bnd"),
-    ).select("doc_id", "bnd.band_id", "bnd.m1", "bnd.m2", "bnd.m3")
+    banded = _band_tuples(_minhash_sig(spark, sf_dir))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1083,4 +1089,127 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         ppm("n_hits", "n_candidates").alias("precision_ppm"),
         ppm("n_hits", "n_truth").alias("recall_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental corpus dedup — new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental_corpus",
+    oracle=f"""
+    WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    exact AS (
+      SELECT DISTINCT d.doc_id FROM delta d
+      JOIN base b ON md5(d.text) = md5(b.text)),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS s
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+           LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT d.doc_id AS did, b.doc_id AS bid, COUNT(*) AS c
+      FROM sh d JOIN sh b ON d.s = b.s
+      WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY 1, 2),
+    near AS (
+      SELECT DISTINCT did FROM inter
+      JOIN cnt cd ON cd.doc_id = did
+      JOIN cnt cb ON cb.doc_id = bid
+      WHERE CAST(c AS DOUBLE) / (cd.n + cb.n - c) >= {JACCARD_THRESHOLD}),
+    statuses AS (
+      SELECT d.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN n.did IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS status
+      FROM delta d
+      LEFT JOIN exact e ON e.doc_id = d.doc_id
+      LEFT JOIN near n ON n.did = d.doc_id)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM statuses GROUP BY 1
+    """,
+)
+def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: classify a NEW batch of documents
+    (doc_id % 5 = 0 stands in for today's crawl) against the EXISTING
+    corpus — 'exact_dup' (byte-identical to some base doc, md5 semi-join),
+    'near_dup' (Jaccard ≥ τ against some base doc, found via minhash
+    tuple-band candidates verified exactly), else 'new'.  This is the
+    steady-state shape of a production training-data pipeline: the corpus
+    is only ever deduped AGAINST, never re-deduped whole — candidate
+    generation joins the delta's bands against the (precomputable,
+    bucketed) base band index, so per-ingest cost scales with the batch,
+    not the corpus.
+
+    Recall note: as with minhash_lsh_dedup, banding recall at the
+    fixture's duplicate Jaccard levels (≥0.9) is 1-2e-14, so the banded
+    path equals the exact-Jaccard oracle.  Output is the per-status
+    rollup (count + id range) — stable under re-partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    delta_ids = F.col("doc_id") % 5 == 0
+    h = F.md5(F.col("text").cast("binary"))
+    dh = d.filter(delta_ids).select("doc_id", h.alias("h"))
+    bh = d.filter(~delta_ids).select(h.alias("h")).distinct()
+    exact = dh.join(bh, "h", "left_semi").select("doc_id")
+
+    bands = _band_tuples(_minhash_sig(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    bd = bands.filter(delta_ids)
+    bb = bands.filter(~delta_ids)
+    cand = (
+        bd.alias("d")
+        .join(
+            bb.alias("b"),
+            (F.col("d.band_id") == F.col("b.band_id"))
+            & (F.col("d.m1") == F.col("b.m1"))
+            & (F.col("d.m2") == F.col("b.m2"))
+            & (F.col("d.m3") == F.col("b.m3")),
+        )
+        .select(F.col("d.doc_id").alias("did"), F.col("b.doc_id").alias("bid"))
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("did"), "s"), "did")
+        .join(sh.select(F.col("doc_id").alias("bid"), "s"), ["bid", "s"])
+        .groupBy("did", "bid")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("nd") + F.col("nb") - F.col("c"))
+    near = (
+        inter.join(cnt.select(F.col("doc_id").alias("did"), F.col("n").alias("nd")), "did")
+        .join(cnt.select(F.col("doc_id").alias("bid"), F.col("n").alias("nb")), "bid")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("did")
+        .distinct()
+    )
+    statuses = (
+        d.filter(delta_ids)
+        .select("doc_id")
+        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(
+            near.select(F.col("did").alias("doc_id")).withColumn(
+                "is_near", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("is_near") == 1, "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
+    return statuses.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )

@@ -637,3 +637,61 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ws").alias("week_start"))
         .agg(F.count(F.lit(1)).alias("n_overlapping"))
     )
+
+
+# --------------------------------------------------------------------------
+# size-gated broadcast with explicit fallback
+# --------------------------------------------------------------------------
+
+# Rows a dimension may have and still broadcast safely: ~24 bytes/row for
+# (key, segment) keeps 5M rows well under both the 8 GB torrent-broadcast
+# hard cap and executor memory at 1000 executors.  Past it, the build side
+# must shuffle — a silent broadcast of a grown dimension is the classic
+# production OOM.
+BROADCAST_FALLBACK_MAX_ROWS = 5_000_000
+
+
+def segment_revenue_sized(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_rows: int = BROADCAST_FALLBACK_MAX_ROWS,
+) -> DataFrame:
+    """Revenue per market segment with the join strategy picked by the
+    MEASURED build side, not by hope: count the dimension (a 2-column scan
+    returning one scalar — at 100 TB you would read this from table stats
+    or a lakehouse manifest instead) and broadcast only under the
+    threshold; over it, hint ``merge`` so both sides shuffle-sort and no
+    executor ever holds the dimension whole.  Same results either way —
+    pinned by tests/test_plans.py driving both branches.
+
+    The same cliff-aware pattern as graph.triangle_count's edge-count
+    switch, applied to the star join every pipeline has."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_dim = c.count()
+    dim = F.broadcast(c) if n_dim <= max_broadcast_rows else c.hint("merge")
+    return (
+        o.join(dim, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_fallback",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 2)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def join_broadcast_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`segment_revenue_sized` at the production
+    threshold (broadcasts at every test SF; the fallback branch is
+    exercised with ``max_broadcast_rows=0`` by the plan tests)."""
+    return segment_revenue_sized(spark, sf_dir)

@@ -477,3 +477,17 @@ def test_kcore_constant_plan_per_round(spark, sf_dir):
     n1 = physical_plan(peel(alive1, 2)).count("Exchange")
     n3 = physical_plan(peel(alive3, 2)).count("Exchange")
     assert n1 == n3
+
+
+def test_broadcast_fallback_switches_strategy(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.joins import segment_revenue_sized
+
+    small = segment_revenue_sized(spark, sf_dir)
+    assert_contains(small, "BroadcastHashJoin")
+    assert_not_contains(small, "SortMergeJoin")
+    big = segment_revenue_sized(spark, sf_dir, max_broadcast_rows=0)
+    assert_contains(big, "SortMergeJoin")
+    assert_not_contains(big, "BroadcastHashJoin")
+    a = {tuple(r) for r in small.collect()}
+    b = {tuple(r) for r in big.collect()}
+    assert a == b, "strategy switch changed results"
