@@ -646,3 +646,77 @@ def graph_basket_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
         .limit(BASKET_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# weakly connected components — star contraction over the support graph
+# --------------------------------------------------------------------------
+
+WCC_MIN_SUPPORT = 2  # parts must co-occur in >= 2 orders to form an edge
+
+
+@query(
+    "graph_wcc_components",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {WCC_MIN_SUPPORT}),
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM directed
+      UNION
+      SELECT d.dst, r.lbl FROM reach r JOIN directed d ON d.src = r.node),
+    comp AS (SELECT node, MIN(lbl) AS c FROM reach GROUP BY 1),
+    sizes AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY 1)
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY 1
+    """,
+)
+def graph_wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the SUPPORT-THRESHOLDED co-purchase
+    graph (pairs co-bought in ≥ {WCC_MIN_SUPPORT} orders — the raw graph is
+    one near-clique; the thresholded one has real community structure),
+    reported as the component-size census (size, n_components).
+
+    Runs the same alternating large-star/small-star contraction as
+    dedup_clusters_twostar (O(log n) rounds independent of diameter, per-
+    round lineage cut) — graph CC and dedup clustering are ONE operator
+    over different edge sources, so the implementation is shared, not
+    cloned.  The DuckDB twin is a recursive-CTE label closure: exact
+    fixpoint, no round-count pin to keep in sync.  Isolated parts (no
+    surviving edge) are out of scope on both sides — nodes are edge
+    endpoints."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= WCC_MIN_SUPPORT)
+        .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
+    from hadoopmapreduce_spark.operators.dedup import (
+        connected_components_twostar,
+    )
+
+    comp = connected_components_twostar(edges)
+    sizes = comp.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )

@@ -764,3 +764,64 @@ def fn_xxhash64_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("text").alias("h_text"),
         F.xxhash64("doc_id", "text").alias("h_chain"),
     )
+
+
+@query(
+    "fn_url_suite",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://data.example.com/' || source || '/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars || '#sec-' || (doc_id % 7)
+               AS url,
+             lang, source
+      FROM documents WHERE doc_id % 13 = 0)
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'lang=([^&#]*)', 1) AS q_lang,
+           regexp_extract(url, '#(.*)$', 1) AS ref,
+           replace(lang || ' ' || source, ' ', '+') AS encoded,
+           lang || ' ' || source AS decoded
+    FROM urls
+    """,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: ``parse_url`` (PROTOCOL/HOST/PATH/QUERY/REF and
+    keyed QUERY lookup) plus ``url_encode``/``url_decode`` round-trip —
+    the log-ingestion toolkit (every clickstream pipeline splits URLs).
+    URLs are synthesized from fixture columns, so the suite runs over real
+    rows; DuckDB has no parse_url, so the twin is the component regexes of
+    RFC 3986's reference grammar.  The encode case uses a value with a
+    space (``x-www-form-urlencoded`` turns it into '+'; the remaining
+    charset is alphanumeric, where Java's URLEncoder is the identity) so
+    the encoding is actually exercised, not vacuous."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    url = F.concat(
+        F.lit("https://data.example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+        F.lit("#sec-"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", "lang", "source", url.alias("url"))
+    pu = lambda part: F.parse_url(F.col("url"), F.lit(part))  # noqa: E731
+    spaced = F.concat(F.col("lang"), F.lit(" "), F.col("source"))
+    return u.select(
+        "doc_id",
+        F.lower(pu("PROTOCOL")).alias("protocol"),
+        pu("HOST").alias("host"),
+        pu("PATH").alias("path"),
+        pu("QUERY").alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        pu("REF").alias("ref"),
+        F.url_encode(spaced).alias("encoded"),
+        F.url_decode(F.url_encode(spaced)).alias("decoded"),
+    )
