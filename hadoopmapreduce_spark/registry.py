@@ -27,20 +27,27 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round 5 fronts: (a) the 29 round-5 operators that have never had a driver
-# verdict, (b) the two queries promoted from rows-only to full oracles this
-# round (``simhash_dedup`` via the engine-portable md5-prefix hash,
-# ``agg_cms_heavy_hitters`` likewise), (c) operators registered late in
-# round 5, and (d) a rotation of the oldest (round-1) greens so stale
-# verdicts get re-confirmed against current code (VERDICT r4 ask #6 — the
-# never-checked set takes precedence over a full 50-oldest sweep; the
-# rotation continues next round).  Queries not named here keep registration
-# order after the pinned prefix — nothing is ever dropped, so verdicts union
-# toward full coverage across rounds.
+# Round-5 close: 54 queries have never had a driver verdict (the round-5
+# additions across all three sessions) and 2 were promoted from rows-only
+# to full oracles (``simhash_dedup``, ``agg_cms_heavy_hitters``) — 56
+# candidates for 50 slots.  The 50 below are the never-checked set plus
+# both promotions; six lowest-novelty COMPOSITIONS of already-green
+# machinery are deferred to round 6 (``sql_shared_revenue``/``sql_shared_ctr``
+# — one SQL text executed verbatim by both engines; ``mm_cdc_dedup_report``
+# — one groupBy over mm_cdc_chunking's manifest; ``graph_degree_distribution``
+# — a census over the edge table three green queries share; ``fn_struct_suite``/
+# ``fn_array_hof_suite`` — same class as the 14 suites green in r4).  The
+# r1-green rotation (VERDICT r4 ask #6) resumes in round 6 once the
+# never-checked backlog is drained.  Queries not named here keep
+# registration order after the pinned prefix — nothing is ever dropped, so
+# verdicts union toward full coverage across rounds.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # round-5 operators, never driver-checked
+    "sink_textkv_writer_roundtrip",
     "scan_dirty_json_quarantine",
     "join_bloom_prefilter",
+    "join_bloom_multiprobe",
+    "join_interval_overlap",
+    "join_broadcast_fallback",
     "agg_percentile_disc",
     "agg_filter_clause",
     "dq_uniqueness_audit",
@@ -49,13 +56,19 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "agg_weighted_avg_exact",
     "ts_mom_revenue_change",
     "agg_cube_grouping_id",
+    "agg_weighted_quantile_exact",
+    "agg_decile_lift_table",
     "window_distribution_suite",
     "event_attribution_last_touch",
     "window_gap_islands",
-    "fn_struct_suite",
-    "fn_array_hof_suite",
+    "window_running_distinct",
+    "window_rolling_median_exact",
+    "event_attribution_linear",
     "fn_binary_suite",
+    "fn_xxhash64_suite",
+    "fn_url_suite",
     "udaf_pandas_grouped_agg",
+    "udaf_tdigest_quantiles",
     "table_diff_reconcile",
     "scd2_asof_lookup",
     "topk_terms_per_lang",
@@ -63,34 +76,22 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "pipeline_training_data_prep",
     "dedup_fuzzy_blocking",
     "doc_containment_pairs",
+    "dedup_substring_spans",
+    "dedup_minhash_eval",
+    "dedup_incremental_corpus",
     "knn_filtered_topk",
     "mm_chunk_manifest",
-    "graph_degree_distribution",
-    "graph_basket_lift_top",
-    "streaming_sliding_topk",
-    "dedup_substring_spans",
-    "udaf_tdigest_quantiles",
-    "streaming_late_data_audit",
-    "streaming_dim_refresh_enrich",
-    "join_bloom_multiprobe",
-    "agg_weighted_quantile_exact",
-    "join_interval_overlap",
     "mm_cdc_chunking",
+    "graph_kcore_peel_trace",
+    "graph_basket_lift_top",
+    "graph_wcc_components",
     "scan_nested_struct_pruned",
     "join_partition_pruned_dynamic",
-    "window_running_distinct",
-    "sql_shared_revenue",
-    "sql_shared_ctr",
-    "mm_cdc_dedup_report",
-    "graph_kcore_peel_trace",
-    "sink_textkv_writer_roundtrip",
-    "fn_xxhash64_suite",
-    # promoted from rows-only to full oracle this round
+    "streaming_sliding_topk",
+    "streaming_late_data_audit",
+    "streaming_dim_refresh_enrich",
     "simhash_dedup",
     "agg_cms_heavy_hitters",
-    # round-1 greens, verdicts 4 rounds stale (rotation)
-    "ctr_flagship",
-    "existence_join",
 )
 
 
