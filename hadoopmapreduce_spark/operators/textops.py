@@ -1127,3 +1127,141 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning — subword vocabulary induction
+# --------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB twin of the BPE merge loop (MATERIALIZED per round,
+    same reason as the k-core oracle: default CTE inlining re-derives the
+    vocabulary once per reference).  The greedy left-to-right merge fold
+    runs as ``list_reduce`` over a flat '#'-joined accumulator STRING —
+    DuckDB 1.0's list_reduce mis-evaluates STRUCT accumulators (fields
+    reset per step), so the state is one VARCHAR: '#'-separated symbols,
+    merge = strip-tail + append, boundary-safe because every symbol is
+    preceded by '#' and symbols never contain it."""
+    ctes = [
+        r"""vocab AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_full_match(w, '[a-z]+') GROUP BY 1)""",
+        r"""v0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '#\1', 'g') AS sym, freq FROM vocab)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""el{i} AS MATERIALIZED (
+      SELECT sym, freq, string_split(sym, '#')[2:] AS el FROM v{i - 1})"""
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT el[j.j] AS lhs, el[j.j + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM el{i}, LATERAL (SELECT unnest(range(1, len(el))) AS j) j
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+        )
+        if i < rounds:
+            ctes.append(
+                f"""v{i} AS MATERIALIZED (
+      SELECT list_reduce(list_prepend('', el),
+               (acc, s) -> CASE
+                 WHEN ends_with(acc, '#' || b.lhs) AND s = b.rhs
+                 THEN substr(acc, 1, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+                 ELSE acc || '#' || s END) AS sym,
+             freq
+      FROM el{i} CROSS JOIN b{i} b)"""
+            )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count"
+        f" FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n    {rows}"
+
+
+@query("text_bpe_learn_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {BPE_MERGE_ROUNDS} BPE merges over the corpus
+    vocabulary (Sennrich et al. 2016's subword induction — the vocab-build
+    step every tokenizer pipeline runs before training): per round, count
+    frequency-weighted adjacent symbol pairs, pick the most frequent (ties
+    broken lexicographically), and greedily merge it left-to-right in
+    every word.
+
+    Shapes: the pair count is one explode+groupBy over the DISTINCT word
+    vocabulary (corpus-sized work happens once, in the word count); the
+    winning pair is a 1-row ``collect()`` per round (model state, like
+    the ANN centroids); the merge applies as a pure-codegen fold with the
+    winner embedded as a literal.  Symbol state is a flat '#'-joined
+    string, so the fold accumulator is a VARCHAR in both engines (see
+    _bpe_oracle on DuckDB's struct-accumulator bug) and the merge is
+    boundary-exact.  Per-round localCheckpoint cuts the iterative lineage
+    (vocab feeds both the count and the rewrite — the BFS lesson).
+
+    Output: (round, lhs, rhs, merged, pair_count) — one row per learned
+    merge."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    v = vocab.select(
+        F.regexp_replace(F.col("w"), "(.)", r"#$1").alias("sym"), "freq"
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        el = F.expr("slice(split(sym, '#'), 2, size(split(sym, '#')) - 1)")
+        ve = v.withColumn("el", el)
+        n = F.size(F.col("el"))
+        pairs = ve.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("el"), 1, n - 1),
+                    F.slice(F.col("el"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, cnt = best["lhs"], best["rhs"], best["cnt"]
+        merges.append((rnd, a, b, cnt))
+        if rnd < BPE_MERGE_ROUNDS:
+            fold = F.aggregate(
+                F.col("el"),
+                F.lit(""),
+                lambda acc, x: F.when(
+                    acc.endswith("#" + a) & (x == b),
+                    F.regexp_replace(acc, f"#{a}$", f"#{a}{b}"),
+                ).otherwise(F.concat(acc, F.lit("#"), x)),
+            )
+            v = ve.select(fold.alias("sym"), "freq").localCheckpoint(eager=True)
+
+    out = None
+    for rnd, a, b, cnt in merges:
+        row = spark.range(1).select(
+            F.lit(rnd).alias("round"),
+            F.lit(a).alias("lhs"),
+            F.lit(b).alias("rhs"),
+            F.lit(a + b).alias("merged"),
+            F.lit(cnt).cast("long").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
