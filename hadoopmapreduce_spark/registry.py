@@ -36,7 +36,9 @@ ORACLES: dict[str, str] = {}
 # — one SQL text executed verbatim by both engines; ``mm_cdc_dedup_report``
 # — one groupBy over mm_cdc_chunking's manifest; ``graph_degree_distribution``
 # — a census over the edge table three green queries share; ``fn_struct_suite``/
-# ``fn_array_hof_suite`` — same class as the 14 suites green in r4).  The
+# ``fn_array_hof_suite``/``fn_binary_suite`` — same class as the 14 suites
+# green in r4; the last swapped out for the higher-novelty
+# ``text_bpe_learn_merges``).  The
 # r1-green rotation (VERDICT r4 ask #6) resumes in round 6 once the
 # never-checked backlog is drained.  Queries not named here keep
 # registration order after the pinned prefix — nothing is ever dropped, so
@@ -64,7 +66,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "window_running_distinct",
     "window_rolling_median_exact",
     "event_attribution_linear",
-    "fn_binary_suite",
+    "text_bpe_learn_merges",
     "fn_xxhash64_suite",
     "fn_url_suite",
     "udaf_pandas_grouped_agg",
