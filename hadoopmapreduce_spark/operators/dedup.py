@@ -1213,3 +1213,96 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'https://cdn.example.com/a/' || (doc_id // 2)
+                       || '?id=' || (doc_id // 2) || '&utm_source=feed#top'
+                  ELSE 'HTTPS://CDN.Example.com/a/' || (doc_id // 2)
+                       || '/?utm_campaign=x&id=' || (doc_id // 2)
+             END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1),
+               '/$', '') AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM raw),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path || '?' ||
+             array_to_string(
+               list_sort(list_filter(string_split(q, '&'),
+                                     p -> NOT starts_with(p, 'utm_'))),
+               '&') AS canonical_url
+      FROM parts)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS min_doc_id
+    FROM canon GROUP BY 1
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier normalizer: two
+    noisy variants per target (case-shifted scheme/host, trailing slash,
+    tracking params, fragment, shuffled param order) collapse to one
+    canonical form: lowercased scheme+host, slash-stripped path, fragment
+    dropped, ``utm_*`` params removed, remaining params sorted.  URLs are
+    synthesized deterministically from doc_id so every even/odd pair
+    shares a target; the output (canonical, n_variants, min doc) is the
+    crawl dedup ledger.
+
+    All pure string/array codegen (parse_url + filter/array_sort/
+    array_join) — one shuffle on the canonical key, same linear shape as
+    exact_dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (F.col("doc_id") / 2).cast("long").cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("https://cdn.example.com/a/"), base,
+            F.lit("?id="), base, F.lit("&utm_source=feed#top"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://CDN.Example.com/a/"), base,
+            F.lit("/?utm_campaign=x&id="), base,
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    pu = lambda part: F.parse_url(F.col("url"), F.lit(part))  # noqa: E731
+    params = F.array_sort(
+        F.filter(
+            F.split(pu("QUERY"), "&"),
+            lambda p: ~p.startswith("utm_"),
+        )
+    )
+    canonical = F.concat(
+        F.lower(pu("PROTOCOL")),
+        F.lit("://"),
+        F.lower(pu("HOST")),
+        F.regexp_replace(pu("PATH"), "/$", ""),
+        F.lit("?"),
+        F.array_join(params, "&"),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
