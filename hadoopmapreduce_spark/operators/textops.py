@@ -1150,7 +1150,7 @@ def _bpe_oracle(rounds: int) -> str:
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
         FROM documents) t
-      WHERE regexp_full_match(w, '[a-z]+') GROUP BY 1)""",
+      WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY 1)""",
         r"""v0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', '#\1', 'g') AS sym, freq FROM vocab)""",
     ]
@@ -1213,7 +1213,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
-    ).filter(F.col("w").rlike("^[a-z]+$"))
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     v = vocab.select(
         F.regexp_replace(F.col("w"), "(.)", r"#$1").alias("sym"), "freq"
