@@ -1525,3 +1525,68 @@ def agg_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div total_cents AS BIGINT)"
         ).alias("cum_share_ppm"),
     ).orderBy("decile")
+
+
+# Benford expected first-digit frequencies, log10(1 + 1/d) in ppm —
+# precomputed constants so no libm log crosses the engine boundary.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM cents),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM digits
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t FROM obs),
+    bf(digit, benford_ppm) AS (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())})
+    SELECT o.digit, o.n_orders,
+           CAST(o.n_orders * 1000000 // t.t AS BIGINT) AS obs_ppm,
+           CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(abs(o.n_orders * 1000000 // t.t - b.benford_ppm) AS BIGINT)
+             AS deviation_ppm
+    FROM obs o JOIN bf b ON b.digit = o.digit CROSS JOIN tot t
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data screen (synthetic or truncated value columns deviate
+    hard from log10(1+1/d)).  First significant digit comes from the
+    integer CENTS string (int→string is engine-identical; float→string
+    never crosses the oracle boundary, and the first significant digit is
+    scale-invariant so cents ≡ dollars), expected frequencies are
+    precomputed ppm constants (no libm log in either engine), and
+    observed shares are integer floor-division ppm.  One narrow pass +
+    one 9-group aggregate; the 1-row total broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = obs.agg(F.sum("n_orders").alias("t"))
+    bf = None
+    for d, p in _BENFORD_PPM.items():
+        row = spark.range(1).select(
+            F.lit(d).alias("digit"), F.lit(p).cast("long").alias("benford_ppm")
+        )
+        bf = row if bf is None else bf.unionByName(row)
+    joined = obs.join(F.broadcast(bf), "digit").crossJoin(F.broadcast(tot))
+    obs_ppm = F.expr("n_orders * 1000000 div t")
+    return joined.select(
+        "digit",
+        "n_orders",
+        obs_ppm.alias("obs_ppm"),
+        "benford_ppm",
+        F.abs(obs_ppm - F.col("benford_ppm")).alias("deviation_ppm"),
+    )

@@ -288,3 +288,74 @@ def ts_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("yr", "mo", "dy", "n_events", "total_value", "lvl")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS m,
+             CAST(month(o_orderdate) AS INT) AS moy,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2),
+    trended AS (
+      SELECT m, moy, rev_cents,
+             CASE WHEN COUNT(*) OVER w = 13
+                  THEN SUM(rev_cents) OVER w // 13 END AS trend_cents
+      FROM monthly
+      WINDOW w AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+    detrended AS (
+      SELECT moy, rev_cents - trend_cents AS detr
+      FROM trended WHERE trend_cents IS NOT NULL)
+    SELECT moy AS month_of_year,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(floor(SUM(detr) * 1000.0 / COUNT(*)) AS BIGINT)
+             AS seasonal_milli_cents
+    FROM detrended GROUP BY 1
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend = centered 13-month moving mean (complete windows only, exact
+    integer cents floor-divided by 13 — positive operands, so Spark's
+    trunc-div and DuckDB's floor-div agree), seasonal = per-calendar-month
+    mean of the detrended series in milli-cents.
+
+    The seasonal mean divides a possibly-NEGATIVE sum, where trunc-vs-
+    floor integer division DIVERGES between engines — so it runs as IEEE
+    double division + floor on identical integer operands (bit-identical
+    in both engines; operands stay < 2^53 far past sf1).  The trend
+    window is a single ordered pass over the ~84-row monthly aggregate —
+    window state is month-count-sized, not data-sized, so the global
+    window is fine at any SF."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("m").rowsBetween(-6, 6)
+    trended = monthly.select(
+        "moy",
+        "rev_cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 13,
+            F.expr("1") * F.sum("rev_cents").over(w),
+        ).alias("wsum"),
+    ).select(
+        "moy",
+        (F.col("rev_cents") - F.expr("wsum div 13")).alias("detr"),
+    ).filter(F.col("wsum").isNotNull())
+    return trended.groupBy(F.col("moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.floor(F.sum("detr") * 1000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("seasonal_milli_cents"),
+    )

@@ -76,9 +76,16 @@ def test_never_adjudicated_queries_sit_in_driver_window():
     missing = [
         q
         for q in registry.QUERIES
-        if q not in adjudicated and q not in window
+        if q not in adjudicated
+        and q not in window
+        and q not in registry.ADJUDICATION_DEFERRED
     ]
     assert not missing, (
         f"never-adjudicated queries outside the 50-query driver window: "
-        f"{missing} — add them to ADJUDICATION_PRIORITY"
+        f"{missing} — add them to ADJUDICATION_PRIORITY (or, if the window "
+        f"is full, document them in ADJUDICATION_DEFERRED)"
     )
+    stale = [
+        q for q in registry.ADJUDICATION_DEFERRED if q in adjudicated
+    ]
+    assert not stale, f"deferred queries already adjudicated: {stale}"
