@@ -1416,6 +1416,46 @@ def agg_weighted_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ranked_customer_revenue(spark: SparkSession, sf_dir: str):
+    """(ranked_df(custkey, rev_cents, rank), n_total) — customers ranked by
+    lifetime revenue desc (custkey tie-break) WITHOUT a single-partition
+    window: repartitionByRange on the rank key, row_number within each
+    range partition, plus a driver-side prefix-sum over the 32 partition
+    counts (metadata-sized collect).  The sampled range boundaries are
+    nondeterministic, but rank = offset + local row_number is invariant to
+    them (keys are totally ordered and duplicate-free).  Shared by the
+    decile lift table and the Gini coefficient."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    parts = cust.repartitionByRange(
+        32, F.col("rev_cents").desc(), F.col("custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    parts = parts.localCheckpoint(eager=True)  # pin pids for the 2 passes
+    sizes = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_col = F.lit(0)
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("pid") == pid, F.lit(off)).otherwise(off_col)
+    lw = W.partitionBy("pid").orderBy(F.col("rev_cents").desc(), "custkey")
+    ranked = parts.select(
+        "custkey",
+        "rev_cents",
+        (off_col + F.row_number().over(lw)).alias("rank"),
+    )
+    return ranked, n_total
+
+
 @query(
     "agg_decile_lift_table",
     oracle="""
@@ -1465,34 +1505,7 @@ def agg_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue in integer cents; cumulative share in ppm via
     integer floor-division (cum*1e6 runs in decimal(38) / HUGEINT — no
     int64 headroom cliff at large SF)."""
-    o = load_table(spark, sf_dir, "orders")
-    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("rev_cents")
-    )
-    parts = cust.repartitionByRange(
-        32, F.col("rev_cents").desc(), F.col("custkey")
-    ).withColumn("pid", F.spark_partition_id())
-    parts = parts.localCheckpoint(eager=True)  # pin pids for the 2 passes
-    sizes = {
-        r["pid"]: r["n"]
-        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_total = sum(sizes.values())
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off_col = F.lit(0)
-    for pid, off in offsets.items():
-        off_col = F.when(F.col("pid") == pid, F.lit(off)).otherwise(off_col)
-    lw = W.partitionBy("pid").orderBy(F.col("rev_cents").desc(), "custkey")
-    ranked = parts.select(
-        "custkey",
-        "rev_cents",
-        (off_col + F.row_number().over(lw)).alias("rank"),
-    )
+    ranked, n_total = _ranked_customer_revenue(spark, sf_dir)
     # NTILE(k) of global rank r over n rows: first n%k tiles hold n/k+1
     q, m = n_total // 10, n_total % 10
     cutover = m * (q + 1)
@@ -1589,4 +1602,61 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs_ppm.alias("obs_ppm"),
         "benford_ppm",
         F.abs(obs_ppm - F.col("benford_ppm")).alias("deviation_ppm"),
+    )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1),
+    ranked AS (
+      -- ascending rank for the standard Gini index formula
+      SELECT rev_cents,
+             ROW_NUMBER() OVER (ORDER BY rev_cents, custkey) AS i
+      FROM cust),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_cents) AS HUGEINT) AS sx,
+             CAST(SUM(i::HUGEINT * rev_cents) AS HUGEINT) AS six
+      FROM ranked)
+    SELECT n AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+             AS gini_ppm
+    FROM sums
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient of customer revenue — the
+    concentration metric behind "what share of revenue do the top
+    customers hold" (the decile lift table's scalar summary):
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ascending-sorted x.
+
+    Reuses :func:`_ranked_customer_revenue`'s range-partitioned global
+    rank (descending — converted as i = n+1−rank, so no second sort), all
+    moments in exact decimal(38)/HUGEINT integer cents, and ONE integer
+    floor-division into ppm at the end (numerator is non-negative since x
+    is sorted ascending, so trunc-div equals floor-div)."""
+    ranked, n = _ranked_customer_revenue(spark, sf_dir)
+    # ascending index from the descending rank
+    asc = ranked.select(
+        "rev_cents", (F.lit(n) + 1 - F.col("rank")).alias("i")
+    )
+    sums = asc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("rev_cents")
+        ).alias("six"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((2 * six - (n + 1) * sx) * 1000000 div (n * sx) AS BIGINT)"
+        ).alias("gini_ppm"),
     )

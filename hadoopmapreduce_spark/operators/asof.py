@@ -120,3 +120,77 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.coalesce("n", F.lit(0)).alias("n_views_prior_hour"),
     )
+
+
+@query(
+    "join_asof_nearest_view",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    win AS (
+      SELECT *,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER wprev AS prev_ts,
+             first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER wnext AS next_ts
+      FROM tagged
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY user_id ORDER BY ts, side
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS TIMESTAMP) AS purchase_ts,
+           CAST(CASE WHEN prev_ts IS NULL THEN next_ts
+                     WHEN next_ts IS NULL THEN prev_ts
+                     WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+                     ELSE next_ts END AS TIMESTAMP) AS nearest_view_ts
+    FROM win WHERE side = 1
+    """,
+)
+def join_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each purchase pairs with the view
+    closest in time in EITHER direction (tie → the earlier one) — the
+    third as-of direction (backward = join_asof_purchase_view, the
+    range-banded variant = join_range_banded) that sensor/trade alignment
+    needs when causality doesn't pin a side.
+
+    Same union + one-ordered-pass shape as the backward as-of (1 shuffle
+    on user_id, never a range join): carry the last view at-or-before
+    (inclusive frame; views sort before purchases at equal ts) and the
+    first view strictly-after (same ordering excludes equal-ts views from
+    the following frame), then pick by exact microsecond distance."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+    )
+    base = W.partitionBy("user_id").orderBy("ts", "side")
+    wprev = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wnext = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    view_ts = F.when(F.col("side") == 0, F.col("ts"))
+    carried = tagged.select(
+        "*",
+        F.last(view_ts, ignorenulls=True).over(wprev).alias("prev_ts"),
+        F.first(view_ts, ignorenulls=True).over(wnext).alias("next_ts"),
+    ).filter(F.col("side") == 1)
+    us = F.unix_micros
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(
+            us(F.col("ts")) - us(F.col("prev_ts"))
+            <= us(F.col("next_ts")) - us(F.col("ts")),
+            F.col("prev_ts"),
+        )
+        .otherwise(F.col("next_ts"))
+    )
+    return carried.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        nearest.alias("nearest_view_ts"),
+    )

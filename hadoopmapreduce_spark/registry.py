@@ -107,6 +107,10 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "agg_filter_clause",        # single FILTER-clause aggregate
     "agg_percentile_disc",      # sibling of the green percentile family
     "dedup_url_canonicalize",   # composite of fn_url_suite (in-window)
+    "agg_gini_coefficient",     # scalar summary over the decile table's
+                                # shared _ranked_customer_revenue (in-window)
+    "join_asof_nearest_view",   # third direction of the green as-of family,
+                                # same union+window machinery
 )
 
 
