@@ -1660,3 +1660,50 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * six - (n + 1) * sx) * 1000000 div (n * sx) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "agg_herfindahl_index",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+               AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    tot AS (SELECT SUM(rev) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM seg)
+    SELECT k AS n_segments,
+           CAST(t AS BIGINT) AS total_cents,
+           CAST((SELECT SUM(rev * rev) FROM seg) * 1000000 // (t * t)
+                AS BIGINT) AS hhi_ppm
+    FROM tot
+    """,
+)
+def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of revenue across market
+    segments: HHI = Σ share_i² — the sort-free concentration metric next
+    to the Gini (monopoly screening, corpus-source concentration).
+    Computed as Σ rev_i² · 1e6 floor-div (Σ rev)² entirely in
+    decimal(38)/HUGEINT — rev² reaches ~1e26 at large SF, far past
+    int64, so the squares NEVER touch BIGINT."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("rev")
+        )
+    )
+    sums = seg.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("rev").alias("t"),
+        F.sum(F.col("rev") * F.col("rev")).alias("ss"),
+    )
+    return sums.select(
+        "n_segments",
+        F.col("t").cast("long").alias("total_cents"),
+        F.expr("CAST(ss * 1000000 div (t * t) AS BIGINT)").alias("hhi_ppm"),
+    )

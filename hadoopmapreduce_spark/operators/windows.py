@@ -785,3 +785,81 @@ def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("long").alias("micro_credit"),
         )
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey % 10 AS book, o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS flow_cents
+      FROM orders GROUP BY 1, 2),
+    eq AS (
+      SELECT book, d,
+             SUM(flow_cents) OVER (PARTITION BY book ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+      FROM daily),
+    curve AS (
+      SELECT book, equity,
+             MAX(equity) OVER (PARTITION BY book ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM eq)
+    SELECT book,
+           CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM curve GROUP BY 1
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per book (customers hashed into 10 books): running
+    equity = cumulative daily flow, running peak = cummax of equity,
+    drawdown = peak − equity, reported as the per-book maximum — the
+    standard risk window (financial sibling of the gap/island family).
+
+    All integer cents; cumsum→cummax→max is three window/agg passes over
+    ONE book-keyed shuffle (the two windows share partitioning and order,
+    so Spark plans a single sort).  Here flows are all-positive so the
+    equity curve is monotone and drawdown is 0 — the oracle pins the
+    windowing semantics; tests/test_round5_session3.py drives a
+    synthetic signed-flow curve through the same helper to prove a
+    non-trivial drawdown."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.col("o_custkey") % 10).alias("book"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("flow_cents")
+    )
+    return max_drawdown(daily)
+
+
+def max_drawdown(daily: DataFrame) -> DataFrame:
+    """Core of :func:`window_max_drawdown` over (book, d, flow_cents) —
+    factored out so the signed-flow behavioral test can drive it."""
+    run = (
+        W.partitionBy("book")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    curve = daily.select(
+        "book",
+        "d",
+        F.sum("flow_cents").over(run).alias("equity"),
+    ).select(
+        "book",
+        "equity",
+        F.max("equity").over(
+            W.partitionBy("book")
+            .orderBy("d")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("peak"),
+    )
+    return curve.groupBy("book").agg(
+        F.max(F.col("peak") - F.col("equity")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

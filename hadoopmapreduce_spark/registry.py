@@ -111,6 +111,10 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # shared _ranked_customer_revenue (in-window)
     "join_asof_nearest_view",   # third direction of the green as-of family,
                                 # same union+window machinery
+    "window_max_drawdown",      # cumsum+cummax windows, green window family;
+                                # signed-flow behavior unit-tested
+    "agg_herfindahl_index",     # sort-free decimal concentration scalar,
+                                # same decimal discipline as the green aggs
 )
 
 

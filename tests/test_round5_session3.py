@@ -98,3 +98,33 @@ def test_wcc_size_census_conserves_nodes(spark, sf_dir):
     )
     assert n_from_census == n_nodes
     assert all(r["size"] >= 2 for r in census), "edge endpoints only"
+
+
+def test_max_drawdown_on_signed_flows(spark):
+    from hadoopmapreduce_spark.operators.windows import max_drawdown
+    from pyspark.sql import functions as F
+
+    # equity: 10 -> 30 -> 15 -> 25 -> 5: peak 30, max drawdown 25
+    flows = [(1, "2024-01-01", 10), (1, "2024-01-02", 20),
+             (1, "2024-01-03", -15), (1, "2024-01-04", 10),
+             (1, "2024-01-05", -20)]
+    daily = spark.createDataFrame(
+        flows, ["book", "d", "flow_cents"]
+    ).withColumn("d", F.to_date("d"))
+    r = max_drawdown(daily).collect()[0]
+    assert r["max_drawdown_cents"] == 25
+    assert r["peak_cents"] == 30
+    assert r["n_days"] == 5
+
+
+def test_gini_and_hhi_bounds(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.aggregates import (
+        agg_gini_coefficient,
+        agg_herfindahl_index,
+    )
+
+    g = agg_gini_coefficient(spark, sf_dir).collect()[0]
+    assert 0 <= g["gini_ppm"] < 1_000_000
+    h = agg_herfindahl_index(spark, sf_dir).collect()[0]
+    # k segments: 1e6/k <= HHI <= 1e6 (floor-division slack on the floor)
+    assert 1_000_000 // h["n_segments"] - 1 <= h["hhi_ppm"] <= 1_000_000
