@@ -1707,3 +1707,85 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("long").alias("total_cents"),
         F.expr("CAST(ss * 1000000 div (t * t) AS BIGINT)").alias("hhi_ppm"),
     )
+
+
+@query(
+    "dq_fact_detail_reconcile",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(8,2))))
+                  AS DECIMAL(38,6)) AS detail_total
+      FROM lineitem GROUP BY 1),
+    joined AS (
+      SELECT o.o_orderkey,
+             CAST(abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.detail_total)
+                  * 1000000 AS BIGINT) AS adelta_micro,
+             li.detail_total IS NULL AS no_detail
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey),
+    bucketed AS (
+      SELECT CASE WHEN no_detail THEN 'no_detail'
+                  WHEN adelta_micro = 0 THEN 'exact'
+                  WHEN adelta_micro <= 1000000 THEN 'within_1'
+                  WHEN adelta_micro <= 100000000 THEN 'within_100'
+                  ELSE 'over_100' END AS bucket,
+             adelta_micro
+      FROM joined)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COALESCE(MAX(adelta_micro), 0) AS BIGINT) AS max_adelta_micro
+    FROM bucketed GROUP BY 1
+    """,
+)
+def dq_fact_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-detail reconciliation: recompute each order's total from its
+    line items (extendedprice·(1−discount)·(1+tax), exact decimal scale 6)
+    and bucket the absolute header-vs-detail delta — the nightly
+    finance-close audit (dq_referential_integrity's value-level sibling:
+    that one checks the keys exist, this one checks the MONEY adds up).
+    Orders with no line items land in 'no_detail' instead of vanishing.
+
+    One fact-fact aggregate-then-join (both sides shuffle on orderkey —
+    never broadcast a fact), deltas in exact integer micro-dollars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+        )
+        .cast("decimal(38,6)")
+        .alias("detail_total")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        detail, o["o_orderkey"] == detail["l_orderkey"], "left"
+    ).select(
+        (
+            F.abs(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                - F.col("detail_total")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("adelta_micro"),
+        F.col("detail_total").isNull().alias("no_detail"),
+    )
+    bucket = (
+        F.when(F.col("no_detail"), "no_detail")
+        .when(F.col("adelta_micro") == 0, "exact")
+        .when(F.col("adelta_micro") <= 1000000, "within_1")
+        .when(F.col("adelta_micro") <= 100000000, "within_100")
+        .otherwise("over_100")
+    )
+    return joined.select(
+        bucket.alias("bucket"), "adelta_micro"
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(F.max("adelta_micro"), F.lit(0))
+        .cast("long")
+        .alias("max_adelta_micro"),
+    )

@@ -115,6 +115,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # signed-flow behavior unit-tested
     "agg_herfindahl_index",     # sort-free decimal concentration scalar,
                                 # same decimal discipline as the green aggs
+    "dq_fact_detail_reconcile",  # value-level sibling of the green
+                                 # dq_referential_integrity key check
 )
 
 
