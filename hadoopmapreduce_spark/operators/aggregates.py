@@ -1789,3 +1789,203 @@ def dq_fact_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_adelta_micro"),
     )
+
+
+@query(
+    "agg_pareto_frontier_2d",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT custkey, rev_cents, n_orders
+    FROM m q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m p
+      WHERE p.rev_cents >= q.rev_cents AND p.n_orders >= q.n_orders
+        AND (p.rev_cents > q.rev_cents OR p.n_orders > q.n_orders))
+    """,
+)
+def agg_pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): customers not strictly dominated on
+    (total revenue, order count) — "who is best at some tradeoff of spend
+    vs frequency".  The textbook formulation is the quadratic NOT-EXISTS
+    self-join (which the DuckDB oracle runs, making this a genuinely
+    independent differential pair); the Spark plan is the distributed
+    two-phase skyline:
+
+    1. PRUNE — bucket revenue into ≤1024 fixed integer ranges, take each
+       bucket's max order-count, suffix-max those ≤1024 scalars on the
+       driver (model-state-sized, like the IVF centroids), and broadcast
+       the per-bucket "best count among strictly-richer buckets" back.
+       Any point whose count ≤ that threshold is dominated (richer bucket
+       ⇒ strictly higher revenue) and drops map-side — at 100 TB this
+       kills ~everything without a global sort.
+    2. EXACT — survivors (≈ frontier-sized: per bucket only counts above
+       every richer bucket's max survive) go through the O(s log s)
+       sweep: a range-frame window ordered by revenue gives each point
+       the best count among STRICTLY richer survivors, a same-revenue max
+       handles ties.  Dominance through a pruned point is always realized
+       by some surviving richer point (chain argument), so
+       frontier(survivors) = frontier(all).
+
+    Only the tiny survivor set crosses the single-partition window — the
+    shape that survives 100 TB where NOT EXISTS or a global-window-only
+    sweep never could."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    lo, hi = m.agg(F.min("rev_cents"), F.max("rev_cents")).first()
+    if lo is None:
+        return m.select("custkey", "rev_cents", "n_orders").limit(0)
+    width = max((hi - lo) // 1024 + 1, 1)
+    m = m.withColumn("bkt", (F.col("rev_cents") - F.lit(lo)) / F.lit(width))
+    m = m.withColumn("bkt", F.col("bkt").cast("long"))
+    bkt_max = {
+        r["bkt"]: r["mx"]
+        for r in m.groupBy("bkt").agg(F.max("n_orders").alias("mx")).collect()
+    }
+    suffix, best = {}, -1
+    for b in sorted(bkt_max, reverse=True):
+        suffix[b] = best  # best count in STRICTLY richer buckets
+        best = max(best, bkt_max[b])
+    thresh = spark.createDataFrame(
+        [(b, s) for b, s in suffix.items()], "bkt long, richer_bkt_best long"
+    )
+    survivors = (
+        m.join(F.broadcast(thresh), "bkt")
+        .where(F.col("n_orders") > F.col("richer_bkt_best"))
+        .select("custkey", "rev_cents", "n_orders")
+    )
+    w_richer = W.orderBy("rev_cents").rangeBetween(1, W.unboundedFollowing)
+    w_tie = W.partitionBy("rev_cents")
+    flagged = survivors.select(
+        "custkey",
+        "rev_cents",
+        "n_orders",
+        F.coalesce(
+            F.max("n_orders").over(w_richer), F.lit(-1)
+        ).alias("best_richer"),
+        F.max("n_orders").over(w_tie).alias("best_tie"),
+    )
+    return flagged.where(
+        (F.col("best_richer") < F.col("n_orders"))
+        & (F.col("best_tie") <= F.col("n_orders"))
+    ).select("custkey", "rev_cents", "n_orders")
+
+
+@query(
+    "fin_prorate_largest_remainder",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM lineitem),
+    sized AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.price_cents,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS total_cents,
+             CAST(SUM(l.price_cents) OVER (PARTITION BY l.l_orderkey)
+                  AS BIGINT) AS order_price_cents,
+             CAST(COUNT(*) OVER (PARTITION BY l.l_orderkey) AS BIGINT)
+               AS n_lines
+      FROM lines l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    quota AS (
+      SELECT *,
+             (total_cents * price_cents) // order_price_cents AS floor_alloc,
+             (total_cents * price_cents) % order_price_cents AS rem_num
+      FROM sized),
+    ranked AS (
+      SELECT *,
+             total_cents - CAST(SUM(floor_alloc) OVER
+               (PARTITION BY l_orderkey) AS BIGINT) AS leftover,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY rem_num DESC, l_linenumber ASC) AS BIGINT) AS rk
+      FROM quota),
+    alloc AS (
+      SELECT l_orderkey, n_lines, total_cents,
+             floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+               AS alloc_cents
+      FROM ranked)
+    SELECT l_orderkey AS orderkey,
+           CAST(MAX(n_lines) AS BIGINT) AS n_lines,
+           CAST(MAX(total_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(alloc_cents) AS BIGINT) AS alloc_sum_cents,
+           CAST(MAX(alloc_cents) AS BIGINT) AS max_alloc_cents,
+           CAST(MIN(alloc_cents) AS BIGINT) AS min_alloc_cents
+    FROM alloc GROUP BY 1
+    """,
+)
+def fin_prorate_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proration: allocate each order header's total across its line
+    items proportionally to extended price using the largest-remainder
+    (Hamilton) method, so integer-cent allocations sum EXACTLY to the
+    header total — the finance-engineering primitive behind revenue
+    splits, tax apportionment and budget spreads, where naive rounding
+    leaks cents.  floor quotas via integer division, then the
+    total − Σfloor leftover cents (provably 0..n_lines−1) go to the
+    largest fractional remainders, ties broken by line number.
+
+    All arithmetic is int64 under ANSI mode: total_cents ≤ ~6e7 and
+    price_cents ≤ ~1e7, so total_cents·price_cents ≤ ~6e14 ≪ 2^63.
+    Three windows + the final digest groupBy all share one shuffle on
+    orderkey (Catalyst reuses the exchange) — per-order work is O(lines
+    log lines) locally, linear across orders, broadcast-free: the 100 TB
+    shape.  Output is the per-order digest; alloc_sum_cents ==
+    total_cents for every row is the conservation proof (also pinned by
+    a unit test)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lines = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sized = lines.join(
+        o.select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        ),
+        lines["l_orderkey"] == F.col("o_orderkey"),
+    ).drop("o_orderkey")
+    w_ord = W.partitionBy("l_orderkey")
+    sized = sized.withColumn(
+        "order_price_cents", F.sum("price_cents").over(w_ord)
+    ).withColumn("n_lines", F.count(F.lit(1)).over(w_ord))
+    quota = sized.withColumn(
+        "floor_alloc",
+        F.expr("(total_cents * price_cents) div order_price_cents"),
+    ).withColumn(
+        "rem_num", F.expr("(total_cents * price_cents) % order_price_cents")
+    )
+    ranked = quota.withColumn(
+        "leftover", F.col("total_cents") - F.sum("floor_alloc").over(w_ord)
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            w_ord.orderBy(F.desc("rem_num"), F.asc("l_linenumber"))
+        ).cast("long"),
+    )
+    alloc = ranked.withColumn(
+        "alloc_cents",
+        F.col("floor_alloc")
+        + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0),
+    )
+    return alloc.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.max("n_lines").alias("n_lines"),
+        F.max("total_cents").alias("total_cents"),
+        F.sum("alloc_cents").alias("alloc_sum_cents"),
+        F.max("alloc_cents").alias("max_alloc_cents"),
+        F.min("alloc_cents").alias("min_alloc_cents"),
+    )

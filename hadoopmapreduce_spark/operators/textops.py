@@ -1265,3 +1265,59 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           array_to_string(
+             list_transform(
+               list_sort(list_distinct(list(doc_id)))[1:20],
+               x -> CAST(x AS VARCHAR)),
+             ',') AS posting_head
+    FROM toks GROUP BY 1
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, the corpus term frequency, document
+    frequency, and the head of the sorted posting list (first 20 doc ids,
+    comma-joined) — the search-engine / retrieval-pipeline core, and the
+    direct descendant of the reference's shuffle-by-key skeleton
+    (``ClickThru.java:174-189``) with the value stream materialized as a
+    posting list instead of a quotient.
+
+    One explode → groupBy(term): partial aggregation absorbs token skew
+    map-side for tf/df; the posting set rides the same shuffle.  The
+    20-element head keeps row width bounded at any corpus size — a full
+    production index would range-partition BY TERM and sink per-shard
+    posting files, which is this same plan with the digest column
+    replaced by a partitioned sink.  collect_set order is
+    nondeterministic but sorted before slicing, so the digest is
+    hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    )
+    g = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.collect_set("doc_id").alias("ds"),
+    )
+    return g.select(
+        "term",
+        "tf",
+        F.size("ds").cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array("ds"), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("posting_head"),
+    )

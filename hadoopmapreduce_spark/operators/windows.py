@@ -863,3 +863,54 @@ def max_drawdown(daily: DataFrame) -> DataFrame:
         F.max("peak").alias("peak_cents"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@query(
+    "event_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    pairs AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n,
+           CAST(n * 1000000 //
+                CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)
+                AS BIGINT) AS prob_ppm
+    FROM pairs
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (event_type → next event_type) pair, the transition count and
+    row-normalized probability in integer parts-per-million (``n·1e6 div
+    row_total`` — exact integer division, no float partial-sum order
+    dependence).  The behavioral model behind next-action prediction and
+    funnel-anomaly detection.
+
+    One lead() window per user (shuffle on user_id — the sessionize
+    exchange shape), then a 25-row (|types|²-bounded) aggregate whose
+    normalizing window is trivially small.  Counts ≤ |events| keep
+    n·1e6 ≪ 2^63 at any conceivable scale."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.expr("n * 1000000 div sum(n) OVER (PARTITION BY src)")
+        .cast("long")
+        .alias("prob_ppm"),
+    )

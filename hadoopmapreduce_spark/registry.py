@@ -117,6 +117,14 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # same decimal discipline as the green aggs
     "dq_fact_detail_reconcile",  # value-level sibling of the green
                                  # dq_referential_integrity key check
+    "agg_pareto_frontier_2d",   # two-phase skyline vs independent
+                                # NOT-EXISTS oracle; invariants unit-tested
+    "fin_prorate_largest_remainder",  # int64 window arithmetic, conservation
+                                      # proven by unit test + oracle
+    "event_markov_transitions",  # lead() + tiny normalize — sessionize's
+                                 # exchange shape, green since r1
+    "text_inverted_index",      # wordcount shuffle (topk_terms, green r3)
+                                # with a posting-list digest column
 )
 
 

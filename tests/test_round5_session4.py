@@ -1,0 +1,107 @@
+"""Behavioral invariants for the fourth round-5 session's operators —
+properties the differential oracle cannot express (conservation laws,
+dominance soundness/completeness, normalization bounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_prorate_conserves_every_order(spark, sf_dir):
+    """Largest-remainder proration: allocations must sum EXACTLY to the
+    header total for every order, and min/max allocations must be sane."""
+    from hadoopmapreduce_spark.operators.aggregates import (
+        fin_prorate_largest_remainder,
+    )
+
+    df = fin_prorate_largest_remainder(spark, sf_dir)
+    bad = df.where(F.col("alloc_sum_cents") != F.col("total_cents")).count()
+    assert bad == 0, f"{bad} orders leak cents"
+    assert df.where(F.col("min_alloc_cents") < 0).count() == 0
+    assert df.where(F.col("max_alloc_cents") > F.col("total_cents")).count() == 0
+    # digest covers every order that has line items
+    from hadoopmapreduce_spark.catalog import load_table
+
+    n_orders_with_lines = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert df.count() == n_orders_with_lines
+
+
+def test_pareto_frontier_sound_and_complete(spark, sf_dir):
+    """Frontier soundness (no member dominated) and completeness (every
+    non-member dominated by some member), checked against the naive
+    definition in local pandas."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.aggregates import agg_pareto_frontier_2d
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = [
+        (r["custkey"], r["rev_cents"], r["n_orders"])
+        for r in o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    ]
+    frontier = {
+        r["custkey"] for r in agg_pareto_frontier_2d(spark, sf_dir).collect()
+    }
+
+    def dominated(q):
+        return any(
+            p[1] >= q[1]
+            and p[2] >= q[2]
+            and (p[1] > q[1] or p[2] > q[2])
+            for p in pts
+        )
+
+    for q in pts:
+        if q[0] in frontier:
+            assert not dominated(q), f"frontier member {q} is dominated"
+        else:
+            assert dominated(q), f"non-member {q} is undominated"
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Each source row's probabilities must sum to 1e6 within integer-
+    division truncation loss (< #destinations), and counts must conserve
+    the total number of consecutive pairs."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.windows import event_markov_transitions
+
+    rows = event_markov_transitions(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        s = sum(r["prob_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000, (src, s)
+    n_events = load_table(spark, sf_dir, "events").count()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_inverted_index_consistent_with_wordcount(spark, sf_dir):
+    """tf summed over terms == corpus token count; df bounded by corpus
+    size; posting head is sorted, distinct, and df-consistent."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.textops import text_inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    total_toks = d.select(
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("s")
+    ).first()["s"]
+    rows = text_inverted_index(spark, sf_dir).collect()
+    assert sum(r["tf"] for r in rows) == total_toks
+    for r in rows:
+        assert 1 <= r["df"] <= n_docs
+        ids = [int(x) for x in r["posting_head"].split(",")]
+        assert ids == sorted(set(ids))
+        assert len(ids) == min(r["df"], 20)
