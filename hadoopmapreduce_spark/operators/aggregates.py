@@ -1989,3 +1989,71 @@ def fin_prorate_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("alloc_cents").alias("max_alloc_cents"),
         F.min("alloc_cents").alias("min_alloc_cents"),
     )
+
+
+@query(
+    "dq_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS median_value,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via Median Absolute
+    Deviation: median and MAD are both percentile_disc (actual data
+    elements — no interpolation, no float-summation order dependence, so
+    exactly oracle-checkable unlike a stddev-based z-score), outliers are
+    values whose absolute deviation exceeds 3×MAD (raw-MAD threshold; the
+    σ-equivalent would scale by 1.4826).  MAD tolerates up to 50%
+    contamination where dq_anomaly_sigma's mean/σ is dragged by the very
+    outliers it hunts — the two are complementary DQ probes.
+
+    Two grouped percentile passes with a broadcast of the 5-row
+    per-type medians between them; the fact table streams twice, nothing
+    else shuffles — linear at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.createOrReplaceTempView("_mad_events")
+    med = spark.sql(
+        """SELECT event_type,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+           FROM _mad_events GROUP BY 1"""
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    dev.createOrReplaceTempView("_mad_dev")
+    mad = spark.sql(
+        """SELECT event_type,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+           FROM _mad_dev GROUP BY 1"""
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -1306,3 +1306,91 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+             CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union
+      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_inter * 1000000 // n_union AS BIGINT) AS jaccard_ppm
+    FROM pairs
+    WHERE n_inter * 1000000 // n_union >= 800000
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (PPJoin-style,
+    Chaudhuri/Xiao VLDB lineage) — the deterministic alternative to
+    MinHash banding: all pairs with token-set Jaccard ≥ 0.8, found
+    without all-pairs comparison and with NO probabilistic recall loss.
+
+    Theorem: order the token universe by ascending global frequency
+    (rarest first, token as tie-break); if J(A,B) ≥ t then A and B share
+    at least one token among each one's first |X| − ⌈t·|X|⌉ + 1 ordered
+    tokens.  So: (1) global token frequencies via wordcount shuffle;
+    (2) per doc, sort tokens by (freq, token) and keep that prefix;
+    (3) equi-join docs on prefix token — candidates only, the frequency
+    ordering makes prefixes hit RARE tokens so buckets stay small;
+    (4) verify candidates exactly with array_intersect.  The oracle runs
+    the quadratic brute-force definition — a genuinely independent
+    formulation.  At 100 TB: two wordcount-shaped shuffles + an
+    equi-join keyed on rare tokens + candidate-only verification — never
+    all-pairs, never single-partition, no global rank assignment (the
+    (freq, token) struct IS the sort key, so no zipWithIndex/window over
+    the vocabulary)."""
+    t_num, t_den = 4, 5  # Jaccard threshold 0.8 as an exact rational
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks"),
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    by_rarity = tok.join(freq, "tok").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("n_t", "tok"))).alias("st")
+    )
+    # prefix length |X| - ceil(t|X|) + 1, with ceil(4n/5) = (4n+4) div 5
+    prefixes = by_rarity.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.transform(F.col("st"), lambda s: s["tok"]),
+                F.lit(1),
+                F.expr(f"size(st) - (size(st) * {t_num} + {t_num}) div {t_den} + 1"),
+            )
+        ).alias("tok"),
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
+            (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb")))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.expr("n_inter * 1000000 div n_union").alias("jaccard_ppm"),
+    ).where(F.col("jaccard_ppm") >= 800000)

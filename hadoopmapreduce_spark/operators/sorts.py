@@ -63,3 +63,53 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("orderdate"),
         )
     )
+
+
+@query(
+    "sample_bottomk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               AS hrank,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT,
+                        o_orderkey) AS rn
+      FROM orders)
+    SELECT priority, orderkey, hrank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sample_bottomk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample per group via bottom-k-by-hash: rank
+    rows by an engine-portable content hash (first 15 md5 nibbles as an
+    integer — the repo's cross-engine hash idiom) and keep the 5 smallest
+    per order priority.  Equivalent in distribution to per-group
+    reservoir sampling but STATELESS and reproducible: membership is a
+    pure function of the key, stable under relayout, retries and engine —
+    which is why it is also the mergeable form (bottom-k of a union =
+    bottom-k of the merged bottom-k's).  Complements sample_stratified
+    (rate-based) with exact-k semantics.
+
+    Per-group window after one shuffle on the group key; at 100 TB the
+    map-side can pre-prune to each partition's local bottom-k first
+    (Spark's TakeOrderedAndProject shape), so the shuffle carries
+    k·partitions rows, not the table."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    hrank = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        hrank.alias("hrank"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("priority").orderBy("hrank", "orderkey")
+        ),
+    )
+    return ranked.where(F.col("rn") <= 5).select("priority", "orderkey", "hrank")

@@ -125,6 +125,12 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                  # exchange shape, green since r1
     "text_inverted_index",      # wordcount shuffle (topk_terms, green r3)
                                 # with a posting-list digest column
+    "dedup_prefix_filter_jaccard",  # prefix-filtering vs brute-force oracle;
+                                    # deterministic twin of green minhash
+    "dq_mad_outliers",          # percentile_disc family (green r4) +
+                                # broadcast of 5-row medians
+    "sample_bottomk_per_group",  # md5-nibble hash idiom (green via
+                                 # sample_split) + row_number window
 )
 
 
