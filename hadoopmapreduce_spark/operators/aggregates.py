@@ -2057,3 +2057,77 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+_PROFILE_COLS = ['o_orderkey', 'o_custkey', 'o_orderstatus', 'o_totalprice', 'o_orderdate', 'o_orderpriority']
+
+_PROFILE_ORACLE = """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+    FROM orders
+"""
+
+
+@query("dq_completeness_profile", oracle=_PROFILE_ORACLE)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level completeness/cardinality profile of the orders table -
+    per column: row count, nulls, exact distinct count (the Deequ/
+    Great-Expectations-style "profile my table" primitive that gates every
+    ingestion pipeline).
+
+    The Spark plan is ONE pass: a single Aggregate with a count-distinct
+    per column (Catalyst plans multi-distinct via Expand - ~Ncols x row
+    multiplication map-side, partial-agged before the shuffle, the
+    standard exact form; the 100 TB escape hatch is approx_count_distinct,
+    which agg_approx_count_distinct already registers) followed by a
+    stack() to long format.  The oracle is one independent single-column
+    scan per column UNION ALLed - a genuinely different decomposition of
+    the same answer."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias("null_" + c))
+        aggs.append(F.countDistinct(F.col(c)).alias("dist_" + c))
+    wide = o.agg(*aggs)
+    stack = (
+        "stack(" + str(len(_PROFILE_COLS)) + ", "
+        + ", ".join(
+            "'%s', null_%s, dist_%s" % (c, c, c) for c in _PROFILE_COLS
+        )
+        + ") AS (col_name, n_null, n_distinct)"
+    )
+    return wide.select(F.expr(stack), "n_rows").select(
+        "col_name", "n_rows", "n_null", "n_distinct"
+    )

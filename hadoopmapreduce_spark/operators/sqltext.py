@@ -69,3 +69,44 @@ def sql_shared_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     load-bearing exactly as in the reference (N purchases count once)."""
     register_views(spark, sf_dir)
     return spark.sql(SHARED_CTR_SQL)
+
+
+# Correlated scalar subqueries + EXISTS, one text for both engines.  The
+# above-own-average comparison is done in the exact rational domain
+# (price·count > sum) so no engine-specific AVG result type can flip a
+# boundary tie.
+SHARED_CORRELATED_SQL = """
+SELECT c.c_custkey AS custkey,
+       CAST((SELECT COUNT(*)
+             FROM orders o
+             JOIN (SELECT o_custkey,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DECIMAL(38,2)) AS s
+                   FROM orders GROUP BY o_custkey) t
+               ON t.o_custkey = o.o_custkey
+             WHERE o.o_custkey = c.c_custkey
+               AND CAST(o.o_totalprice AS DECIMAL(18,2)) * t.n > t.s)
+            AS BIGINT) AS n_above_own_avg
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o4 WHERE o4.o_custkey = c.c_custkey)
+"""
+
+
+@query("sql_shared_correlated", oracle=SHARED_CORRELATED_SQL)
+def sql_shared_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface: per customer (restricted by a
+    correlated EXISTS), how many of their own orders beat their own
+    average order value — a correlated scalar COUNT subquery (carrying an
+    uncorrelated aggregate join, in the exact rational domain price·n > Σ
+    so no AVG result type can flip a tie) plus a correlated EXISTS, which
+    Catalyst must DECORRELATE into aggregate-then-join / left-semi plans
+    (RewriteCorrelatedScalarSubquery; depth-1 correlation only — Spark
+    rejects outer references through two subquery levels, which is itself
+    a pinned dialect boundary).  The identical text runs on DuckDB, whose
+    subquery unnesting is an independent implementation of the same
+    transformation — the check pins the semantics of the rewrite, not
+    either engine's plan.  Decorrelated, this is two shuffles on custkey
+    at any scale; the naive per-row evaluation it replaces is quadratic."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_CORRELATED_SQL)

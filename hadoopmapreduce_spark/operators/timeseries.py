@@ -359,3 +359,95 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seasonal_milli_cents"),
     )
+
+
+@query(
+    "ts_linear_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+               AS y_tenk
+      FROM events GROUP BY 1, 2),
+    centered AS (
+      SELECT event_type,
+             CAST(x - MIN(x) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+             y_tenk
+      FROM daily),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y_tenk AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y_tenk AS HUGEINT))
+                  AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS sxx
+      FROM centered GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                     ELSE CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                          * (abs(n * sxy - sx * sy) * 1000000
+                             // (n * sxx - sx * sx))
+                END AS BIGINT) AS slope_ppm_tenk_per_day
+    FROM mom
+    """,
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordinary-least-squares trend per event type: slope of daily
+    total value over time, computed entirely in the integer/decimal domain
+    — ``slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²)`` with x the day index
+    CENTERED on each group's first day and y the daily value total in
+    1e-4 units.  The quotient is emitted in ppm with the sign split out,
+    because Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors — on |numerator| both agree.  The moment products run in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB): centering keeps x ≤ the
+    span in days, so nΣxy ≤ days³·maxdaily ≈ 1e25 at petabyte scale —
+    inside both domains, and ANSI mode would THROW rather than corrupt
+    past them.  agg_moments is the correlation sibling; this is the
+    forecasting primitive (trend per segment) with no float partial-sum
+    order dependence anywhere.
+
+    Plan: one groupBy(type, day) partial-agg, a per-type min-window on
+    the tiny daily table, one 5-row moment aggregate — linear, two
+    shuffles, nothing driver-side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("y_tenk")
+    )
+    centered = daily.select(
+        "event_type",
+        (F.col("x") - F.min("x").over(Window.partitionBy("event_type")))
+        .cast("long")
+        .alias("x"),
+        "y_tenk",
+    )
+    d38 = "decimal(38,0)"
+    mom = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y_tenk").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y_tenk").cast(d38)).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(den == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.when(num < 0, -1).otherwise(1).cast("long")
+            * F.expr("abs(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+        )
+        .alias("slope_ppm_tenk_per_day"),
+    )

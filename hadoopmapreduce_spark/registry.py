@@ -131,6 +131,12 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # broadcast of 5-row medians
     "sample_bottomk_per_group",  # md5-nibble hash idiom (green via
                                  # sample_split) + row_number window
+    "ts_linear_trend",          # decimal-domain moments (agg_moments,
+                                # green r2) over the daily rollup
+    "sql_shared_correlated",    # third one-text-two-engines SQL; exercises
+                                # Catalyst decorrelation vs DuckDB unnesting
+    "dq_completeness_profile",  # single-pass multi-distinct vs 9-scan
+                                # UNION ALL oracle decomposition
 )
 
 

@@ -189,3 +189,74 @@ def test_bottomk_sample_exact_k_and_stable(spark, sf_dir):
     a = {(r["priority"], r["orderkey"]) for r in df.collect()}
     b = {(r["priority"], r["orderkey"]) for r in df.repartition(13).collect()}
     assert a == b
+
+
+def test_linear_trend_matches_python_exact(spark, sf_dir):
+    """Re-derive the OLS slope for one event type with Python bigints
+    (arbitrary precision) — the engine's decimal-domain result must match
+    exactly."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.timeseries import ts_linear_trend
+
+    rows = {r["event_type"]: r for r in ts_linear_trend(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    xs = [r["x"] for r in ev]
+    x0 = min(xs)
+    pts = [(r["x"] - x0, r["y"]) for r in ev]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    expect = 0 if den == 0 else (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+    assert rows["click"]["slope_ppm_tenk_per_day"] == expect
+    assert rows["click"]["n_days"] == n
+
+
+def test_correlated_sql_bounds(spark, sf_dir):
+    """Every customer in the result has >=1 order; above-own-average count
+    is in [0, n_orders-1] (at least one order is <= the average)."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.sqltext import sql_shared_correlated
+
+    rows = sql_shared_correlated(spark, sf_dir).collect()
+    totals = {
+        r["o_custkey"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert {r["custkey"] for r in rows} == set(totals)
+    for r in rows:
+        assert 0 <= r["n_above_own_avg"] <= totals[r["custkey"]] - 1
+
+
+def test_profile_internal_consistency(spark, sf_dir):
+    """Profile: distinct <= non-null count; orderkey is a primary key."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.aggregates import dq_completeness_profile
+
+    rows = {r["col_name"]: r for r in dq_completeness_profile(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "orders").count()
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert r["n_distinct"] <= r["n_rows"] - r["n_null"]
+    assert rows["o_orderkey"]["n_distinct"] == n
+    assert rows["o_orderkey"]["n_null"] == 0
