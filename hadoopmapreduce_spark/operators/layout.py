@@ -383,3 +383,62 @@ def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum("o_totalprice", 2).alias("revenue"),
         )
     )
+
+
+@query("scan_parquet_footer_stats")
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map harvesting: read ONLY the parquet footers of the orders
+    table and emit each row group's row count and o_orderkey min/max
+    statistics — the metadata that drives data skipping (partition/row-
+    group pruning decides from exactly these values; layout_zorder_stats
+    measures how much they can prune, this op extracts them).
+
+    Distributed shape: `binaryFile` lists the files (content column never
+    referenced, so only paths ship), then ``mapInPandas`` opens each
+    file's FOOTER with pyarrow on the executor that owns it — at 100 TB
+    with 100k files this is a metadata-only scan, kilobytes per file, no
+    row data ever decoded.  Rows-only at the driver BY DESIGN: DuckDB's
+    twin is ``parquet_metadata()``, a table function over a literal path,
+    which the static view-based oracle contract cannot express — the
+    differential check instead runs in tests/test_round5_session4.py,
+    comparing bit-for-bit against DuckDB parquet_metadata at the test's
+    own fixture path."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(sf_dir, "orders.parquet"))
+        .select("path")
+    )
+
+    def _read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                local = path.removeprefix("file:")
+                md = pq.ParquetFile(local).metadata
+                ci = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+                )
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    out.append(
+                        (
+                            g,
+                            md.row_group(g).num_rows,
+                            st.min if st is not None else None,
+                            st.max if st is not None else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["row_group_id", "n_rows", "min_orderkey", "max_orderkey"],
+            )
+
+    return files.mapInPandas(
+        _read_footers,
+        schema="row_group_id long, n_rows long, min_orderkey long, max_orderkey long",
+    )

@@ -135,8 +135,11 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # green r2) over the daily rollup
     "sql_shared_correlated",    # third one-text-two-engines SQL; exercises
                                 # Catalyst decorrelation vs DuckDB unnesting
-    "dq_completeness_profile",  # single-pass multi-distinct vs 9-scan
+    "dq_completeness_profile",  # single-pass multi-distinct vs 6-scan
                                 # UNION ALL oracle decomposition
+    "scan_parquet_footer_stats",  # rows-only by design (literal-path
+                                  # parquet_metadata has no view twin);
+                                  # bit-exact differential unit test
 )
 
 

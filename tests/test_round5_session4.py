@@ -260,3 +260,30 @@ def test_profile_internal_consistency(spark, sf_dir):
         assert r["n_distinct"] <= r["n_rows"] - r["n_null"]
     assert rows["o_orderkey"]["n_distinct"] == n
     assert rows["o_orderkey"]["n_null"] == 0
+
+
+def test_footer_stats_match_duckdb_parquet_metadata(spark, sf_dir):
+    """The rows-only footer harvester's differential twin: DuckDB's
+    parquet_metadata() over the same file must agree bit-for-bit (this
+    check lives here because the static view-based oracle contract cannot
+    express a literal-path table function)."""
+    import duckdb
+
+    from hadoopmapreduce_spark.operators.layout import scan_parquet_footer_stats
+
+    got = {
+        r["row_group_id"]: (r["n_rows"], r["min_orderkey"], r["max_orderkey"])
+        for r in scan_parquet_footer_stats(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(
+            f"""SELECT row_group_id, row_group_num_rows,
+                       CAST(stats_min_value AS BIGINT),
+                       CAST(stats_max_value AS BIGINT)
+                FROM parquet_metadata('{sf_dir}/orders.parquet')
+                WHERE path_in_schema = 'o_orderkey'"""
+        ).fetchall()
+    }
+    assert got == want and len(got) >= 1
