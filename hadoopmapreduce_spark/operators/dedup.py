@@ -1311,10 +1311,14 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_prefix_filter_jaccard",
     oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+    WITH raw AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
       FROM documents),
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS toks
+      FROM raw),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
@@ -1330,28 +1334,41 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (PPJoin-style,
     Chaudhuri/Xiao VLDB lineage) — the deterministic alternative to
-    MinHash banding: all pairs with token-set Jaccard ≥ 0.8, found
+    MinHash banding: all pairs with 3-shingle-set Jaccard ≥ 0.8, found
     without all-pairs comparison and with NO probabilistic recall loss.
+    (Shingles, not unigrams: this fixture's 31-word vocabulary makes
+    unigram SETS collide for ~25% of all pairs — the 31³ shingle universe
+    is what minhash_lsh_dedup sketches too, so the two share a unit.)
 
-    Theorem: order the token universe by ascending global frequency
-    (rarest first, token as tie-break); if J(A,B) ≥ t then A and B share
-    at least one token among each one's first |X| − ⌈t·|X|⌉ + 1 ordered
-    tokens.  So: (1) global token frequencies via wordcount shuffle;
-    (2) per doc, sort tokens by (freq, token) and keep that prefix;
-    (3) equi-join docs on prefix token — candidates only, the frequency
-    ordering makes prefixes hit RARE tokens so buckets stay small;
-    (4) verify candidates exactly with array_intersect.  The oracle runs
-    the quadratic brute-force definition — a genuinely independent
-    formulation.  At 100 TB: two wordcount-shaped shuffles + an
-    equi-join keyed on rare tokens + candidate-only verification — never
-    all-pairs, never single-partition, no global rank assignment (the
-    (freq, token) struct IS the sort key, so no zipWithIndex/window over
-    the vocabulary)."""
+    Theorem: order the element universe by ascending global frequency
+    (rarest first, element as tie-break); if J(A,B) ≥ t then A and B
+    share at least one element among each one's first
+    |X| − ⌈t·|X|⌉ + 1 ordered elements.  So: (1) global shingle
+    frequencies via wordcount shuffle; (2) per doc, sort shingles by
+    (freq, shingle) and keep that prefix; (3) equi-join docs on prefix
+    shingle — candidates only, the frequency ordering makes prefixes hit
+    RARE shingles so buckets stay small; (4) verify candidates exactly
+    with array_intersect.  The oracle runs the quadratic brute-force
+    definition — a genuinely independent formulation.  At 100 TB: two
+    wordcount-shaped shuffles + an equi-join keyed on rare shingles +
+    candidate-only verification — never all-pairs, never
+    single-partition, no global rank assignment (the (freq, shingle)
+    struct IS the sort key, so no zipWithIndex/window over the
+    vocabulary)."""
     t_num, t_den = 4, 5  # Jaccard threshold 0.8 as an exact rational
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks"),
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), r"\s+")
+    n_t = F.size(ts)
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(ts, 1, n_t - 2),
+            F.slice(ts, 2, n_t - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(ts, 3, n_t - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
+    d = docs.select("doc_id", F.array_distinct(sh).alias("toks"))
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
     by_rarity = tok.join(freq, "tok").groupBy("doc_id").agg(

@@ -119,9 +119,19 @@ def test_prefix_filter_prunes_and_bounds(spark, sf_dir):
         assert r["jaccard_ppm"] >= 800_000
         assert r["doc_a"] < r["doc_b"]
     # re-derive the candidate count the operator's prefix join produces
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks")
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), r"\s+")
+    n_t = F.size(ts)
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(ts, 1, n_t - 2),
+            F.slice(ts, 2, n_t - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(ts, 3, n_t - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
+    d = docs.select("doc_id", F.array_distinct(sh).alias("toks"))
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
     pref = (
