@@ -695,3 +695,53 @@ def join_broadcast_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (broadcasts at every test SF; the fallback branch is
     exercised with ``max_broadcast_rows=0`` by the plan tests)."""
     return segment_revenue_sized(spark, sf_dir)
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH v AS (
+      SELECT nullif(CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 10, 0)
+               AS ref,
+             CAST(COUNT(*) AS BIGINT) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    p AS (
+      SELECT nullif(CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 10, 0)
+               AS ref,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT v.ref AS referrer_band, v.n_views, p.n_purchases
+    FROM v JOIN p ON v.ref IS NOT DISTINCT FROM p.ref
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): views and
+    purchases bucketed by a DERIVED NULLABLE key (props-k mod 10, with
+    band 0 mapped to NULL via nullif — the "unattributed" bucket every
+    real referrer/campaign join has).  A plain equi-join silently DROPS
+    the NULL group on both sides; the null-safe operator matches
+    NULL-to-NULL, so unattributed traffic survives the join — the
+    difference is pinned by a unit test asserting the NULL row exists.
+
+    Spark plans ``<=>`` as a normal hash join on a null-safe key (no
+    cross-product penalty); both sides here are post-aggregate band
+    tables, so at 100 TB this is two wordcount shuffles + a 10-row
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    band = F.nullif(
+        F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("long") % 10,
+        F.lit(0),
+    ).alias("ref")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(band)
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(band)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return v.join(p, v["ref"].eqNullSafe(p["ref"])).select(
+        v["ref"].alias("referrer_band"), "n_views", "n_purchases"
+    )

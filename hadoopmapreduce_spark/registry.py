@@ -140,6 +140,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "scan_parquet_footer_stats",  # rows-only by design (literal-path
                                   # parquet_metadata has no view twin);
                                   # bit-exact differential unit test
+    "join_null_safe_eq",        # 15th join variant; <=> vs IS NOT
+                                # DISTINCT FROM, NULL-row pinned by test
 )
 
 

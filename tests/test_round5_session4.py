@@ -297,3 +297,16 @@ def test_footer_stats_match_duckdb_parquet_metadata(spark, sf_dir):
         ).fetchall()
     }
     assert got == want and len(got) >= 1
+
+
+def test_null_safe_join_keeps_null_band(spark, sf_dir):
+    """The NULL (unattributed) band must survive the null-safe join — and
+    would be dropped by a plain equi-join, which is the operator's point."""
+    from hadoopmapreduce_spark.operators.joins import join_null_safe_eq
+
+    rows = join_null_safe_eq(spark, sf_dir).collect()
+    bands = {r["referrer_band"] for r in rows}
+    assert None in bands, "NULL band dropped — null-safe semantics broken"
+    assert len(rows) == len(bands), "null-safe join duplicated a band"
+    for r in rows:
+        assert r["n_views"] > 0 and r["n_purchases"] > 0
