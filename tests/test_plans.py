@@ -491,3 +491,71 @@ def test_broadcast_fallback_switches_strategy(spark, sf_dir):
     a = {tuple(r) for r in small.collect()}
     b = {tuple(r) for r in big.collect()}
     assert a == b, "strategy switch changed results"
+
+
+def test_pareto_prune_broadcasts_thresholds(spark, sf_dir):
+    """Two-phase skyline: the bucket-threshold table must broadcast (it is
+    ≤1024 rows of model state), and nothing may plan a cartesian."""
+    from hadoopmapreduce_spark.operators.aggregates import agg_pareto_frontier_2d
+
+    df = agg_pareto_frontier_2d(spark, sf_dir)
+    assert_contains(df, "BroadcastHashJoin")
+    assert_not_contains(df, "CartesianProduct")
+
+
+def test_prorate_windows_share_one_exchange(spark, sf_dir):
+    """All three per-order windows + the digest groupBy must reuse a single
+    hash exchange on l_orderkey — re-shuffling per window would triple the
+    shuffle volume at scale."""
+    from hadoopmapreduce_spark.operators.aggregates import (
+        fin_prorate_largest_remainder,
+    )
+
+    plan = physical_plan(fin_prorate_largest_remainder(spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # one exchange for lineitem(l_orderkey), one for the orders join side;
+    # anything more means a window re-partitioned
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}:\n{plan}"
+    assert_not_contains(
+        fin_prorate_largest_remainder(spark, sf_dir), "CartesianProduct"
+    )
+
+
+def test_prefix_filter_no_cartesian_no_python(spark, sf_dir):
+    """The similarity join must stay candidate-only (equi-joins throughout)
+    and JVM-side (no Python workers in the hot path)."""
+    from hadoopmapreduce_spark.operators.dedup import dedup_prefix_filter_jaccard
+
+    df = dedup_prefix_filter_jaccard(spark, sf_dir)
+    assert_not_contains(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_completeness_profile_single_scan_expand(spark, sf_dir):
+    """The profiler must be ONE pass over orders: a single parquet scan
+    feeding Catalyst's Expand-based multi-distinct — N independent scans
+    would multiply the read at 100 TB."""
+    from hadoopmapreduce_spark.operators.aggregates import dq_completeness_profile
+
+    df = dq_completeness_profile(spark, sf_dir)
+    plan = physical_plan(df)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan
+
+
+def test_markov_single_user_shuffle(spark, sf_dir):
+    """lead() + pair count: exactly one exchange on user_id feeds the lead
+    window; the transition aggregate and its normalizing window run on the
+    |types|²-row result."""
+    from hadoopmapreduce_spark.operators.windows import event_markov_transitions
+
+    df = event_markov_transitions(spark, sf_dir)
+    assert_not_contains(df, "CartesianProduct")
+    plan = physical_plan(df)
+    import re as _re
+
+    assert "user_id" in plan
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
