@@ -2131,3 +2131,106 @@ def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.expr(stack), "n_rows").select(
         "col_name", "n_rows", "n_null", "n_distinct"
     )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             CAST(datediff('day', MAX(o_orderdate),
+                           (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS mon_cents
+      FROM orders GROUP BY 1),
+    thr AS (
+      SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY rec_days) AS r1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY rec_days) AS r2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY rec_days) AS r3,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS f1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY freq) AS f2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS f3,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY mon_cents) AS m1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY mon_cents) AS m2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY mon_cents) AS m3
+      FROM m)
+    SELECT custkey, rec_days, freq, mon_cents,
+           CAST(1 + CASE WHEN rec_days <= r3 THEN 1 ELSE 0 END
+                  + CASE WHEN rec_days <= r2 THEN 1 ELSE 0 END
+                  + CASE WHEN rec_days <= r1 THEN 1 ELSE 0 END AS BIGINT)
+             AS r_score,
+           CAST(1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+                  + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+                  + CASE WHEN freq > f3 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+           CAST(1 + CASE WHEN mon_cents > m1 THEN 1 ELSE 0 END
+                  + CASE WHEN mon_cents > m2 THEN 1 ELSE 0 END
+                  + CASE WHEN mon_cents > m3 THEN 1 ELSE 0 END AS BIGINT)
+             AS m_score
+    FROM m CROSS JOIN thr
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for Recency (days since
+    last order, measured against the dataset's max date — lower is better,
+    so the score inverts), Frequency (order count) and Monetary (lifetime
+    cents).  The marketing-analytics staple behind churn/VIP targeting.
+
+    Scores come from THRESHOLD comparison against the three
+    percentile_disc quartile boundaries (actual data elements — exact in
+    both engines), not from a global ntile: the boundary row is one
+    9-column broadcast, so there is NO single-partition ranking window
+    anywhere — per-customer aggregate, one tiny scalar aggregate,
+    broadcast compare.  That is the 100 TB shape (ntile's equal-bucket
+    tie-splitting is what _ranked_customer_revenue's range-partitioned
+    rank provides when exact decile SIZES matter; RFM convention is
+    boundary-based).  Ties at a boundary land in the lower band in both
+    engines by the same comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate")).first()[0]
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(F.lit(max_date), F.max("o_orderdate"))
+        .cast("long")
+        .alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("mon_cents"),
+    )
+    m.createOrReplaceTempView("_rfm_metrics")
+    thr = spark.sql(
+        """SELECT
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY rec_days) AS r1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY rec_days) AS r2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY rec_days) AS r3,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS f1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY freq) AS f2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS f3,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY mon_cents) AS m1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY mon_cents) AS m2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY mon_cents) AS m3
+           FROM _rfm_metrics"""
+    )
+    j = m.crossJoin(F.broadcast(thr))
+    band_up = lambda x, a, b, c: (  # noqa: E731 — higher value, higher score
+        F.lit(1)
+        + (F.col(x) > F.col(a)).cast("long")
+        + (F.col(x) > F.col(b)).cast("long")
+        + (F.col(x) > F.col(c)).cast("long")
+    )
+    r_score = (
+        F.lit(1)
+        + (F.col("rec_days") <= F.col("r3")).cast("long")
+        + (F.col("rec_days") <= F.col("r2")).cast("long")
+        + (F.col("rec_days") <= F.col("r1")).cast("long")
+    )
+    return j.select(
+        "custkey",
+        "rec_days",
+        "freq",
+        "mon_cents",
+        r_score.alias("r_score"),
+        band_up("freq", "f1", "f2", "f3").alias("f_score"),
+        band_up("mon_cents", "m1", "m2", "m3").alias("m_score"),
+    )

@@ -451,3 +451,91 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("slope_ppm_tenk_per_day"),
     )
+
+
+@query(
+    "ts_cusum_alerts",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS y_cents
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(y_cents AS HUGEINT)) AS HUGEINT) AS total
+            FROM daily),
+    dev AS (
+      SELECT day, y_cents,
+             CAST(SUM(CAST(y_cents AS HUGEINT) * n - total)
+                  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+               AS s
+      FROM daily CROSS JOIN tot),
+    refl AS (
+      -- min includes the virtual S_0 = 0 (empty prefix): without it the
+      -- reflection is wrong whenever the series OPENS above the mean
+      SELECT day, y_cents,
+             s - LEAST(CAST(0 AS HUGEINT),
+                       MIN(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+               AS cusum_scaled,
+             (SELECT total FROM tot) AS total
+      FROM dev)
+    SELECT day, y_cents,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN cusum_scaled > 5 * total THEN 1 ELSE 0 END
+                AS BIGINT) AS alert
+    FROM refl
+    """,
+)
+def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection on daily revenue — the SPC /
+    monitoring primitive for "did the level shift upward?".  The textbook
+    recursion C⁺_t = max(0, C⁺_{t-1} + (x_t − μ)) is NOT a window
+    function, but its closed form is: C⁺_t = S_t − min_{0≤i≤t} S_i with
+    S the running sum of deviations and S_0 = 0 (the empty prefix —
+    dropping it breaks any series that opens above the mean; pinned by a
+    crafted-series unit test) — one cumulative-sum window plus one
+    running-min window floored at zero, both engines, no recursion.  Everything stays
+    rational: deviations are scaled by n (n·x − total avoids the mean
+    division), and a day alerts when the reflected sum exceeds 5·total —
+    i.e. cumulative excess above the mean worth five average days.
+
+    The ordering window is global BUT the series is calendar-bounded:
+    daily rollup rows number |days|, not |orders| — at 100 TB it is still
+    a few thousand rows through the single-partition window, after a
+    fully parallel groupBy(day).  Overflow bound: |S| ≤ n²·max_daily
+    cents; decimal(38,0) (Spark) / HUGEINT (DuckDB) carry it to ~1e31 —
+    ANSI throws, never corrupts, past that."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y_cents")
+    )
+    d38 = "decimal(38,0)"
+    tot = daily.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("y_cents").cast(d38)).alias("total"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "s",
+        F.sum(F.col("y_cents").cast(d38) * F.col("n") - F.col("total")).over(
+            w_cum
+        ),
+    )
+    # the min must include the virtual S_0 = 0 (empty prefix) or the
+    # reflection is wrong whenever the series opens above the mean
+    refl = dev.withColumn(
+        "cusum_scaled",
+        F.col("s")
+        - F.least(F.lit(0).cast(d38), F.min("s").over(w_cum)),
+    )
+    return refl.select(
+        "day",
+        "y_cents",
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        F.when(F.col("cusum_scaled") > 5 * F.col("total"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alert"),
+    )

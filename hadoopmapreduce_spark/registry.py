@@ -142,6 +142,10 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                   # bit-exact differential unit test
     "join_null_safe_eq",        # 15th join variant; <=> vs IS NOT
                                 # DISTINCT FROM, NULL-row pinned by test
+    "agg_rfm_segmentation",     # percentile_disc thresholds (green family)
+                                # + broadcast compare, no ranking window
+    "ts_cusum_alerts",          # cumsum/running-min windows (green family)
+                                # via the S − min S reflection identity
 )
 
 

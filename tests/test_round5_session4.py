@@ -310,3 +310,68 @@ def test_null_safe_join_keeps_null_band(spark, sf_dir):
     assert len(rows) == len(bands), "null-safe join duplicated a band"
     for r in rows:
         assert r["n_views"] > 0 and r["n_purchases"] > 0
+
+
+def test_rfm_band_populations(spark, sf_dir):
+    """Each score is in 1..4; every customer appears exactly once; roughly
+    a quarter of customers sit at/below each quartile boundary (exact
+    equality is not required — boundary ties all land in the lower band)."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.aggregates import agg_rfm_segmentation
+
+    rows = agg_rfm_segmentation(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert len(rows) == n_cust
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 4
+    # at least 1/8 of customers in the bottom and top monetary bands
+    m1 = sum(1 for r in rows if r["m_score"] == 1)
+    m4 = sum(1 for r in rows if r["m_score"] == 4)
+    assert m1 >= n_cust // 8 and m4 >= n_cust // 8
+
+
+def test_cusum_matches_textbook_recursion(spark, sf_dir):
+    """The window-reflection closed form must equal the literal
+    C+_t = max(0, C+_{t-1} + dev_t) recursion computed in Python bigints."""
+    from hadoopmapreduce_spark.operators.timeseries import ts_cusum_alerts
+
+    rows = sorted(ts_cusum_alerts(spark, sf_dir).collect(), key=lambda r: r["day"])
+    ys = [r["y_cents"] for r in rows]
+    n, total = len(ys), sum(ys)
+    c = 0
+    for r, y in zip(rows, ys):
+        c = max(0, c + (y * n - total))
+        assert r["cusum_scaled"] == c
+        assert r["alert"] == (1 if c > 5 * total else 0)
+
+
+def test_cusum_series_opening_above_mean(spark, tmp_path):
+    """Crafted series whose FIRST day is above the mean: the reflection
+    must include the virtual S_0 = 0 or day 1's C+ comes out zero."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES
+              (1, 1, DATE '2024-01-01', 90.00),
+              (2, 1, DATE '2024-01-02', 10.00),
+              (3, 1, DATE '2024-01-03', 20.00))
+            t(o_orderkey, o_custkey, o_orderdate, o_totalprice))
+            TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    from hadoopmapreduce_spark.operators.timeseries import ts_cusum_alerts
+
+    rows = sorted(
+        ts_cusum_alerts(spark, str(tmp_path)).collect(), key=lambda r: r["day"]
+    )
+    ys = [r["y_cents"] for r in rows]
+    n, total = len(ys), sum(ys)
+    c = 0
+    for r, y in zip(rows, ys):
+        c = max(0, c + (y * n - total))
+        assert r["cusum_scaled"] == c
+    # day 1 deviates +5000*3-12000 = +15000 scaled... concretely nonzero:
+    assert rows[0]["cusum_scaled"] > 0
