@@ -2234,3 +2234,72 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_up("freq", "f1", "f2", "f3").alias("f_score"),
         band_up("mon_cents", "m1", "m2", "m3").alias("m_score"),
     )
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS nation_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    reg AS (
+      SELECT regionkey, CAST(SUM(nation_cents) AS BIGINT) AS region_cents
+      FROM nat GROUP BY 1)
+    SELECT r.r_name AS region, nat.nation,
+           nat.nation_cents,
+           reg.region_cents,
+           CAST(nat.nation_cents * 1000000 // reg.region_cents AS BIGINT)
+             AS share_ppm
+    FROM nat
+    JOIN reg USING (regionkey)
+    JOIN region r ON r.r_regionkey = nat.regionkey
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent in a dimension hierarchy: each nation's revenue as
+    ppm of its region's total — the % -of-parent column every drill-down
+    report carries (rollup gives the LEVELS; this gives the RATIO between
+    adjacent levels, exact integer ppm so no float division drift).
+
+    The child level aggregates once from the fact table (customer joins
+    by shuffle — it GROWS with the data, so it is never broadcast; the
+    25-row nation and 5-row region dims are); the parent level
+    re-aggregates the 25-row child table, and the share join runs
+    entirely on dimension-sized inputs — the fact table is read exactly
+    once at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("nation_cents")
+        )
+    )
+    reg = nat.groupBy("regionkey").agg(
+        F.sum("nation_cents").cast("long").alias("region_cents")
+    )
+    return (
+        nat.join(reg, "regionkey")
+        .join(F.broadcast(r), F.col("regionkey") == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            "nation_cents",
+            "region_cents",
+            F.expr("nation_cents * 1000000 div region_cents").alias("share_ppm"),
+        )
+    )

@@ -113,3 +113,44 @@ def sample_bottomk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.where(F.col("rn") <= 5).select("priority", "orderkey", "hrank")
+
+
+@query(
+    "sort_topk_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             o_orderdate AS orderdate,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate DESC) AS rk
+      FROM orders)
+    SELECT custkey, orderkey, orderdate, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def sort_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k WITH TIES (``FETCH FIRST 3 ROWS WITH TIES``
+    semantics): each customer's 3 most recent order DATES, where every
+    order sharing the cutoff date comes along — RANK, not ROW_NUMBER, so
+    the result is fully determined by the data with NO tie-break column
+    needed (row_number would demand one to stay deterministic; rank makes
+    nondeterminism impossible by construction — the complementary
+    discipline to sort_topk_orders' explicit tie-break).  One shuffle on
+    the group key; the per-group sort is the same cost class as any
+    window, and the output can exceed 3·|groups| only by the tie width —
+    bounded fan-out at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    rk = F.rank().over(
+        W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"))
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            rk.cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )

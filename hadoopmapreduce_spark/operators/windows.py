@@ -914,3 +914,58 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prob_ppm"),
     )
+
+
+@query(
+    "event_top_journeys",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) s
+      WHERE rn <= 8
+      GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM j GROUP BY 1
+    ORDER BY n_users DESC, path ASC
+    LIMIT 10
+    """,
+)
+def event_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first 8 events concatenated into an
+    ordered path string ('view>click>purchase>…'), then the 10 most common
+    paths — the product-analytics "what do users actually do" query
+    (Sankey/flow charts are a visualization of exactly this table).
+
+    The 8-step truncation bounds path length (and therefore key width)
+    regardless of the heaviest user; one shuffle on user_id serves both
+    the ordering window and the per-user fold, the path-frequency count is
+    a wordcount, and the top-10 is a bounded TakeOrderedAndProject.
+    Ordering is (ts, event_id) — fully deterministic, same fold order in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first8 = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 8)
+    paths = first8.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )

@@ -146,6 +146,12 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # + broadcast compare, no ranking window
     "ts_cusum_alerts",          # cumsum/running-min windows (green family)
                                 # via the S − min S reflection identity
+    "sort_topk_with_ties",      # RANK-gated top-k — tie-break-free twin
+                                # of the green sort_topk_orders
+    "event_top_journeys",       # sessionize's exchange + ordered fold +
+                                # bounded top-10
+    "agg_share_of_parent",      # two-level rollup ratio over the green
+                                # TPC-H dim-join machinery
 )
 
 

