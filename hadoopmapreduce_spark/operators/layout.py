@@ -442,3 +442,57 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_footers,
         schema="row_group_id long, n_rows long, min_orderkey long, max_orderkey long",
     )
+
+
+@query(
+    "scan_schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS revenue
+    FROM unioned GROUP BY 1
+    """,
+)
+def scan_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet snapshots written under DIFFERENT
+    schemas (v1 lacks the later-added o_orderpriority column) read back as
+    one table via ``mergeSchema`` — the ingestion reality of any long-lived
+    dataset, where old files never get rewritten.  v1 rows surface the
+    evolved column as NULL, mapped to an explicit '<pre-evolution>' bucket
+    so the report shows exactly how much history predates the column.
+
+    mergeSchema reconciles footers at planning time (a metadata pass over
+    file schemas — at 100 TB you pin the merged schema in a metastore
+    instead of re-deriving it per query, but the read path is the same);
+    the data scan itself stays columnar with NULL-filling for absent
+    chunks, no row rewrite.  The oracle emulates the same evolution with a
+    typed-NULL UNION ALL over the views — an independent formulation of
+    the merge semantics."""
+    tmp = work_dir("schema_evo", sf_dir)
+    v1_dir, v2_dir = os.path.join(tmp, "snap=1"), os.path.join(tmp, "snap=2")
+    o = load_table(spark, sf_dir, "orders")
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(v1_dir)
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(v2_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1_dir, v2_dir)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue"),
+    )

@@ -152,6 +152,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # bounded top-10
     "agg_share_of_parent",      # two-level rollup ratio over the green
                                 # TPC-H dim-join machinery
+    "scan_schema_evolution_union",  # mergeSchema read vs typed-NULL UNION
+                                    # oracle; compact-roundtrip's pattern
 )
 
 
