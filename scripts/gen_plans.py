@@ -53,6 +53,14 @@ HEADLINERS = [
     ("dedup_incremental_corpus", "delta-vs-base band join + candidate-only exact verify — ingest cost scales with the batch"),
     ("graph_wcc_components", "star-contraction CC: per-round checkpoint, census over node-sized tables"),
     ("text_bpe_learn_merges", "BPE round: vocab-sized pair explode + partial-agg count; merge fold is pure codegen with literal pair"),
+    ("agg_pareto_frontier_2d", "two-phase skyline: bucket-threshold broadcast prune, then exact sweep over the survivor set only"),
+    ("fin_prorate_largest_remainder", "three per-order windows + digest agg sharing ONE orderkey exchange (pinned <=2 exchanges)"),
+    ("dedup_prefix_filter_jaccard", "rarest-shingle prefix equi-join + candidate-only exact verify — no cartesian, no Python"),
+    ("dq_completeness_profile", "single scan through Expand multi-distinct + stack to long format"),
+    ("event_markov_transitions", "one user-keyed lead window; transition matrix bounded by |types|^2"),
+    ("agg_rfm_segmentation", "quartile thresholds broadcast against the per-customer aggregate — no ranking window"),
+    ("ts_cusum_alerts", "cumsum + floored running-min windows over the calendar-bounded daily series"),
+    ("scan_schema_evolution_union", "mergeSchema read over two snapshot schemas; NULL-filled columnar scan"),
 ]
 
 
