@@ -2303,3 +2303,97 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("nation_cents * 1000000 div region_cents").alias("share_ppm"),
         )
     )
+
+
+@query(
+    "dq_cross_field_rules",
+    oracle="""
+    SELECT 'quantity_positive' AS rule,
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_unit_interval',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_consistent_with_quantity',
+           CAST(SUM(CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_not_before_order',
+           CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) < o.o_orderdate
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'returnflag_domain',
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-engine validation report (Great-Expectations / Deequ style):
+    five declarative cross-field rules over lineitem — domain checks,
+    range checks, and one CROSS-TABLE temporal rule (a line may not ship
+    before its order was placed) — each emitting (rule, violations,
+    checked).  The shape every ingestion gate needs: a fixed, auditable
+    rule list with counts, not a boolean.
+
+    The four single-table rules fold into ONE pass (conditional partial
+    aggregates); the cross-table rule shuffles lineitem↔orders on
+    orderkey once.  Adding a rule is one more conditional sum — cost
+    grows per-expression, not per-scan.  The oracle deliberately runs
+    each rule as its own scan (independent decomposition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    single = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("v_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("v_disc"),
+        F.sum(
+            ((F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0)).cast(
+                "long"
+            )
+        ).alias("v_price"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("v_flag"),
+    )
+    single_rows = single.select(
+        F.expr(
+            "stack(4,"
+            " 'quantity_positive', v_qty,"
+            " 'discount_in_unit_interval', v_disc,"
+            " 'price_consistent_with_quantity', v_price,"
+            " 'returnflag_domain', v_flag"
+            ") AS (rule, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    ).select("rule", "n_violations", "n_checked")
+    o = load_table(spark, sf_dir, "orders")
+    cross = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(
+            F.sum(
+                (F.col("l_shipdate").cast("date") < F.col("o_orderdate")).cast(
+                    "long"
+                )
+            ).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+        .select(
+            F.lit("ship_not_before_order").alias("rule"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    return single_rows.unionByName(cross)

