@@ -720,3 +720,85 @@ def graph_wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("size").agg(
         F.count(F.lit(1)).alias("n_components")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges) x
+      GROUP BY 1),
+    pairs AS (
+      SELECT du.deg AS dx, dv.deg AS dy
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.deg, du.deg
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    mom AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS HUGEINT)
+               AS sxy,
+             CAST(SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS HUGEINT)
+               AS sxx
+      FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                     ELSE CASE WHEN n * sxy - sx * sx < 0 THEN -1 ELSE 1 END
+                          * (abs(n * sxy - sx * sx) * 1000000
+                             // (n * sxx - sx * sx))
+                END AS BIGINT) AS assortativity_ppm
+    FROM mom
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson correlation
+    of endpoint degrees over all directed edge instances (each undirected
+    edge contributes both orientations, making the pair multiset
+    symmetric) — the network-science number behind "do hubs connect to
+    hubs?".  By symmetry marginal moments of the two endpoints coincide
+    (sy = sx, syy = sxx), so the correlation is (n·Σxy − (Σx)²)/(n·Σx² −
+    (Σx)²) with NO square root — everything stays in exact integer
+    arithmetic (decimal(38,0) / HUGEINT moments, sign split out for the
+    truncating ppm division, same discipline as ts_linear_trend and
+    integer PageRank).
+
+    Reuses the session-cached shared edge table; degrees are one
+    wordcount over edge endpoints, the pair table two hash joins on node
+    id, moments one scalar aggregate — linear, broadcast-free."""
+    e = copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    one_way = e.join(du, "u").join(dv, "v").select("dx", "dy")
+    pairs = one_way.unionByName(
+        one_way.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    d38 = "decimal(38,0)"
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("dx").cast(d38)).alias("sx"),
+        F.sum(F.col("dx").cast(d38) * F.col("dy").cast(d38)).alias("sxy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dx").cast(d38)).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(den == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.when(num < 0, -1).otherwise(1).cast("long")
+            * F.expr(
+                "abs(n * sxy - sx * sx) * 1000000 div (n * sxx - sx * sx)"
+            )
+        )
+        .alias("assortativity_ppm"),
+    )

@@ -160,6 +160,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # date band residual — exact_dedup's shape
     "event_new_vs_returning",   # first-day join + conditional distincts;
                                 # cohort_retention's green machinery
+    "graph_degree_assortativity",  # decimal-moment correlation (green via
+                                   # agg_moments) over the shared edges
 )
 
 
