@@ -539,3 +539,62 @@ def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alert"),
     )
+
+
+@query(
+    "ts_weekday_profile",
+    oracle="""
+    WITH d AS (
+      SELECT (datediff('day', DATE '1970-01-05', o_orderdate) % 7 + 7) % 7
+               AS weekday,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    w AS (
+      SELECT CAST(weekday AS BIGINT) AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM w)
+    SELECT weekday, n_orders, rev_cents,
+           CAST(rev_cents * 1000000 // total AS BIGINT) AS share_ppm
+    FROM w CROSS JOIN tot
+    """,
+)
+def ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order revenue (the weekly twin of
+    ts_seasonal_decompose's monthly index).  Weekday is derived PORTABLY:
+    days since Monday 1970-01-05 mod 7 (0 = Monday) — Spark's
+    dayofweek() counts 1 = Sunday while DuckDB's isodow() counts
+    1 = Monday, so neither builtin crosses engines; the epoch-anchored
+    modulo is the cross-engine idiom (double-mod guards pre-1970 dates,
+    where % is a remainder, not a floor-mod, in both engines).  Shares in
+    exact integer ppm.  One 7-row aggregate + a scalar broadcast —
+    shuffle cost is the partial-agg merge only."""
+    o = load_table(spark, sf_dir, "orders")
+    weekday = (
+        (
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-05").cast("date")
+            )
+            % 7
+            + 7
+        )
+        % 7
+    ).cast("long")
+    w = o.select(
+        weekday.alias("weekday"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+    tot = w.agg(F.sum("rev_cents").cast("long").alias("total"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n_orders",
+        "rev_cents",
+        F.expr("rev_cents * 1000000 div total").alias("share_ppm"),
+    )

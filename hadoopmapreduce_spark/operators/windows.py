@@ -1016,3 +1016,68 @@ def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("is_new"), F.col("user_id"))
         ).alias("returning_users"),
     )
+
+
+@query(
+    "window_session_bounce",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LAG(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR datediff('second', prev_ts, ts) > 1800
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, session_no,
+             CAST(MIN(ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY 1, 2)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM sessions GROUP BY 1
+    """,
+)
+def window_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-minute inactivity gaps,
+    sessionize_events' exact definition) containing a single event —
+    the engagement-quality metric next to every traffic count.  Sessions
+    are attributed to their START day.
+
+    Same one-exchange sessionization as sessionize_events (lag-gap flag +
+    running sum share the user_id shuffle), then a per-day fold of
+    session-sized rows with the ratio in exact integer ppm."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    numbered = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )

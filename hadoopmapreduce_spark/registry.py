@@ -162,6 +162,10 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # cohort_retention's green machinery
     "graph_degree_assortativity",  # decimal-moment correlation (green via
                                    # agg_moments) over the shared edges
+    "ts_weekday_profile",       # epoch-Monday modulo weekday (portable);
+                                # 7-row agg + scalar broadcast
+    "window_session_bounce",    # sessionize_events' green exchange + a
+                                # per-day ppm fold
 )
 
 

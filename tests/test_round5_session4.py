@@ -493,3 +493,48 @@ def test_new_vs_returning_conserves_daily_actives(spark, sf_dir):
         assert r["new_users"] + r["returning_users"] == dau[r["day"]]
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["new_users"] for r in rows) == n_users
+
+
+def test_weekday_profile_covers_week(spark, sf_dir):
+    """Weekdays 0..6 all present, shares sum to ~1e6, counts conserve, and
+    weekday 0 really is a Monday (cross-checked via Python's calendar)."""
+    import datetime
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.timeseries import ts_weekday_profile
+
+    rows = {r["weekday"]: r for r in ts_weekday_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(range(7))
+    s = sum(r["share_ppm"] for r in rows.values())
+    assert 1_000_000 - 7 < s <= 1_000_000
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in rows.values()) == o.count()
+    some_day = o.select("o_orderdate").first()[0]
+    expect_wd = some_day.weekday()  # Python: Monday == 0, same convention
+    got = (
+        o.where(F.col("o_orderdate") == F.lit(some_day)).count()
+    )
+    assert rows[expect_wd]["n_orders"] >= got
+
+
+def test_session_bounce_consistent_with_sessionize(spark, sf_dir):
+    """Session counts must reconcile with sessionize_events; bounce counts
+    equal its single-event sessions, attributed to the session-start day."""
+    from hadoopmapreduce_spark.operators.windows import (
+        sessionize_events,
+        window_session_bounce,
+    )
+
+    sess = sessionize_events(spark, sf_dir).collect()
+    per_day_total: dict = {}
+    per_day_bounce: dict = {}
+    for s in sess:
+        day = s["session_start"].date()
+        per_day_total[day] = per_day_total.get(day, 0) + 1
+        if s["n_events"] == 1:
+            per_day_bounce[day] = per_day_bounce.get(day, 0) + 1
+    rows = window_session_bounce(spark, sf_dir).collect()
+    assert {r["day"]: r["n_sessions"] for r in rows} == per_day_total
+    assert {
+        r["day"]: r["n_bounces"] for r in rows if r["n_bounces"]
+    } == per_day_bounce
