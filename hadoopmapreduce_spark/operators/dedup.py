@@ -1368,7 +1368,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(ts, 3, n_t - 2),
         lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
-    d = docs.select("doc_id", F.array_distinct(sh).alias("toks"))
+    # the shingle-array table feeds FOUR subtrees (freq, rarity sort, and
+    # both verify sides) — cut lineage once instead of re-tokenizing per
+    # branch, the same cut ngram_jaccard_pairs makes on its shingle table
+    d = docs.select(
+        "doc_id", F.array_distinct(sh).alias("toks")
+    ).localCheckpoint(eager=False)
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
     by_rarity = tok.join(freq, "tok").groupBy("doc_id").agg(
