@@ -1840,7 +1840,7 @@ def agg_pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_cents"),
         F.count(F.lit(1)).alias("n_orders"),
-    )
+    ).localCheckpoint(eager=False)  # probed 3x (range, bucket maxes, prune)
     lo, hi = m.agg(F.min("rev_cents"), F.max("rev_cents")).first()
     if lo is None:
         return m.select("custkey", "rev_cents", "n_orders").limit(0)
@@ -2197,7 +2197,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("mon_cents"),
-    )
+    ).localCheckpoint(eager=False)  # feeds thresholds AND scoring — one scan
     m.createOrReplaceTempView("_rfm_metrics")
     thr = spark.sql(
         """SELECT

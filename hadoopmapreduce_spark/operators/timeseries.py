@@ -512,12 +512,16 @@ def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y_cents")
     )
     d38 = "decimal(38,0)"
-    tot = daily.agg(
-        F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum(F.col("y_cents").cast(d38)).alias("total"),
-    )
+    # n/total come from an unpartitioned window over the CALENDAR-BOUNDED
+    # daily table (a few thousand rows at any SF) instead of a separate
+    # agg + cross join, which would re-derive daily and scan orders twice
+    w_all = Window.partitionBy()
     w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    dev = daily.crossJoin(F.broadcast(tot)).withColumn(
+    dev = daily.withColumn(
+        "n", F.count(F.lit(1)).over(w_all).cast(d38)
+    ).withColumn(
+        "total", F.sum(F.col("y_cents").cast(d38)).over(w_all)
+    ).withColumn(
         "s",
         F.sum(F.col("y_cents").cast(d38) * F.col("n") - F.col("total")).over(
             w_cum
@@ -591,10 +595,21 @@ def ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").cast("long").alias("rev_cents"),
     )
-    tot = w.agg(F.sum("rev_cents").cast("long").alias("total"))
-    return w.crossJoin(F.broadcast(tot)).select(
+    # normalize via an unpartitioned window over the 7-ROW aggregate, not a
+    # separate agg + join — the latter would re-derive w and scan orders
+    # twice (plan-pinned to one scan)
+    total = F.sum("rev_cents").over(Window.partitionBy())
+    return w.select(
         "weekday",
         "n_orders",
         "rev_cents",
-        F.expr("rev_cents * 1000000 div total").alias("share_ppm"),
+        (F.col("rev_cents") * 1000000)
+        .cast("long")
+        .alias("_num"),
+        total.cast("long").alias("_tot"),
+    ).select(
+        "weekday",
+        "n_orders",
+        "rev_cents",
+        F.expr("_num div _tot").alias("share_ppm"),
     )

@@ -559,3 +559,29 @@ def test_markov_single_user_shuffle(spark, sf_dir):
 
     assert "user_id" in plan
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_single_fact_scan_shapes(spark, sf_dir):
+    """Queries whose scalar/threshold aggregates derive from the SAME base
+    table must not rescan it: weekday profile and CUSUM normalize through
+    windows over their tiny rollups; RFM and the skyline cut lineage so
+    the driver-side probes don't re-derive the base aggregate."""
+    import re as _re
+
+    from hadoopmapreduce_spark.operators.aggregates import agg_rfm_segmentation
+    from hadoopmapreduce_spark.operators.timeseries import (
+        ts_cusum_alerts,
+        ts_weekday_profile,
+    )
+
+    for fn in (ts_weekday_profile, ts_cusum_alerts):
+        plan = physical_plan(fn(spark, sf_dir))
+        n = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n == 1, f"{fn.__name__}: {n} scans\n{plan}"
+    # RFM: the checkpointed metrics table feeds thresholds and scoring;
+    # orders itself is scanned only while materializing the checkpoint,
+    # so the final plan reads the checkpoint RDD, not parquet
+    plan = physical_plan(agg_rfm_segmentation(spark, sf_dir))
+    n = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n == 0, f"rfm: expected checkpoint-backed plan, saw {n} scans\n{plan}"
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
