@@ -2027,8 +2027,12 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers it hunts — the two are complementary DQ probes.
 
     Two grouped percentile passes with a broadcast of the 5-row
-    per-type medians between them; the fact table streams twice, nothing
-    else shuffles — linear at any scale."""
+    per-type medians between them; the fact table streams twice (the
+    deviation table is lineage-cut so the MAD pass and the final census
+    read the materialized deviations instead of re-scanning events a
+    third time — exact MAD is irreducibly ≥2 passes: the median must
+    exist before deviations can), nothing else shuffles — linear at any
+    scale."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     ev.createOrReplaceTempView("_mad_events")
     med = spark.sql(
@@ -2038,7 +2042,7 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
-    )
+    ).localCheckpoint(eager=False)
     dev.createOrReplaceTempView("_mad_dev")
     mad = spark.sql(
         """SELECT event_type,
@@ -2288,6 +2292,7 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("nation_cents")
         )
+        .localCheckpoint(eager=False)  # 25 rows feeding parent agg + share join — one fact scan
     )
     reg = nat.groupBy("regionkey").agg(
         F.sum("nation_cents").cast("long").alias("region_cents")

@@ -995,18 +995,19 @@ def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min activity date) and RETURNING on any later active day; the two
     distinct-counts per day are exact.
 
-    One aggregate derives first days (shuffle on user_id), joined back on
-    the same key — the exchange is reused — then a per-day conditional
-    distinct count.  The count-distinct Expand doubles rows map-side
-    (×2 for the two conditions), partial-agged before the shuffle; the
-    approximate path at extreme scale is HLL per (day, cohort), already
-    registered as agg_approx_count_distinct's pattern."""
+    First days come from a min() WINDOW over user_id — not an aggregate
+    joined back, which would scan events twice (plan-pinned to one scan);
+    the window's shuffle is the only exchange before the per-day
+    conditional distinct count.  The count-distinct Expand doubles rows
+    map-side (×2 for the two conditions), partial-agged before the
+    shuffle; the approximate path at extreme scale is HLL per (day,
+    cohort), already registered as agg_approx_count_distinct's pattern."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("day")
     )
-    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    daily = ev.join(firsts, "user_id").withColumn(
-        "is_new", F.col("day") == F.col("first_day")
+    daily = ev.withColumn(
+        "is_new",
+        F.col("day") == F.min("day").over(W.partitionBy("user_id")),
     )
     return daily.groupBy("day").agg(
         F.countDistinct(

@@ -585,3 +585,34 @@ def test_single_fact_scan_shapes(spark, sf_dir):
     n = len(_re.findall(r"\(\d+\) Scan parquet", plan))
     assert n == 0, f"rfm: expected checkpoint-backed plan, saw {n} scans\n{plan}"
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_new_vs_returning_single_scan(spark, sf_dir):
+    """First-day derivation must ride a window, not an aggregate joined
+    back — one events scan total."""
+    import re as _re
+
+    from hadoopmapreduce_spark.operators.windows import event_new_vs_returning
+
+    plan = physical_plan(event_new_vs_returning(spark, sf_dir))
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan  # the two conditional distincts
+
+
+def test_mad_and_share_read_checkpoints_not_rescans(spark, sf_dir):
+    """MAD's deviation table and share-of-parent's child level are
+    lineage-cut: the final plans read the materialized RDD, so the fact
+    scan count in the RETURNED plan is zero (it ran while materializing)."""
+    import re as _re
+
+    from hadoopmapreduce_spark.operators.aggregates import (
+        agg_share_of_parent,
+        dq_mad_outliers,
+    )
+
+    for fn in (dq_mad_outliers, agg_share_of_parent):
+        plan = physical_plan(fn(spark, sf_dir))
+        n = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+        # share_of_parent still scans region (5-row dim) post-checkpoint
+        assert n <= 1, f"{fn.__name__}: {n} parquet scans\n{plan}"
+        assert "ExistingRDD" in plan
