@@ -1082,3 +1082,57 @@ def window_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1) AS BIGINT)"
         ).alias("bounce_ppm"),
     )
+
+
+@query(
+    "event_rolling_28d_actives",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    contrib AS (
+      SELECT ud.user_id,
+             CAST(unnest(generate_series(CAST(ud.day AS TIMESTAMP),
+                                         CAST(LEAST(ud.day + INTERVAL 27 DAY,
+                                                    (SELECT d1 FROM span))
+                                              AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud)
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau_28d
+    FROM contrib GROUP BY 1
+    """,
+)
+def event_rolling_28d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day active users per day (the MAU curve next to every
+    DAU chart): a user counts toward day D if active in [D−27, D].
+    window_running_distinct gives the CUMULATIVE distinct count; this is
+    the sliding-window variant, which no window frame expresses exactly
+    (count-distinct over a moving range), so the plan is the scalable
+    explode trick: distinct (user, day) activity → each row fans out to
+    the ≤28 target days it contributes to (capped at the dataset's last
+    day so trailing days aren't undercounted phantoms) → exact distinct
+    per target day.
+
+    Fan-out is a FIXED ×28 on the deduplicated user-day table (already
+    ≪ raw events), partial-agged before the shuffle — linear at any
+    scale, and the window width only changes the constant.  The HLL
+    union of 28 daily sketches is the approximate big-window escape
+    hatch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    ud = ev.distinct()
+    d1 = ud.agg(F.max("day")).first()[0]
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.date_add(F.col("day"), 27), F.lit(d1)),
+            )
+        ).alias("day"),
+    )
+    return contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("mau_28d")
+    )

@@ -163,9 +163,11 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "graph_degree_assortativity",  # decimal-moment correlation (green via
                                    # agg_moments) over the shared edges
     "ts_weekday_profile",       # epoch-Monday modulo weekday (portable);
-                                # 7-row agg + scalar broadcast
+                                # 7-row agg, window-normalized
     "window_session_bounce",    # sessionize_events' green exchange + a
                                 # per-day ppm fold
+    "event_rolling_28d_actives",  # bounded ×28 day-explode + exact
+                                  # distinct; running_distinct's sibling
 )
 
 

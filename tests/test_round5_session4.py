@@ -538,3 +538,32 @@ def test_session_bounce_consistent_with_sessionize(spark, sf_dir):
     assert {
         r["day"]: r["n_bounces"] for r in rows if r["n_bounces"]
     } == per_day_bounce
+
+
+def test_rolling_28d_actives_brute_force(spark, sf_dir):
+    """Re-derive the MAU curve by brute force in Python sets — windowed
+    distinct counts must match for every day, and the curve must dominate
+    the daily-active counts."""
+    import datetime
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.windows import event_rolling_28d_actives
+
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in ud:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    rows = {r["day"]: r["mau_28d"] for r in event_rolling_28d_actives(spark, sf_dir).collect()}
+    assert set(rows) == set(days)  # trailing phantom days are capped away
+    for d in days:
+        expect = set()
+        for k in range(28):
+            expect |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert rows[d] == len(expect), d
+        assert rows[d] >= len(by_day[d])
