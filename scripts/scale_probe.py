@@ -37,6 +37,12 @@ PROBE = [
     "doc_repetition_signals",
     "ngram_jaccard_pairs",  # quadratic BY DESIGN (differential oracle)
     "embedding_near_dup",  # quadratic BY DESIGN (exact baseline)
+    # round-5 fourth-session additions worth tracking across rounds
+    "dedup_prefix_filter_jaccard",
+    "fin_prorate_largest_remainder",
+    "dq_fact_detail_reconcile",
+    "agg_pareto_frontier_2d",
+    "event_rolling_28d_actives",
 ]
 
 
