@@ -386,11 +386,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     x AS (
-      SELECT label, r.dim, v[r.dim] AS val
+      SELECT label, r.dim,
+             CAST(round(v[r.dim] * 1073741824) AS BIGINT) AS q
       FROM e, UNNEST(range(1, len(v) + 1)) AS r(dim))
     SELECT label, CAST(dim AS INT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) * 1073741824 AS DOUBLE)
              AS centroid_val
     FROM x GROUP BY 1, 2
     """,
@@ -404,21 +405,37 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode + a single (label, dim) hash aggregate: one shuffle whose
     key count is |labels|×dim, with map-side partial sums absorbing the
     N×dim explosion — the dimension-parallel formulation that scales out,
-    vs the driver-side np.mean that wouldn't.  Per-dimension sums run in
-    the decimal domain (scale 9 covers float32 inputs exactly enough that
-    both engines round identically), so centroids are bit-stable."""
+    vs the driver-side np.mean that wouldn't.
+
+    Determinism: values quantize onto a BINARY grid — round(v·2³⁰) —
+    not a decimal one.  v·2³⁰ is a power-of-two scaling, exact in IEEE
+    double arithmetic, and both engines round doubles ties-away-from-
+    zero, so the quantized integers agree bit-for-bit; a decimal cast
+    (the first formulation) scales by 10⁹, which is NOT exact in binary
+    and diverged between engines on one boundary value in ~10⁵ at sf0.1.
+    Sums are then exact int64 (< 2⁵³, so the final double division has
+    identical operands and one correctly-rounded result in both
+    engines).  2⁻³⁰ sits well under float32's ulp for |v| ≥ 2⁻⁷, so the
+    quantization is lossless for real embedding magnitudes."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     exploded = e.select("label", F.posexplode("v").alias("dim0", "val"))
+    q = F.round(F.col("val") * 1073741824).cast("long")
     return (
         exploded.groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("_sq"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
             (
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
+                F.col("_sq").cast("double")
+                / (F.col("n") * 1073741824).cast("double")
             ).alias("centroid_val"),
         )
     )
