@@ -9,8 +9,17 @@ engines are "right".
 Fix: route double sums through an exact decimal domain.  Casting each input
 double to ``DECIMAL(18, s)`` is a per-row operation (identical on both
 engines for any double that isn't astronomically close to a half-ulp rounding
-boundary — measure-zero for real data), decimal addition is exact and
-order-independent, and the final cast back to double is deterministic.
+boundary — measure-zero for DECIMAL-NATIVE data like generated prices, where
+the cast merely reconstructs the intended decimal), decimal addition is exact
+and order-independent, and the final cast back to double is deterministic.
+
+CAUTION (round-5 finding): for BINARY-ARBITRARY doubles — float32 upcasts,
+products of divisions — the boundary set is not effectively empty: scaling by
+10^s is inexact in binary, and ``embedding_label_centroids`` diverged between
+engines on one value in ~1e5 at sf0.1.  For such data quantize on a binary
+grid instead: ``CAST(round(v * 2^k) AS BIGINT)`` — the power-of-two scaling
+is exact and both engines round ties away from zero, so the integers agree
+bit-for-bit (see that query for the worked pattern).
 
 This costs nothing at scale: decimal sum is still a single partial+final
 hash aggregate; no extra shuffle, no loss of whole-stage codegen.
