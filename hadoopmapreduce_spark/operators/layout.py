@@ -496,3 +496,64 @@ def scan_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("revenue"),
     )
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_shipdate,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time data-quality metrics via Spark's ``Observation`` API:
+    the lineitem table streams through a (noop) sink with five observed
+    aggregates attached — row count, exact-decimal revenue total, null
+    census, key range — and the metrics are harvested from the SAME pass,
+    zero additional scans.  This is the production ingestion-gate shape:
+    every write already reads the data once, so the DQ numbers are free;
+    a separate post-write validation query doubles the I/O (exactly the
+    rescan class the single-fact-scan plan pins forbid).
+
+    ``observe`` aggregates are computed by the executors during the
+    action and merged on the driver — order-independent here because
+    count/min/max are order-exact and the sum runs in the decimal
+    domain.  The returned 1-row DataFrame is built from the observed
+    values; the oracle recomputes the same five aggregates relationally."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
+            "n_null_shipdate"
+        ),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["total_cents"],
+                row["n_null_shipdate"],
+                row["min_orderkey"],
+                row["max_orderkey"],
+            )
+        ],
+        "n_rows long, total_cents long, n_null_shipdate long, "
+        "min_orderkey long, max_orderkey long",
+    )

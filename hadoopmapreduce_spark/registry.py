@@ -168,6 +168,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # per-day ppm fold
     "event_rolling_28d_actives",  # bounded ×28 day-explode + exact
                                   # distinct; running_distinct's sibling
+    "dq_observe_metrics",       # Observation API: write-pass metrics vs
+                                # relational recompute oracle
 )
 
 
