@@ -802,3 +802,132 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity_ppm"),
     )
+
+
+# Wedge centers with degree above this cap are excluded from common-neighbor
+# enumeration: hub centers cost deg² pairs and carry no similarity signal
+# (everything co-occurs with a hub).  The fixture graph's max degree stays
+# far below the cap at every SF (the filter is exercised by a crafted star
+# graph in tests), so oracle parity also covers the cap's no-op region; at
+# production scale this constant is the knob that bounds the wedge fan-out
+# to cap·|E|.
+JACCARD_HUB_CAP = 4096
+JACCARD_MIN_COMMON = 2
+JACCARD_TOP_N = 50
+# Candidate scope: similarity is asked of pairs WITHIN one brand (substitute
+# detection — "which Brand#1 parts are interchangeable in baskets?").  This
+# is the selectivity the 100 TB plan depends on: the brand filter is pushed
+# into BOTH wedge-join inputs, so the quadratic fan-out is sum over centers
+# of (brand-neighbors)², i.e. (brand density)² ≈ 1/625 of the all-pairs
+# wedge count — measured 298M → 478k wedge rows at sf0.1.  Without a
+# candidate scope (or LSH bucketing, the minhash path) all-pairs
+# neighborhood similarity on a near-regular graph is irreducibly Σdeg²:
+# the fixture graph has no hubs to cap away (p50 119 / max 222 at sf0.1).
+JACCARD_BRAND = "Brand#1"
+
+
+@query(
+    "graph_neighbor_jaccard_top",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM directed GROUP BY 1),
+    centers AS (
+      SELECT d.src, d.dst FROM directed d
+      JOIN deg g ON g.node = d.src
+      JOIN part p ON p.p_partkey = d.dst
+      WHERE g.deg <= {JACCARD_HUB_CAP} AND p.p_brand = '{JACCARD_BRAND}'),
+    cn AS (
+      SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM centers a JOIN centers b
+        ON a.src = b.src AND a.dst < b.dst
+      GROUP BY 1, 2 HAVING COUNT(*) >= {JACCARD_MIN_COMMON}),
+    scored AS (
+      SELECT cn.u, cn.v, cn.common, du.deg AS deg_u, dv.deg AS deg_v,
+             (1000000 * cn.common) // (du.deg + dv.deg - cn.common)
+               AS jaccard_ppm
+      FROM cn JOIN deg du ON du.node = cn.u
+              JOIN deg dv ON dv.node = cn.v)
+    SELECT u, v, common, deg_u, deg_v, jaccard_ppm,
+           ROW_NUMBER() OVER (ORDER BY jaccard_ppm DESC, u, v) AS rk
+    FROM scored ORDER BY jaccard_ppm DESC, u, v LIMIT {JACCARD_TOP_N}
+    """,
+)
+def graph_neighbor_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood similarity: the top JACCARD_BRAND
+    part pairs whose neighbor SETS overlap most (Jaccard of FULL adjacency
+    lists, exact integer ppm — |N(u)∩N(v)| via wedge counting,
+    |N(u)∪N(v)| = deg_u + deg_v − common).  The "substitute candidate"
+    generator behind "customers who bought these also bought...".
+
+    Scale shape: wedge enumeration is the same self-join on the shared
+    cached directed-edge table that triangle counting uses, with the three
+    guards production systems always add — the candidate scope (brand)
+    pushed into BOTH wedge-join inputs BEFORE the quadratic fan-out (see
+    JACCARD_BRAND's comment: ~625× fewer wedge rows), hub centers above
+    JACCARD_HUB_CAP excluded (deg² fan-out, no signal), and pairs below
+    JACCARD_MIN_COMMON dropped at the partial aggregate, before the degree
+    joins.  Degrees stay UNRESTRICTED (similarity is over full
+    neighborhoods; only the candidate pairs are scoped).  Final top-N is
+    TakeOrderedAndProject (bounded heaps, no global sort); rank is
+    re-derived on the N surviving rows only."""
+    from pyspark.sql import Window as W
+
+    directed = directed_copurchase_edges(spark, sf_dir)
+    # node-count-sized and referenced three times (cap filter + two scoring
+    # joins) — cache it so the aggregate over the edge table runs once per
+    # fixture, not once per reference (plan-keyed, shared across calls)
+    deg = (
+        directed.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .cache()
+    )
+    _CACHED.append(deg)
+    bparts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == JACCARD_BRAND)
+        .select(F.col("p_partkey").alias("bkey"))
+    )
+    # brand filter FIRST (broadcast, prunes ~24/25 of edge rows), hub-cap
+    # join on the surviving sliver
+    centers = (
+        directed.join(F.broadcast(bparts), directed.dst == F.col("bkey"))
+        .join(
+            deg.where(F.col("deg") <= JACCARD_HUB_CAP).select("node"),
+            F.col("src") == F.col("node"),
+        )
+        .select("src", "dst")
+    )
+    a = centers.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = centers.select(F.col("src").alias("w2"), F.col("dst").alias("v"))
+    cn = (
+        a.join(b, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= JACCARD_MIN_COMMON)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        cn.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common", "deg_u", "deg_v",
+            F.expr(
+                "(1000000 * common) div (deg_u + deg_v - common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")
+    ).limit(JACCARD_TOP_N)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")))
+        .cast("long"),
+    )

@@ -813,3 +813,124 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("days_apart"),
         )
     )
+
+
+@query(
+    "fin_fifo_inventory_match",
+    oracle="""
+    WITH flows AS (
+      SELECT l_partkey AS part, l_orderkey AS orderkey,
+             l_linenumber AS linenumber, l_shipdate AS ship,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_linenumber % 2 = 1 AS is_receipt
+      FROM lineitem),
+    r AS (
+      SELECT part, ship, qty,
+             CAST(SUM(qty) OVER (
+               PARTITION BY part
+               ORDER BY ship, orderkey, linenumber
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM flows WHERE is_receipt),
+    i AS (
+      SELECT part, ship, qty,
+             CAST(SUM(qty) OVER (
+               PARTITION BY part
+               ORDER BY ship, orderkey, linenumber
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM flows WHERE NOT is_receipt),
+    matched AS (
+      SELECT r.part,
+             LEAST(r.hi, i.hi) - GREATEST(r.hi - r.qty, i.hi - i.qty) AS m_qty,
+             date_diff('day', r.ship, i.ship) AS age_days
+      FROM r JOIN i
+        ON r.part = i.part
+       AND r.hi - r.qty < i.hi
+       AND i.hi - i.qty < r.hi)
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(m_qty) AS BIGINT) AS qty_matched,
+           CAST(SUM(m_qty * age_days) AS BIGINT) AS qty_age_days
+    FROM matched GROUP BY part
+    """,
+)
+def fin_fifo_inventory_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching via CUMULATIVE-INTERVAL ALIGNMENT — the
+    inventory-accounting / lot-aging pattern (also cost-basis matching in
+    finance), done as a relational join instead of a sequential scan.
+
+    Receipts (odd line numbers) and issues (even) per part are each laid on
+    a cumulative-quantity axis: a row with running total ``hi`` and
+    quantity ``qty`` owns the half-open interval ``[hi-qty, hi)``.  FIFO's
+    "oldest stock serves the next issue" is then PURE GEOMETRY: receipt r
+    supplies issue i exactly where their intervals overlap, and the matched
+    quantity is the overlap length — no loop, no per-row state, no
+    ordering dependence beyond the window that built the axis.  The
+    sequential textbook algorithm becomes one equi-join on part plus two
+    range predicates.
+
+    Scale shape: the window needs one shuffle on part; the join re-uses the
+    same partitioning (co-located, no extra exchange).  Each receipt
+    overlaps O(1 + qty/avg_qty) issues — matching is LINEAR in rows, never
+    all-pairs, because the intervals on each side are disjoint by
+    construction.  Skew = per-part flow volume; a hot part can be banded
+    on ``hi div B`` exactly like join_interval_overlap's week buckets.
+    Output is the per-part aging report: matched quantity and
+    quantity-weighted age (issue ship date minus receipt ship date, in
+    days — exact integers end-to-end)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("part")
+        .orderBy("ship", "orderkey", "linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flows = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
+    )
+    # each side gets its OWN cumulative axis (filter first, then window) —
+    # the two interval sets must independently start at 0
+    r = (
+        flows.where("is_receipt")
+        .withColumn("hi", F.sum("qty").over(w))
+        .select(
+            F.col("part").alias("r_part"), F.col("ship").alias("r_ship"),
+            F.col("qty").alias("r_qty"), F.col("hi").alias("r_hi"),
+        )
+    )
+    i = (
+        flows.where(~F.col("is_receipt"))
+        .withColumn("hi", F.sum("qty").over(w))
+        .select(
+            F.col("part").alias("i_part"), F.col("ship").alias("i_ship"),
+            F.col("qty").alias("i_qty"), F.col("hi").alias("i_hi"),
+        )
+    )
+    m_qty = F.least(F.col("r_hi"), F.col("i_hi")) - F.greatest(
+        F.col("r_hi") - F.col("r_qty"), F.col("i_hi") - F.col("i_qty")
+    )
+    matched = (
+        r.join(
+            i,
+            (F.col("r_part") == F.col("i_part"))
+            & (F.col("r_hi") - F.col("r_qty") < F.col("i_hi"))
+            & (F.col("i_hi") - F.col("i_qty") < F.col("r_hi")),
+        )
+        .select(
+            F.col("r_part").alias("part"),
+            m_qty.alias("m_qty"),
+            F.datediff(F.col("i_ship"), F.col("r_ship")).cast("bigint").alias(
+                "age_days"
+            ),
+        )
+    )
+    return matched.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("m_qty").alias("qty_matched"),
+        F.sum(F.col("m_qty") * F.col("age_days")).alias("qty_age_days"),
+    )

@@ -154,3 +154,63 @@ def sort_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "sample_weighted_bottomk",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w_cents,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders),
+    ranked AS (
+      SELECT priority, orderkey, w_cents, h // w_cents AS pri,
+             ROW_NUMBER() OVER (
+               PARTITION BY priority
+               ORDER BY h // w_cents, h, orderkey) AS rn
+      FROM w)
+    SELECT priority, orderkey, w_cents, pri
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED k-sample per group — the integer-exact analogue
+    of A-ES weighted reservoir sampling (Efraimidis-Spirtakis priority
+    ``u^(1/w)`` bottom-k).  Priority here is ``h div w`` on a 60-bit
+    content hash and an integer weight (order value in cents): doubling a
+    row's weight halves its expected priority, so inclusion probability
+    grows with weight, yet everything stays in exact BIGINT arithmetic —
+    no float ``pow``/``ln`` whose libm ulps could diverge cross-engine.
+    Like sample_bottomk_per_group it is STATELESS and mergeable (bottom-k
+    of a union == bottom-k of merged bottom-k's), which is what makes it a
+    distributed reservoir: each partition keeps its local bottom-k and the
+    single shuffle carries k rows per partition, never the table.
+
+    Weights are exact cents via the DECIMAL(18,2) reconstruction (the
+    fixture's doubles REPRESENT 2-decimal prices; see NOTES.md playbook #6
+    — this is a reconstruction cast, not a quantization choice)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w_cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        w_cents.alias("w_cents"),
+        h.alias("h"),
+    ).withColumn("pri", F.expr("h div w_cents"))
+    ranked = base.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("priority").orderBy("pri", "h", "orderkey")
+        ),
+    )
+    return ranked.where(F.col("rn") <= 20).select(
+        "priority", "orderkey", "w_cents", "pri"
+    )

@@ -1321,3 +1321,232 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("posting_head"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH uni AS (
+      SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      GROUP BY 1),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk FROM uni),
+    pts AS (
+      SELECT length(to_base(rk, 2)) - 1 AS x,
+             length(to_base(c, 2)) - 1 AS y, c
+      FROM ranked),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts)
+    SELECT x AS log2_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(c) AS BIGINT) AS total_freq,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+             AS slope_milli
+    FROM pts, fit
+    GROUP BY x, n, sx, sy, sxy, sxx
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic for a corpus — the standard sanity
+    check that token frequencies follow a power law (a training-data
+    health signal: scraped boilerplate or synthetic spam bends the curve).
+    Every numeric stays an exact integer: rank and frequency are mapped to
+    the FLOOR-LOG2 domain via the portable bit-length idiom
+    (``length(bin(x)) - 1`` / ``length(to_base(x, 2)) - 1`` — no libm
+    ``log``), and the least-squares slope over those points is carried as
+    the exact rational ``num/den`` plus a truncated milli-slope (both
+    engines truncate integer division toward zero).  Zipf's law predicts
+    slope ≈ −1000 milli.
+
+    Output: one row per log2-rank bucket (bucket census) with the global
+    fit replicated — every row's slope columns hash-check the whole
+    regression.  Scale shape: wordcount shuffle (partial-agg absorbs
+    Zipf skew by construction), then a VOCABULARY-sized ranking — the
+    global row_number window is over distinct terms, not tokens, and the
+    regression inputs are 5 scalars; at a 100 TB corpus the vocabulary
+    rank would go through the repartitionByRange + per-partition
+    row_number + driver prefix-sum pattern of agg_decile_lift_table."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    uni = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = uni.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("term")))
+    )
+    pts = ranked.select(
+        (F.length(F.bin(F.col("rk"))) - 1).cast("long").alias("x"),
+        (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("y"),
+        "c",
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    buckets = pts.groupBy(F.col("x").alias("log2_rank")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").alias("total_freq"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return buckets.crossJoin(F.broadcast(fit)).select(
+        "log2_rank",
+        "n_terms",
+        "total_freq",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.expr(
+            "(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+        ).alias("slope_milli"),
+    )
+
+
+@query(
+    "text_trigram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS nib
+      FROM documents),
+    tri AS (
+      SELECT doc_id, nib,
+             ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM t, UNNEST(range(1, len(ts) - 1)) AS r(i)),
+    train AS (SELECT DISTINCT g FROM tri WHERE nib < 11),
+    cand AS (SELECT doc_id, g FROM tri WHERE nib >= 11)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           (1000000 * CAST(SUM(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT))
+             // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM cand c LEFT JOIN train tr ON c.g = tr.g
+    GROUP BY 1
+    """,
+)
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score — the memorization/contamination-adjacent
+    signal: how much of each held-out document's token-trigram stream is
+    ABSENT from the training split's trigram vocabulary (novelty 0 =
+    every phrase already seen, high novelty = genuinely new text).  The
+    corpus splits on the md5-first-nibble of doc_id (the repo's stable
+    content-derived bucketing: ~11/16 train, 5/16 candidate — same idiom
+    as sample_split_train_val_test), trigrams come off the zip_with gram
+    ladder (pmi_top_pairs' bigram machinery extended one rung), and the
+    score is exact integer ppm.
+
+    Scale shape: one tokenize feeding both splits, a distinct over train
+    trigrams (wordcount-class shuffle), and one equi-join of candidate
+    trigram occurrences against that set, keyed on the gram — linear,
+    skew absorbed by partial dedup map-side.  The trigram SET never sits
+    on one machine; contrast with contamination_check, which broadcasts a
+    small benchmark side.  Docs under 3 tokens have no trigram stream and
+    drop out (both engines agree by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    ts = _tokens(F.col("text"))
+    base = d.select("doc_id", ts.alias("ts"), nib.alias("nib"))
+    n = F.size(F.col("ts"))
+    m = F.greatest(n - 2, F.lit(0))
+    inner = F.zip_with(
+        F.slice(F.col("ts"), 2, m),
+        F.slice(F.col("ts"), 3, m),
+        lambda b, c: F.concat(b, F.lit(" "), c),
+    )
+    tri_arr = F.zip_with(
+        F.slice(F.col("ts"), 1, m), inner,
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    tri = base.select("doc_id", "nib", F.explode(tri_arr).alias("g"))
+    train = tri.where(F.col("nib") < 11).select("g").distinct()
+    cand = tri.where(F.col("nib") >= 11).select("doc_id", "g")
+    joined = cand.join(
+        train.withColumn("seen", F.lit(1)), "g", "left"
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+    )
+    return agg.withColumn(
+        "novelty_ppm", F.expr("(1000000 * n_novel) div n_trigrams")
+    )
+
+
+@query(
+    "pipeline_curriculum_mix",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT ROW_NUMBER() OVER (ORDER BY rn, lang, doc_id) AS position,
+           doc_id, lang, rn
+    FROM ranked
+    """,
+)
+def pipeline_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-curriculum interleave: order the corpus so languages are
+    round-robin mixed tier by tier (every language's best remaining doc
+    before any language's second-best), with "best" = longest text — the
+    deterministic mixing pass before sharding a multilingual training set,
+    preventing language-run clumps that destabilize training.
+
+    The oracle states the spec as one global ``ROW_NUMBER() OVER (ORDER BY
+    rn, lang, doc_id)`` — a single-partition sort no 100 TB plan should
+    run.  The Spark plan computes the SAME total position with bounded
+    state instead: (1) per-lang rank (shuffle on lang), (2) tier sizes =
+    count per rank tier — a tier-count table (rows = max docs per
+    language) whose running offsets are a prefix sum over that tiny
+    table, (3) join the broadcast offsets back and add the within-tier
+    index from a window over the ≤n_langs-row tier partitions.  Global
+    order emerges from arithmetic, not a global sort — the same
+    distributed-ranking idiom as agg_decile_lift_table, proven equivalent
+    by the oracle's direct formulation."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    ranked = d.select("doc_id", "lang", "n_chars").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    tiers = (
+        ranked.groupBy("rn")
+        .agg(F.count(F.lit(1)).alias("tier_n"))
+        .withColumn(
+            "base",
+            F.sum("tier_n").over(
+                W.orderBy("rn").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("rn", F.coalesce("base", F.lit(0)).alias("base"))
+    )
+    idx = F.row_number().over(
+        W.partitionBy("rn").orderBy("lang", "doc_id")
+    )
+    return (
+        ranked.join(F.broadcast(tiers), "rn")
+        .withColumn("position", (F.col("base") + idx).cast("long"))
+        .select("position", "doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )

@@ -1136,3 +1136,64 @@ def event_rolling_28d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("day").agg(
         F.countDistinct("user_id").alias("mau_28d")
     )
+
+
+@query(
+    "event_funnel_24h",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, v.t1, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY 1, 2),
+    p AS (
+      SELECT e.user_id, c.t1, c.t2, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY 1, 2, 3)
+    SELECT user_id, t1, t2, t3 FROM p
+    """,
+)
+def event_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: users whose EARLIEST
+    view → click → purchase chain completed with each transition inside a
+    24-hour window (the "same-session conversion" metric; the unconstrained
+    subsequence variant is funnel_steps_per_user).  Earliest-completion
+    semantics make the result unique: t1 is the first view, t2 the first
+    qualifying click after it, t3 the first qualifying purchase after that
+    — a cascade of argmin stages, each one aggregate + one equi-join on
+    user_id.
+
+    Scale shape: three passes over a type-pruned event scan, all keyed on
+    user_id — after the first shuffle the joins and aggregates reuse the
+    same hash partitioning (no extra exchange under AQE), and each stage's
+    state is one row per surviving user, monotonically shrinking down the
+    funnel.  Timestamp arithmetic is exact microsecond integers in both
+    engines; no floats anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return p.select("user_id", "t1", "t2", "t3")

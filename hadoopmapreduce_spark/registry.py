@@ -170,6 +170,23 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                   # distinct; running_distinct's sibling
     "dq_observe_metrics",       # Observation API: write-pass metrics vs
                                 # relational recompute oracle
+    # --- fifth round-5 session (each locally exact at sf0.001 + sf0.01;
+    # with the backlog already at the 50-slot cap these consume round-6
+    # rotation slots — the round-6 re-pin decides the final order) ---
+    "sample_weighted_bottomk",  # weighted twin of sample_bottomk_per_group
+                                # (h div w priority, same md5 idiom)
+    "fin_fifo_inventory_match",  # FIFO lot matching as cumulative-interval
+                                 # alignment; window + co-partitioned join
+    "event_funnel_24h",         # time-constrained funnel; cascaded argmin
+                                # joins on the green event machinery
+    "text_zipf_fit",            # integer floor-log2 rank/freq regression
+                                # (bit-length idiom, exact rational slope)
+    "text_trigram_novelty",     # held-out n-gram novelty vs train split;
+                                # gram ladder + md5-nibble split, both green
+    "pipeline_curriculum_mix",  # round-robin language interleave; global
+                                # order from arithmetic vs oracle's sort
+    "graph_neighbor_jaccard_top",  # wedge-count Jaccard link prediction
+                                   # over the shared green edge table
 )
 
 

@@ -616,3 +616,34 @@ def test_mad_and_share_read_checkpoints_not_rescans(spark, sf_dir):
         # share_of_parent still scans region (5-row dim) post-checkpoint
         assert n <= 1, f"{fn.__name__}: {n} parquet scans\n{plan}"
         assert "ExistingRDD" in plan
+
+
+def test_session5_joins_never_nested_loop(spark, sf_dir):
+    """The fifth-session operators all express their matching as equi-joins
+    (FIFO's range predicates ride an equi-join on part; the wedge join is
+    keyed on the center) — a nested-loop/cartesian here would be the
+    100 TB-killing plan."""
+    from hadoopmapreduce_spark.operators.graph import graph_neighbor_jaccard_top
+    from hadoopmapreduce_spark.operators.joins import fin_fifo_inventory_match
+    from hadoopmapreduce_spark.operators.textops import text_trigram_novelty
+    from hadoopmapreduce_spark.operators.windows import event_funnel_24h
+
+    for fn in (
+        fin_fifo_inventory_match,
+        graph_neighbor_jaccard_top,
+        text_trigram_novelty,
+        event_funnel_24h,
+    ):
+        assert_not_contains(
+            fn(spark, sf_dir), "CartesianProduct", "BroadcastNestedLoopJoin"
+        )
+
+
+def test_jaccard_topn_bounded_and_curriculum_broadcast(spark, sf_dir):
+    """Top-N via bounded heaps (no global sort of the pair table), and the
+    curriculum mix joins its tiny tier-offset table by broadcast."""
+    from hadoopmapreduce_spark.operators.graph import graph_neighbor_jaccard_top
+    from hadoopmapreduce_spark.operators.textops import pipeline_curriculum_mix
+
+    assert_contains(graph_neighbor_jaccard_top(spark, sf_dir), "TakeOrderedAndProject")
+    assert_contains(pipeline_curriculum_mix(spark, sf_dir), "BroadcastHashJoin")
