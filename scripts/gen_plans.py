@@ -61,6 +61,12 @@ HEADLINERS = [
     ("agg_rfm_segmentation", "quartile thresholds broadcast against the per-customer aggregate — no ranking window"),
     ("ts_cusum_alerts", "cumsum + floored running-min windows over the calendar-bounded daily series"),
     ("scan_schema_evolution_union", "mergeSchema read over two snapshot schemas; NULL-filled columnar scan"),
+    ("fin_fifo_inventory_match", "FIFO interval alignment: per-side part-keyed windows + co-partitioned equi-join with overlap predicates"),
+    ("sample_weighted_bottomk", "weighted bottom-k: per-group window, map-side local heaps bound the shuffle"),
+    ("event_funnel_24h", "cascaded argmin stages, all user-keyed — state shrinks down the funnel"),
+    ("text_trigram_novelty", "gram ladder + gram-keyed left join; partial dedup absorbs Zipf skew"),
+    ("pipeline_curriculum_mix", "global curriculum position from broadcast tier offsets — no global sort"),
+    ("graph_neighbor_jaccard_top", "brand scope pushed into BOTH wedge inputs before the quadratic fan-out; bounded top-N"),
 ]
 
 
