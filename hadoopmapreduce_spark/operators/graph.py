@@ -931,3 +931,117 @@ def graph_neighbor_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")))
         .cast("long"),
     )
+
+
+PPR_ITERS = 4
+
+
+def _ppr_oracle(iters: int) -> str:
+    ctes = [
+        f"""seeds AS (
+      SELECT d.node FROM deg d
+      JOIN part p ON p.p_partkey = d.node
+      WHERE p.p_brand = '{JACCARD_BRAND}')""",
+        f"""p0 AS (
+      SELECT d.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {_PR_INIT} ELSE 0 END
+                  AS BIGINT) AS rank
+      FROM deg d LEFT JOIN seeds s ON s.node = d.node)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""inc{i} AS (
+      SELECT dir.dst AS node,
+             CAST(SUM(p.rank // dg.degree) AS BIGINT) AS inc
+      FROM directed dir
+      JOIN p{i - 1} p ON p.node = dir.src
+      JOIN deg dg ON dg.node = dir.src
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+      SELECT c.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {_PR_BASE} ELSE 0 END
+                  + (85 * c.inc) // 100 AS BIGINT) AS rank
+      FROM inc{i} c LEFT JOIN seeds s ON s.node = c.node)"""
+        )
+    return f"""
+    WITH {_EDGES_SQL},
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM directed GROUP BY 1),
+    {", ".join(ctes)}
+    SELECT node, rank FROM p{iters}
+    WHERE rank > 0
+    ORDER BY rank DESC, node ASC LIMIT 20
+    """
+
+
+@query("graph_ppr_seeded", oracle=_ppr_oracle(PPR_ITERS))
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random-walk-with-restart mass seeded on one
+    brand's parts — the recommendation primitive ("parts related to this
+    catalog segment") that global PageRank can't answer.  Same exact
+    integer-domain iteration as :func:`pagerank_int` (positive-integer
+    ``div`` agrees between engines; int64 headroom bound is identical
+    since total mass ≤ N·1e12), except the restart/teleport term lands
+    only on the ~1/25 seed set: seeds start at 1e12 and re-receive the
+    0.15e12 base each round, everything else accumulates only walked
+    mass.  Top-20 by rank with id tie-break; the rank>0 filter excludes
+    nodes the walk never reached in PPR_ITERS rounds (identical semantics
+    both engines — unreached = no path ≤ iters from any seed).
+
+    Scale: one cached edge+degree table feeds every iteration (linear
+    lineage — ranks referenced once per round, the BFS lesson); the seed
+    flag is a broadcast left join.  Cost per round = one join + one
+    aggregate on the edge partitioning, independent of iteration count."""
+    edges = copurchase_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    with_deg = directed.join(deg, "src").cache()
+    _CACHED.append(with_deg)
+    # seed set is model-state-sized (~1/25 of nodes); materialize it ONCE —
+    # without the eager checkpoint the part-scan + degree-agg lineage is
+    # re-executed inside every iteration's broadcast
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == JACCARD_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+        .join(deg.select(F.col("src").alias("node")), "node")
+        .withColumn("is_seed", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(F.col("src").alias("node")).join(
+        F.broadcast(seeds), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("is_seed").isNotNull(), F.lit(_PR_INIT))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(PPR_ITERS):
+        inc = (
+            with_deg.join(ranks, with_deg["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr("cast(sum(rank div degree) as bigint)").alias("inc")
+            )
+        )
+        ranks = inc.join(F.broadcast(seeds), "node", "left").select(
+            "node",
+            F.expr(
+                f"cast(if(is_seed is not null, {_PR_BASE}, 0)"
+                " + (85 * inc) div 100 as bigint)"
+            ).alias("rank"),
+        )
+    return (
+        ranks.where(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )

@@ -187,6 +187,10 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # order from arithmetic vs oracle's sort
     "graph_neighbor_jaccard_top",  # wedge-count Jaccard link prediction
                                    # over the shared green edge table
+    "sort_collation_unicode",   # ICU collated top-k — Spark UNICODE vs
+                                # DuckDB en_us alignment probed in NOTES
+    "graph_ppr_seeded",         # personalized PageRank; pagerank_int's
+                                # green integer iteration + seeded restart
 )
 
 

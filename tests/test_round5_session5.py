@@ -276,3 +276,64 @@ def test_jaccard_fixture_sanity(spark, sf_dir):
         F.col("common") > F.least(F.col("deg_u"), F.col("deg_v"))
     ).count() == 0
     assert df.where(F.col("jaccard_ppm") > 1000000).count() == 0
+
+
+def test_collated_order_differs_from_binary(spark, sf_dir):
+    """Non-vacuity: the UNICODE-collated top-100 must differ from what a
+    binary sort would pick/rank (uppercase variants sort adjacent to their
+    lowercase twins under ICU, far away under binary), and rk must be the
+    contiguous 1..100 prefix."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.sorts import sort_collation_unicode
+
+    rows = sort_collation_unicode(spark, sf_dir).collect()
+    assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+        range(1, len(rows) + 1)
+    )
+    collated = [r["s"] for r in sorted(rows, key=lambda r: r["rk"])]
+    p = load_table(spark, sf_dir, "part")
+    binary = [
+        r["s"]
+        for r in (
+            p.select(F.col("p_name").alias("s"))
+            .unionAll(p.select(F.upper(F.col("p_name")).alias("s")))
+            .distinct()
+            .orderBy("s")
+            .limit(len(rows))
+            .collect()
+        )
+    ]
+    assert collated != binary
+    # ICU adjacency: a lowercase name and its uppercase twin both in the
+    # top-k must sit next to each other
+    for i, s in enumerate(collated[:-1]):
+        if s.upper() in collated and s != s.upper():
+            assert abs(collated.index(s.upper()) - i) == 1
+            break
+
+
+def test_ppr_seeded_properties(spark, sf_dir):
+    """Ranks strictly positive and non-increasing; result deterministic
+    across invocations; seeds appearing in the top-20 carry at least the
+    restart base (they re-receive it every round)."""
+    import hadoopmapreduce_spark.operators.graph as G
+    from hadoopmapreduce_spark.catalog import load_table
+
+    rows = G.graph_ppr_seeded(spark, sf_dir).collect()
+    ranks = [r["rank"] for r in rows]
+    assert all(x > 0 for x in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    seeds = {
+        r["p_partkey"]
+        for r in load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == G.JACCARD_BRAND)
+        .select("p_partkey")
+        .collect()
+    }
+    for r in rows:
+        if r["node"] in seeds:
+            assert r["rank"] >= 150_000_000_000
+    again = G.graph_ppr_seeded(spark, sf_dir).collect()
+    assert [(r["node"], r["rank"]) for r in rows] == [
+        (r["node"], r["rank"]) for r in again
+    ]
