@@ -337,3 +337,70 @@ def test_ppr_seeded_properties(spark, sf_dir):
     assert [(r["node"], r["rank"]) for r in rows] == [
         (r["node"], r["rank"]) for r in again
     ]
+
+
+def test_fifo_matches_sequential_simulation(spark, tmp_path):
+    """Differential check of the interval-alignment formulation against a
+    literal sequential FIFO simulation on a pseudo-random multi-part flow
+    (deterministic seed) — the textbook algorithm and the relational one
+    must agree match-for-match in aggregate."""
+    import random
+
+    from hadoopmapreduce_spark.operators.joins import fin_fifo_inventory_match
+
+    rng = random.Random(20260814)
+    d0 = datetime.datetime(2023, 1, 1)
+    rows = []
+    order = 1
+    for part in range(1, 8):
+        for _ in range(rng.randint(3, 25)):
+            line = rng.randint(1, 7)
+            rows.append(
+                (
+                    part,
+                    order,
+                    line,
+                    d0 + datetime.timedelta(days=rng.randint(0, 400)),
+                    float(rng.randint(1, 50)),
+                )
+            )
+            order += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_partkey long, l_orderkey long, l_linenumber int, "
+        "l_shipdate timestamp, l_quantity double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    # sequential simulation: consume receipts oldest-first per issue
+    expect = {}
+    by_part = {}
+    for part, order, line, ship, qty in rows:
+        by_part.setdefault(part, []).append((ship, order, line, int(qty)))
+    for part, flows in by_part.items():
+        flows.sort()
+        receipts = [
+            [ship, int(q)] for ship, o, l, q in flows if l % 2 == 1
+        ]
+        issues = [[ship, int(q)] for ship, o, l, q in flows if l % 2 == 0]
+        n = qty_m = age_m = 0
+        ri = 0
+        for iship, iq in issues:
+            while iq > 0 and ri < len(receipts):
+                rship, rq = receipts[ri]
+                take = min(iq, rq)
+                n += 1
+                qty_m += take
+                age_m += take * (iship - rship).days
+                receipts[ri][1] -= take
+                iq -= take
+                if receipts[ri][1] == 0:
+                    ri += 1
+        if n:
+            expect[part] = (n, qty_m, age_m)
+
+    got = {
+        r["part"]: (r["n_matches"], r["qty_matched"], r["qty_age_days"])
+        for r in fin_fifo_inventory_match(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
