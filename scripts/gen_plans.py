@@ -67,6 +67,8 @@ HEADLINERS = [
     ("text_trigram_novelty", "gram ladder + gram-keyed left join; partial dedup absorbs Zipf skew"),
     ("pipeline_curriculum_mix", "global curriculum position from broadcast tier offsets — no global sort"),
     ("graph_neighbor_jaccard_top", "brand scope pushed into BOTH wedge inputs before the quadratic fan-out; bounded top-N"),
+    ("sort_collation_unicode", "ICU-collated top-k rides the same bounded-heap TakeOrderedAndProject as binary sorts"),
+    ("graph_ppr_seeded", "per-iteration join+agg on the cached edge partitioning; checkpointed seed set broadcast each round"),
 ]
 
 
