@@ -393,17 +393,23 @@ def bfs_relax_min(
     ``dedup_clusters_twostar`` uses for its star rounds.  At cluster scale
     this is one node-keyed shuffle + one label-table materialization per
     round, independent of round count."""
+    from hadoopmapreduce_spark.session import iter_state_shuffle
+
+    n_nodes = directed.select("src").distinct().count()
     dist = sources
-    for _ in range(rounds):
-        propagated = directed.join(
-            dist, directed["src"] == dist["node"]
-        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-        dist = (
-            dist.unionByName(propagated)
-            .groupBy("node")
-            .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+    with iter_state_shuffle(directed.sparkSession, n_nodes):
+        for _ in range(rounds):
+            propagated = directed.join(
+                dist, directed["src"] == dist["node"]
+            ).select(
+                F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+            dist = (
+                dist.unionByName(propagated)
+                .groupBy("node")
+                .agg(F.min("dist").cast("long").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
     return dist
 
 
@@ -482,27 +488,30 @@ def kcore_peel_trace(
     n_directed0 = directed.count()
     k = n_directed0 // n_nodes0 - k_offset
     trace: list[tuple[int, int, int]] = []
-    for r in range(rounds + 1):
-        deg = (
-            directed.join(alive.select(F.col("node").alias("src")), "src")
-            .join(alive.select(F.col("node").alias("dst")), "dst")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint(eager=True)
-        )
-        n_alive = alive.count()
-        tot_deg = deg.agg(
-            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("t")
-        ).collect()[0][0]
-        trace.append((r, n_alive, tot_deg // 2))
-        if r < rounds:
-            # nodes with zero induced edges are absent from `deg` and thus
-            # (correctly) peeled: their degree is below any positive k
-            alive = (
-                deg.filter(F.col("deg") >= k)
-                .select(F.col("src").alias("node"))
+    from hadoopmapreduce_spark.session import iter_state_shuffle
+
+    with iter_state_shuffle(spark, n_nodes0):
+        for r in range(rounds + 1):
+            deg = (
+                directed.join(alive.select(F.col("node").alias("src")), "src")
+                .join(alive.select(F.col("node").alias("dst")), "dst")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
                 .localCheckpoint(eager=True)
             )
+            n_alive = alive.count()
+            tot_deg = deg.agg(
+                F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("t")
+            ).collect()[0][0]
+            trace.append((r, n_alive, tot_deg // 2))
+            if r < rounds:
+                # nodes with zero induced edges are absent from `deg` and
+                # thus (correctly) peeled: degree below any positive k
+                alive = (
+                    deg.filter(F.col("deg") >= k)
+                    .select(F.col("src").alias("node"))
+                    .localCheckpoint(eager=True)
+                )
     return spark.createDataFrame(
         trace, "round bigint, n_nodes bigint, n_edges bigint"
     )
