@@ -788,15 +788,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
     one_way = e.join(du, "u").join(dv, "v").select("dx", "dy")
-    pairs = one_way.unionByName(
-        one_way.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
-    )
+    # the symmetric pair multiset is one_way plus its swap; its moments are
+    # pure algebra over ONE orientation (n = 2m, Σx = Σ(dx+dy),
+    # Σxy = 2Σdxdy, Σx² = Σ(dx²+dy²)) — same exact integers, half the
+    # aggregated rows and no union
     d38 = "decimal(38,0)"
-    mom = pairs.agg(
-        F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum(F.col("dx").cast(d38)).alias("sx"),
-        F.sum(F.col("dx").cast(d38) * F.col("dy").cast(d38)).alias("sxy"),
-        F.sum(F.col("dx").cast(d38) * F.col("dx").cast(d38)).alias("sxx"),
+    dx, dy = F.col("dx").cast(d38), F.col("dy").cast(d38)
+    mom = one_way.agg(
+        (F.count(F.lit(1)).cast(d38) * 2).alias("n"),
+        F.sum(dx + dy).alias("sx"),
+        (F.sum(dx * dy) * 2).alias("sxy"),
+        F.sum(dx * dx + dy * dy).alias("sxx"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
