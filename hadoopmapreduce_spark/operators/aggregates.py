@@ -2402,3 +2402,117 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return single_rows.unionByName(cross)
+
+
+@query(
+    "dq_chisq_drift",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 8
+               AS in_a
+      FROM orders),
+    cell AS (
+      SELECT category,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM base GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_a) AS HUGEINT) AS ta,
+             CAST(SUM(n_b) AS HUGEINT) AS tb
+      FROM cell),
+    contrib AS (
+      SELECT category, n_a, n_b,
+             (1000000 * (CAST(n_a AS HUGEINT) * (ta + tb)
+                         - ta * (n_a + n_b))
+                      * (CAST(n_a AS HUGEINT) * (ta + tb)
+                         - ta * (n_a + n_b)))
+               // (ta * (n_a + n_b) * (ta + tb)) AS ca,
+             (1000000 * (CAST(n_b AS HUGEINT) * (ta + tb)
+                         - tb * (n_a + n_b))
+                      * (CAST(n_b AS HUGEINT) * (ta + tb)
+                         - tb * (n_a + n_b)))
+               // (tb * (n_a + n_b) * (ta + tb)) AS cb
+      FROM cell, tot)
+    SELECT category, n_a, n_b,
+           CAST(ca AS BIGINT) AS contrib_a_micro,
+           CAST(cb AS BIGINT) AS contrib_b_micro,
+           CAST((SELECT SUM(ca + cb) FROM contrib) AS BIGINT) AS chi2_micro
+    FROM contrib
+    """,
+)
+def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit as a chi-square homogeneity statistic in
+    EXACT integer arithmetic — the portable alternative to PSI/KL drift
+    scores, whose ``ln()`` cannot cross engines bit-for-bit.  The order
+    stream splits into two cohorts by content hash (md5 first nibble — in
+    production the split is yesterday/today or producer A/B), and each
+    priority category contributes ``(observed·N − n_cohort·n_category)² /
+    (n_cohort·n_category·N)`` in micro units: the classic
+    ``(o − e)²/e`` with the expected count kept rational instead of
+    floated.  Intermediates go through DECIMAL(38,0) (HUGEINT in the
+    oracle): the squared term reaches ~(o·N)² ≈ 5·10¹⁸ at sf0.1 — past
+    int64 — and this bound grows with N², so 128-bit intermediates are a
+    correctness requirement, not caution (the output micro units fit
+    BIGINT trivially).  Both engines truncate the positive division
+    identically.
+
+    One scan → 5-row cell table → broadcast margins → pure arithmetic;
+    a drift monitor at 100 TB is margin-bounded (cohorts × categories),
+    never data-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    nib = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    cell = (
+        o.select(F.col("o_orderpriority").alias("category"), nib.alias("nib"))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("nib") < 8, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("nib") >= 8, 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    tot = cell.agg(
+        F.sum("n_a").cast("decimal(38,0)").alias("ta"),
+        F.sum("n_b").cast("decimal(38,0)").alias("tb"),
+    )
+    d38 = "decimal(38,0)"
+    contrib = (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_a",
+            "n_b",
+            F.col("n_a").cast(d38).alias("da"),
+            F.col("n_b").cast(d38).alias("db"),
+            (F.col("n_a").cast(d38) + F.col("n_b").cast(d38)).alias("ni"),
+            (F.col("ta") + F.col("tb")).alias("nn"),
+            "ta",
+            "tb",
+        )
+        .select(
+            "category",
+            "n_a",
+            "n_b",
+            F.expr(
+                "1000000 * (da * nn - ta * ni) * (da * nn - ta * ni)"
+                " div (ta * ni * nn)"
+            ).alias("ca"),
+            F.expr(
+                "1000000 * (db * nn - tb * ni) * (db * nn - tb * ni)"
+                " div (tb * ni * nn)"
+            ).alias("cb"),
+        )
+    )
+    total = contrib.agg(
+        F.sum(F.col("ca") + F.col("cb")).cast("long").alias("chi2_micro")
+    )
+    return contrib.crossJoin(F.broadcast(total)).select(
+        "category",
+        "n_a",
+        "n_b",
+        F.col("ca").cast("long").alias("contrib_a_micro"),
+        F.col("cb").cast("long").alias("contrib_b_micro"),
+        "chi2_micro",
+    )

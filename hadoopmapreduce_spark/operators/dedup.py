@@ -1424,3 +1424,151 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("n_inter * 1000000 div n_union").alias("jaccard_ppm"),
     ).where(F.col("jaccard_ppm") >= 800000)
+
+
+# Fellegi-Sunter assumed match-probability m as a rational: P(field agrees
+# | records truly match) = 15/16 for every field (a single conservative
+# prior — per-field m would come from labeled pairs, which the fixtures
+# don't have; u is ESTIMATED FROM DATA per field, which is the half of the
+# model that matters for skew).
+FS_M_NUM, FS_M_DEN = 15, 16
+
+
+@query(
+    "dedup_linkage_score_fs",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100000 AS bal_band,
+             substr(c_name, 1, length(c_name) - 1) AS blk
+      FROM customer),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    u_nation AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS s FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY c_nationkey)),
+    u_segment AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS s FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY c_mktsegment)),
+    u_band AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS s FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY bal_band)),
+    w AS (
+      SELECT length(to_base(({FS_M_NUM} * n.n * n.n)
+                            // ({FS_M_DEN} * u_nation.s), 2)) - 1 AS w_nation,
+             length(to_base(({FS_M_NUM} * n.n * n.n)
+                            // ({FS_M_DEN} * u_segment.s), 2)) - 1 AS w_segment,
+             length(to_base(({FS_M_NUM} * n.n * n.n)
+                            // ({FS_M_DEN} * u_band.s), 2)) - 1 AS w_band
+      FROM n, u_nation, u_segment, u_band),
+    pairs AS (
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             CAST(a.c_nationkey = b.c_nationkey AS BIGINT) AS agree_nation,
+             CAST(a.c_mktsegment = b.c_mktsegment AS BIGINT) AS agree_segment,
+             CAST(a.bal_band = b.bal_band AS BIGINT) AS agree_band
+      FROM c a JOIN c b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1)
+    SELECT cust_a, cust_b, agree_nation, agree_segment, agree_band,
+           CAST(agree_nation * w_nation + agree_segment * w_segment
+                + agree_band * w_band AS BIGINT) AS score,
+           CAST(w_nation AS BIGINT) AS w_nation,
+           CAST(w_segment AS BIGINT) AS w_segment,
+           CAST(w_band AS BIGINT) AS w_band
+    FROM pairs, w
+    """,
+)
+def dedup_linkage_score_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring over the blocked candidate
+    pairs: each agreeing field adds its log-odds weight ``log2(m/u)``,
+    where u — the chance two RANDOM records agree on the field — is
+    estimated from the data as ``Σ f_v² / N²`` (value-frequency skew is
+    exactly what makes "same nation" weak evidence and "same balance
+    band" strong), and m is the conservative rational prior
+    ``{FS_M_NUM}/{FS_M_DEN}``.  The weight stays in exact integers via
+    the floor-log2 bit-length idiom on the rational ``m·N²/(u-mass)``
+    (same idiom as text_zipf_fit) — no ``ln()``, so the score is
+    bit-identical cross-engine.  This is the scoring layer the plain
+    edit-distance verifier (dedup_fuzzy_blocking) lacks: two candidates
+    with the same typo-distance separate by how IMPROBABLE their field
+    agreements are.
+
+    Scale shape: three value-frequency aggregates (each |domain|-sized)
+    → one broadcast weight row; candidates come from the same structurally
+    bounded block join as dedup_fuzzy_blocking; scoring is pure codegen
+    arithmetic per pair.  m·N² needs int64 only (≤ 15·N² — fine past 10⁸
+    rows; DECIMAL(38,0) at 10⁹+)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 100000"
+        ).alias("bal_band"),
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("blk"),
+    )
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+
+    def u_mass(col: str):
+        return (
+            c.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(F.sum(F.col("f") * F.col("f")).alias("s"))
+        )
+
+    def weight(s_col, alias):
+        return F.expr(
+            f"length(bin(({FS_M_NUM} * n * n) div ({FS_M_DEN} * {s_col}))) - 1"
+        ).cast("long").alias(alias)
+
+    w = (
+        n.crossJoin(u_mass("c_nationkey").withColumnRenamed("s", "s_nat"))
+        .crossJoin(u_mass("c_mktsegment").withColumnRenamed("s", "s_seg"))
+        .crossJoin(u_mass("bal_band").withColumnRenamed("s", "s_band"))
+        .select(
+            weight("s_nat", "w_nation"),
+            weight("s_seg", "w_segment"),
+            weight("s_band", "w_band"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            .cast("long")
+            .alias("agree_nation"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("long")
+            .alias("agree_segment"),
+            (F.col("a.bal_band") == F.col("b.bal_band"))
+            .cast("long")
+            .alias("agree_band"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(w)).select(
+        "cust_a",
+        "cust_b",
+        "agree_nation",
+        "agree_segment",
+        "agree_band",
+        (
+            F.col("agree_nation") * F.col("w_nation")
+            + F.col("agree_segment") * F.col("w_segment")
+            + F.col("agree_band") * F.col("w_band")
+        ).alias("score"),
+        "w_nation",
+        "w_segment",
+        "w_band",
+    )

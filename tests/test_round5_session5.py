@@ -404,3 +404,49 @@ def test_fifo_matches_sequential_simulation(spark, tmp_path):
         for r in fin_fifo_inventory_match(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_chisq_drift_matches_python_float_reference(spark, sf_dir):
+    """The exact-integer chi-square must agree with a float reference to
+    well under a micro unit per cell (truncation bounds the gap), and the
+    md5 split must cover every order exactly once."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.aggregates import dq_chisq_drift
+
+    rows = dq_chisq_drift(spark, sf_dir).collect()
+    n_total = sum(r["n_a"] + r["n_b"] for r in rows)
+    assert n_total == load_table(spark, sf_dir, "orders").count()
+    ta = sum(r["n_a"] for r in rows)
+    tb = sum(r["n_b"] for r in rows)
+    chi2_float = 0.0
+    for r in rows:
+        ni = r["n_a"] + r["n_b"]
+        for o, th in ((r["n_a"], ta), (r["n_b"], tb)):
+            e = th * ni / n_total
+            chi2_float += (o - e) ** 2 / e
+        # per-cell integer contribution is the floor of the float one
+        ea = ta * ni / n_total
+        ca_float = (r["n_a"] - ea) ** 2 / ea * 1_000_000
+        assert 0 <= ca_float - r["contrib_a_micro"] < 1 + 1e-6
+    assert rows[0]["chi2_micro"] == rows[-1]["chi2_micro"]  # replicated
+    assert abs(rows[0]["chi2_micro"] - chi2_float * 1_000_000) < len(rows) * 2 + 1
+
+
+def test_linkage_weights_reflect_field_skew(spark, sf_dir):
+    """u-probability ordering must show in the weights: the 5-value
+    segment field is more likely to agree by chance than the 25-value
+    nation field, so w_segment < w_nation; scores decompose exactly into
+    the agreement flags times the weights."""
+    from hadoopmapreduce_spark.operators.dedup import dedup_linkage_score_fs
+
+    rows = dedup_linkage_score_fs(spark, sf_dir).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0["w_segment"] < r0["w_nation"]
+    for r in rows:
+        assert r["score"] == (
+            r["agree_nation"] * r["w_nation"]
+            + r["agree_segment"] * r["w_segment"]
+            + r["agree_band"] * r["w_band"]
+        )
+        assert all(r[f] in (0, 1) for f in ("agree_nation", "agree_segment", "agree_band"))
