@@ -260,3 +260,48 @@ def sort_collation_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(W.orderBy(F.expr("collate(s, 'UNICODE')"), F.col("s"))).cast("long"),
     )
+
+
+@query(
+    "agg_collation_ci_groups",
+    oracle="""
+    WITH v AS (
+      SELECT p_name AS s FROM part
+      UNION ALL SELECT upper(p_name) FROM part)
+    SELECT MIN(s) AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_case_variants
+    FROM v
+    GROUP BY s COLLATE "en_us.nocase"
+    """,
+)
+def agg_collation_ci_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping under REAL collation semantics: the mixed
+    upper/lower part-name stream collapses into ICU case-fold equivalence
+    classes — Spark's ``UNICODE_CI`` against DuckDB's combined
+    ``en_us.nocase`` collation.  Probed equivalent on a/A, ä/Ä, é/É and
+    the ß/SS trap (NEITHER engine folds ß to ss at this strength — both
+    keep them distinct, unlike lower()-based folding which is the
+    classic wrong answer; probe recorded in NOTES.md).  The grouping
+    KEY is dropped from the output — a collation group's representative
+    value is engine-nondeterministic by definition — and replaced by the
+    binary MIN over the class, which is deterministic in both engines.
+
+    The aggregation itself is an ordinary partial+final hash aggregate on
+    ICU sort keys: collation-correct grouping at 100 TB costs the same
+    shuffle as binary grouping."""
+    p = load_table(spark, sf_dir, "part")
+    v = p.select(F.col("p_name").alias("s")).unionAll(
+        p.select(F.upper(F.col("p_name")).alias("s"))
+    )
+    return (
+        v.groupBy(F.expr("collate(s, 'UNICODE_CI')").alias("k"))
+        .agg(
+            F.min(F.expr("collate(s, 'UTF8_BINARY')")).alias("canonical"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.expr("collate(s, 'UTF8_BINARY')")).alias(
+                "n_case_variants"
+            ),
+        )
+        .drop("k")
+    )

@@ -197,6 +197,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # (portable PSI alternative; HUGEINT/d38)
     "dedup_linkage_score_fs",   # Fellegi-Sunter log-odds scoring over the
                                 # green fuzzy-blocking candidates
+    "agg_collation_ci_groups",  # UNICODE_CI grouping vs en_us.nocase —
+                                # CI half of the collation family
 )
 
 

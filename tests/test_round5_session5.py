@@ -450,3 +450,24 @@ def test_linkage_weights_reflect_field_skew(spark, sf_dir):
             + r["agree_band"] * r["w_band"]
         )
         assert all(r[f] in (0, 1) for f in ("agree_nation", "agree_segment", "agree_band"))
+
+
+def test_ci_groups_fold_exactly_case_variants(spark, sf_dir):
+    """Every CI class must contain exactly the binary-distinct case
+    variants of one name: n_rows = 2 * occurrences(name), canonical is
+    the uppercase form (binary min), and class count equals the distinct
+    lower-cased name count."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.sorts import agg_collation_ci_groups
+
+    rows = agg_collation_ci_groups(spark, sf_dir).collect()
+    part = load_table(spark, sf_dir, "part")
+    names = [r["p_name"] for r in part.select("p_name").collect()]
+    from collections import Counter
+
+    freq = Counter(n.lower() for n in names)
+    assert len(rows) == len(freq)
+    for r in rows:
+        assert r["canonical"] == r["canonical"].upper()
+        assert r["n_rows"] == 2 * freq[r["canonical"].lower()]
+        assert r["n_case_variants"] == 2
