@@ -74,6 +74,10 @@ def main() -> None:
         "dedup_substring_spans", "mm_cdc_chunking", "join_interval_overlap",
         "agg_weighted_quantile_exact", "join_partition_pruned_dynamic",
         "window_running_distinct", "sql_shared_revenue",
+        # fifth-session families
+        "fin_fifo_inventory_match", "graph_neighbor_jaccard_top",
+        "sort_collation_unicode", "graph_ppr_seeded", "dq_chisq_drift",
+        "dedup_linkage_score_fs",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",
