@@ -826,15 +826,19 @@ JACCARD_HUB_CAP = 4096
 JACCARD_MIN_COMMON = 2
 JACCARD_TOP_N = 50
 # Candidate scope: similarity is asked of pairs WITHIN one brand (substitute
-# detection — "which Brand#1 parts are interchangeable in baskets?").  This
-# is the selectivity the 100 TB plan depends on: the brand filter is pushed
-# into BOTH wedge-join inputs, so the quadratic fan-out is sum over centers
-# of (brand-neighbors)², i.e. (brand density)² ≈ 1/625 of the all-pairs
-# wedge count — measured 298M → 478k wedge rows at sf0.1.  Without a
-# candidate scope (or LSH bucketing, the minhash path) all-pairs
+# detection — "which parts of this brand are interchangeable in baskets?").
+# This is the selectivity the 100 TB plan depends on: the brand filter is
+# pushed into BOTH wedge-join inputs, so the quadratic fan-out is sum over
+# centers of (brand-neighbors)², i.e. (brand density)² ≈ 1/625 of the
+# all-pairs wedge count — measured 298M → 478k wedge rows at sf0.1.
+# Without a candidate scope (or LSH bucketing, the minhash path) all-pairs
 # neighborhood similarity on a near-regular graph is irreducibly Σdeg²:
 # the fixture graph has no hubs to cap away (p50 119 / max 222 at sf0.1).
-JACCARD_BRAND = "Brand#1"
+# The scoped brand is the MINIMUM p_brand, derived from the data (a 1-row
+# aggregate, broadcast) rather than a literal — deterministic in both
+# engines and robust to the fixture's brand naming (a hardcoded 'Brand#1'
+# silently matched NOTHING on the self-generated scale fixtures, turning
+# the scale probe into an empty-pipeline measurement).
 
 
 @query(
@@ -851,7 +855,8 @@ JACCARD_BRAND = "Brand#1"
       SELECT d.src, d.dst FROM directed d
       JOIN deg g ON g.node = d.src
       JOIN part p ON p.p_partkey = d.dst
-      WHERE g.deg <= {JACCARD_HUB_CAP} AND p.p_brand = '{JACCARD_BRAND}'),
+      WHERE g.deg <= {JACCARD_HUB_CAP}
+        AND p.p_brand = (SELECT MIN(p_brand) FROM part)),
     cn AS (
       SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS common
       FROM centers a JOIN centers b
@@ -869,8 +874,8 @@ JACCARD_BRAND = "Brand#1"
     """,
 )
 def graph_neighbor_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction by neighborhood similarity: the top JACCARD_BRAND
-    part pairs whose neighbor SETS overlap most (Jaccard of FULL adjacency
+    """Link prediction by neighborhood similarity: the top same-brand
+    part pairs (min-brand scope) whose neighbor SETS overlap most (Jaccard of FULL adjacency
     lists, exact integer ppm — |N(u)∩N(v)| via wedge counting,
     |N(u)∪N(v)| = deg_u + deg_v − common).  The "substitute candidate"
     generator behind "customers who bought these also bought...".
@@ -879,7 +884,7 @@ def graph_neighbor_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached directed-edge table that triangle counting uses, with the three
     guards production systems always add — the candidate scope (brand)
     pushed into BOTH wedge-join inputs BEFORE the quadratic fan-out (see
-    JACCARD_BRAND's comment: ~625× fewer wedge rows), hub centers above
+    the scope comment above: ~625× fewer wedge rows), hub centers above
     JACCARD_HUB_CAP excluded (deg² fan-out, no signal), and pairs below
     JACCARD_MIN_COMMON dropped at the partial aggregate, before the degree
     joins.  Degrees stay UNRESTRICTED (similarity is over full
@@ -898,9 +903,12 @@ def graph_neighbor_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     _CACHED.append(deg)
+    part = load_table(spark, sf_dir, "part")
     bparts = (
-        load_table(spark, sf_dir, "part")
-        .where(F.col("p_brand") == JACCARD_BRAND)
+        part.join(
+            F.broadcast(part.agg(F.min("p_brand").alias("mb"))),
+            F.col("p_brand") == F.col("mb"),
+        )
         .select(F.col("p_partkey").alias("bkey"))
     )
     # brand filter FIRST (broadcast, prunes ~24/25 of edge rows), hub-cap
@@ -949,10 +957,10 @@ PPR_ITERS = 4
 
 def _ppr_oracle(iters: int) -> str:
     ctes = [
-        f"""seeds AS (
+        """seeds AS (
       SELECT d.node FROM deg d
       JOIN part p ON p.p_partkey = d.node
-      WHERE p.p_brand = '{JACCARD_BRAND}')""",
+      WHERE p.p_brand = (SELECT MIN(p_brand) FROM part))""",
         f"""p0 AS (
       SELECT d.node,
              CAST(CASE WHEN s.node IS NOT NULL THEN {_PR_INIT} ELSE 0 END
@@ -1019,9 +1027,12 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed set is model-state-sized (~1/25 of nodes); materialize it ONCE —
     # without the eager checkpoint the part-scan + degree-agg lineage is
     # re-executed inside every iteration's broadcast
+    part = load_table(spark, sf_dir, "part")
     seeds = (
-        load_table(spark, sf_dir, "part")
-        .where(F.col("p_brand") == JACCARD_BRAND)
+        part.join(
+            F.broadcast(part.agg(F.min("p_brand").alias("mb"))),
+            F.col("p_brand") == F.col("mb"),
+        )
         .select(F.col("p_partkey").alias("node"))
         .join(deg.select(F.col("src").alias("node")), "node")
         .withColumn("is_seed", F.lit(1))

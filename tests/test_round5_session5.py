@@ -244,7 +244,7 @@ def test_jaccard_hub_cap_active_region(spark, tmp_path, monkeypatch):
     df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     parts = spark.createDataFrame(
-        [(k, G.JACCARD_BRAND) for k in [1001, 1002] + list(range(1, 11))],
+        [(k, "Brand#1") for k in [1001, 1002] + list(range(1, 11))],
         "p_partkey long, p_brand string",
     )
     parts.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
@@ -323,10 +323,11 @@ def test_ppr_seeded_properties(spark, sf_dir):
     ranks = [r["rank"] for r in rows]
     assert all(x > 0 for x in ranks)
     assert ranks == sorted(ranks, reverse=True)
+    part = load_table(spark, sf_dir, "part")
+    min_brand = part.agg(F.min("p_brand")).collect()[0][0]
     seeds = {
         r["p_partkey"]
-        for r in load_table(spark, sf_dir, "part")
-        .where(F.col("p_brand") == G.JACCARD_BRAND)
+        for r in part.where(F.col("p_brand") == min_brand)
         .select("p_partkey")
         .collect()
     }
