@@ -2472,6 +2472,10 @@ def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("nib") < 8, 1).otherwise(0)).alias("n_a"),
             F.sum(F.when(F.col("nib") >= 8, 1).otherwise(0)).alias("n_b"),
         )
+        # 5-row table feeding four plan branches (tot, contrib, and the
+        # replicated chi2 total's copy of each) — checkpoint so the fact
+        # scan truly runs once, as the docstring promises
+        .localCheckpoint(eager=False)
     )
     tot = cell.agg(
         F.sum("n_a").cast("decimal(38,0)").alias("ta"),

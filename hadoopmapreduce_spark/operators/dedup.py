@@ -1508,7 +1508,8 @@ def dedup_linkage_score_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 100000"
         ).alias("bal_band"),
         F.expr("substr(c_name, 1, length(c_name) - 1)").alias("blk"),
-    )
+    ).localCheckpoint(eager=False)  # feeds 6 plan branches (count, three
+    # u-mass aggregates, both self-join sides) — one scan, not six
     n = c.agg(F.count(F.lit(1)).alias("n"))
 
     def u_mass(col: str):

@@ -1385,11 +1385,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = uni.withColumn(
         "rk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("term")))
     )
+    # vocabulary-sized and consumed by TWO branches (bucket census + fit
+    # moments) of one returned plan — without the checkpoint the corpus
+    # tokenize/groupBy and global rank run twice per invocation
     pts = ranked.select(
         (F.length(F.bin(F.col("rk"))) - 1).cast("long").alias("x"),
         (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("y"),
         "c",
-    )
+    ).localCheckpoint(eager=False)
     fit = pts.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

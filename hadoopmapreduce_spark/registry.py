@@ -191,8 +191,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # DuckDB en_us alignment probed in NOTES
     "graph_ppr_seeded",         # personalized PageRank; pagerank_int's
                                 # green integer iteration + seeded restart
-    # --- past the 50-slot round-6 window (52 deferred): these two wait
-    # for round 7 unless the round-6 re-pin promotes them ---
+    # --- past the 50-slot round-6 window (53 deferred total): these
+    # three wait for round 7 unless the round-6 re-pin promotes them ---
     "dq_chisq_drift",           # exact-integer chi-square drift audit
                                 # (portable PSI alternative; HUGEINT/d38)
     "dedup_linkage_score_fs",   # Fellegi-Sunter log-odds scoring over the

@@ -38,7 +38,7 @@ def main() -> None:
 
     last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        rnd = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
             for name in json.load(f):
                 if name in registry.QUERIES:

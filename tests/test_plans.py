@@ -647,3 +647,18 @@ def test_jaccard_topn_bounded_and_curriculum_broadcast(spark, sf_dir):
 
     assert_contains(graph_neighbor_jaccard_top(spark, sf_dir), "TakeOrderedAndProject")
     assert_contains(pipeline_curriculum_mix(spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_review_fixes_single_fact_scan(spark, sf_dir):
+    """The chi-square drift, linkage-scoring, and Zipf-fit plans must not
+    rescan their fact table per branch: the multi-branch intermediate
+    (cell / customer projection / rank points) is checkpointed, so the
+    returned plan reads materialized state, not parquet, more than once."""
+    from hadoopmapreduce_spark.operators.aggregates import dq_chisq_drift
+    from hadoopmapreduce_spark.operators.dedup import dedup_linkage_score_fs
+    from hadoopmapreduce_spark.operators.textops import text_zipf_fit
+    from hadoopmapreduce_spark.plans import physical_plan
+
+    for fn in (dq_chisq_drift, dedup_linkage_score_fs, text_zipf_fit):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert plan.count("Scan parquet") <= 1, f"{fn.__name__} rescans"
