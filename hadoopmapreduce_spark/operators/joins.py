@@ -934,3 +934,124 @@ def fin_fifo_inventory_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m_qty").alias("qty_matched"),
         F.sum(F.col("m_qty") * F.col("age_days")).alias("qty_age_days"),
     )
+
+
+@query(
+    "fin_lifo_periodic_match",
+    oracle="""
+    WITH flows AS (
+      SELECT l_partkey AS part, l_orderkey AS orderkey,
+             l_linenumber AS linenumber, l_shipdate AS ship,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_linenumber % 2 = 1 AS is_receipt
+      FROM lineitem),
+    r AS (
+      SELECT part, ship, qty,
+             CAST(SUM(qty) OVER (
+               PARTITION BY part
+               ORDER BY ship DESC, orderkey DESC, linenumber DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM flows WHERE is_receipt),
+    i AS (
+      SELECT part, ship, qty,
+             CAST(SUM(qty) OVER (
+               PARTITION BY part
+               ORDER BY ship, orderkey, linenumber
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM flows WHERE NOT is_receipt),
+    matched AS (
+      SELECT r.part,
+             LEAST(r.hi, i.hi) - GREATEST(r.hi - r.qty, i.hi - i.qty) AS m_qty,
+             date_diff('day', r.ship, i.ship) AS age_days
+      FROM r JOIN i
+        ON r.part = i.part
+       AND r.hi - r.qty < i.hi
+       AND i.hi - i.qty < r.hi)
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(m_qty) AS BIGINT) AS qty_matched,
+           CAST(SUM(m_qty * age_days) AS BIGINT) AS qty_age_days
+    FROM matched GROUP BY part
+    """,
+)
+def fin_lifo_periodic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODIC-LIFO lot matching — :func:`fin_fifo_inventory_match` with the
+    receipt axis reversed.  Perpetual LIFO (consume from the newest lot *at
+    each issue's moment*) is inherently sequential stack state; periodic
+    LIFO — the standard end-of-period accounting variant — assigns the
+    period's issues to the MOST RECENT receipts first, which is pure
+    geometry again: lay receipts on a cumulative-quantity axis built in
+    REVERSE ship order (newest lot owns [0, qty)), keep issues on their
+    forward axis, and overlap-join exactly as FIFO does.
+
+    Two invariants tie the siblings together (pinned in
+    tests/test_round5_session6.py): per-part ``qty_matched`` is IDENTICAL
+    to FIFO's (conservation — both match min(Σreceipts, Σissues) units; the
+    axis order only redistributes WHICH lot serves which issue), while
+    ``qty_age_days`` drops (LIFO consumes young stock, so signed
+    issue-minus-receipt age shrinks and can go negative when the matched
+    lot ships after the issue — the recognized periodic-LIFO artifact).
+
+    Scale shape identical to FIFO: one part-keyed window per side, the
+    overlap join reuses the same partitioning, matching linear because each
+    side's intervals are disjoint by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    flows = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
+    )
+    w_lifo = (
+        W.partitionBy("part")
+        .orderBy(F.desc("ship"), F.desc("orderkey"), F.desc("linenumber"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("part")
+        .orderBy("ship", "orderkey", "linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = (
+        flows.where("is_receipt")
+        .withColumn("hi", F.sum("qty").over(w_lifo))
+        .select(
+            F.col("part").alias("r_part"), F.col("ship").alias("r_ship"),
+            F.col("qty").alias("r_qty"), F.col("hi").alias("r_hi"),
+        )
+    )
+    i = (
+        flows.where(~F.col("is_receipt"))
+        .withColumn("hi", F.sum("qty").over(w_fwd))
+        .select(
+            F.col("part").alias("i_part"), F.col("ship").alias("i_ship"),
+            F.col("qty").alias("i_qty"), F.col("hi").alias("i_hi"),
+        )
+    )
+    m_qty = F.least(F.col("r_hi"), F.col("i_hi")) - F.greatest(
+        F.col("r_hi") - F.col("r_qty"), F.col("i_hi") - F.col("i_qty")
+    )
+    matched = (
+        r.join(
+            i,
+            (F.col("r_part") == F.col("i_part"))
+            & (F.col("r_hi") - F.col("r_qty") < F.col("i_hi"))
+            & (F.col("i_hi") - F.col("i_qty") < F.col("r_hi")),
+        )
+        .select(
+            F.col("r_part").alias("part"),
+            m_qty.alias("m_qty"),
+            F.datediff(F.col("i_ship"), F.col("r_ship")).cast("bigint").alias(
+                "age_days"
+            ),
+        )
+    )
+    return matched.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("m_qty").alias("qty_matched"),
+        F.sum(F.col("m_qty") * F.col("age_days")).alias("qty_age_days"),
+    )

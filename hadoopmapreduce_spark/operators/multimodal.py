@@ -380,3 +380,102 @@ def mm_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reclaimable_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Sub-document dedup: chunk-level rewrite (RefinedWeb/C4 line-dedup analogue)
+# --------------------------------------------------------------------------
+
+# Packs (doc_id, chunk_idx) into one orderable int64 so "first occurrence"
+# is a plain MIN in both engines.  Bound: chunk_idx < 1e9 (a chunk is >= 1
+# char, so this holds for any document under 1 GB of text) and
+# doc_id * 1e9 < 2^63 for doc_id up to ~9.2e9 — far above any fixture SF.
+_CHUNK_PACK = 1_000_000_000
+
+_CHUNK_REWRITE_ORACLE = f"""
+    WITH manifest AS ({_ORACLES["mm_cdc_chunking"]}),
+    marked AS (
+      SELECT m.doc_id, m.chunk_idx, m.chunk_len,
+             substr(d.text, CAST(m.start_pos AS INT),
+                    CAST(m.chunk_len AS INT)) AS chunk_text,
+             (m.doc_id * {_CHUNK_PACK} + m.chunk_idx) =
+               MIN(m.doc_id * {_CHUNK_PACK} + m.chunk_idx)
+                 OVER (PARTITION BY m.chunk_hash) AS kept
+      FROM manifest m JOIN documents d USING (doc_id))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN chunk_len ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(SUM(CASE WHEN NOT kept THEN chunk_len ELSE 0 END) AS BIGINT)
+             AS dropped_chars,
+           md5(COALESCE(string_agg(chunk_text, '' ORDER BY chunk_idx)
+                          FILTER (WHERE kept), '')) AS cleaned_md5
+    FROM marked GROUP BY doc_id
+    """
+
+
+@query("dedup_chunk_rewrite", oracle=_CHUNK_REWRITE_ORACLE)
+def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-DOCUMENT dedup with reassembly — the C4/RefinedWeb "line dedup"
+    pass expressed on content-defined chunks: every CDC chunk whose content
+    already occurred earlier in the corpus (earlier = smaller
+    (doc_id, chunk_idx), packed into one int64) is DROPPED, and each
+    document is rewritten as the concatenation of its surviving chunks.
+    This removes boilerplate repeated across pages AND self-repetition
+    within a page, which document-level dedup (exact/minhash) cannot touch.
+
+    Output per doc: chunk census (total/kept), kept vs dropped characters,
+    and the md5 of the reassembled text — the digest proves the rewrite
+    itself is deterministic and ordered, not just the counts.
+
+    Shapes: composes the registered :func:`mm_cdc_chunking` manifest
+    (char-linear, see its docstring); one chunk_hash-keyed window marks
+    first occurrences (shuffle on the hash — never all-pairs); the
+    substring extraction joins the manifest back to ``documents`` on
+    doc_id (co-partitioned equi-join; text is duplicated by the per-doc
+    chunk count, ~one copy per CDC_MASK chars); the rewrite is a per-doc
+    sort + fold.  Two scans of ``documents`` total (one inside the
+    chunker's position explode, one narrow (doc_id, text) projection
+    here)."""
+    from pyspark.sql import Window as W
+
+    manifest = mm_cdc_chunking(spark, sf_dir)
+    marked = manifest.withColumn(
+        "pack", F.col("doc_id") * _CHUNK_PACK + F.col("chunk_idx")
+    ).withColumn(
+        "kept",
+        F.col("pack") == F.min("pack").over(W.partitionBy("chunk_hash")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_text = marked.join(docs, "doc_id").withColumn(
+        "chunk_text",
+        F.expr(
+            "substring(text, cast(start_pos as int), cast(chunk_len as int))"
+        ),
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct("chunk_idx", "chunk_text")
+    )  # collect_list skips the NULLs for dropped chunks
+    return (
+        with_text.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("chunk_len")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.when(~F.col("kept"), F.col("chunk_len")).otherwise(0))
+            .cast("long")
+            .alias("dropped_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["chunk_text"],
+                    ),
+                ).cast("binary")
+            ).alias("cleaned_md5"),
+        )
+    )

@@ -1136,15 +1136,12 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled DuckDB twin of the BPE merge loop (MATERIALIZED per round,
-    same reason as the k-core oracle: default CTE inlining re-derives the
-    vocabulary once per reference).  The greedy left-to-right merge fold
-    runs as ``list_reduce`` over a flat '#'-joined accumulator STRING —
-    DuckDB 1.0's list_reduce mis-evaluates STRUCT accumulators (fields
-    reset per step), so the state is one VARCHAR: '#'-separated symbols,
-    merge = strip-tail + append, boundary-safe because every symbol is
-    preceded by '#' and symbols never contain it."""
+def _bpe_ctes(rounds: int, apply_last: bool = False) -> list[str]:
+    """CTE ladder shared by the learn and apply oracles.  With
+    ``apply_last`` the winning merge of the FINAL round is also folded in,
+    producing ``v{rounds}`` — the fully-merged symbol table the apply
+    query tokenizes with; without it the ladder is byte-identical to what
+    ``text_bpe_learn_merges`` has been green against."""
     ctes = [
         r"""vocab AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -1170,7 +1167,7 @@ def _bpe_oracle(rounds: int) -> str:
             f"""b{i} AS MATERIALIZED (
       SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
         )
-        if i < rounds:
+        if i < rounds or apply_last:
             ctes.append(
                 f"""v{i} AS MATERIALIZED (
       SELECT list_reduce(list_prepend('', el),
@@ -1181,12 +1178,104 @@ def _bpe_oracle(rounds: int) -> str:
              freq
       FROM el{i} CROSS JOIN b{i} b)"""
             )
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB twin of the BPE merge loop (MATERIALIZED per round,
+    same reason as the k-core oracle: default CTE inlining re-derives the
+    vocabulary once per reference).  The greedy left-to-right merge fold
+    runs as ``list_reduce`` over a flat '#'-joined accumulator STRING —
+    DuckDB 1.0's list_reduce mis-evaluates STRUCT accumulators (fields
+    reset per step), so the state is one VARCHAR: '#'-separated symbols,
+    merge = strip-tail + append, boundary-safe because every symbol is
+    preceded by '#' and symbols never contain it."""
+    ctes = _bpe_ctes(rounds)
     rows = "\n    UNION ALL ".join(
         f"SELECT {i} AS round, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count"
         f" FROM b{i}"
         for i in range(1, rounds + 1)
     )
     return f"WITH {', '.join(ctes)}\n    {rows}"
+
+
+def _bpe_apply_oracle(rounds: int) -> str:
+    """Apply-side twin: fold ALL learned merges into the symbol table, read
+    each word's token count off the fully-merged symbols (#-count = symbol
+    length minus word length), and roll the corpus up per language."""
+    ctes = _bpe_ctes(rounds, apply_last=True)
+    ctes.append(
+        f"""tokmap AS MATERIALIZED (
+      SELECT replace(sym, '#', '') AS w,
+             CAST(len(sym) - len(replace(sym, '#', '')) AS BIGINT) AS n_tok
+      FROM v{rounds})"""
+    )
+    ctes.append(
+        r"""corpus AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      FROM documents)"""
+    )
+    return f"""WITH {', '.join(ctes)}
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM corpus JOIN tokmap USING (w)
+    GROUP BY 1"""
+
+
+def _bpe_merge_loop(
+    spark: SparkSession, sf_dir: str, rounds: int, apply_all: bool
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The shared BPE iteration: returns the symbol table after the loop
+    and the learned merges.  ``apply_all`` folds the final round's winner
+    in too (the apply query needs ``v`` with every merge applied; the
+    learn query skips the last fold since only the merge LIST is its
+    output)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    v = vocab.select(
+        F.regexp_replace(F.col("w"), "(.)", r"#$1").alias("sym"), "freq"
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        el = F.expr("slice(split(sym, '#'), 2, size(split(sym, '#')) - 1)")
+        ve = v.withColumn("el", el)
+        n = F.size(F.col("el"))
+        pairs = ve.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("el"), 1, n - 1),
+                    F.slice(F.col("el"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, cnt = best["lhs"], best["rhs"], best["cnt"]
+        merges.append((rnd, a, b, cnt))
+        if rnd < rounds or apply_all:
+            fold = F.aggregate(
+                F.col("el"),
+                F.lit(""),
+                lambda acc, x: F.when(
+                    acc.endswith("#" + a) & (x == b),
+                    F.regexp_replace(acc, f"#{a}$", f"#{a}{b}"),
+                ).otherwise(F.concat(acc, F.lit("#"), x)),
+            )
+            v = ve.select(fold.alias("sym"), "freq").localCheckpoint(eager=True)
+    return v, merges
 
 
 @query("text_bpe_learn_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))
@@ -1210,49 +1299,9 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (round, lhs, rhs, merged, pair_count) — one row per learned
     merge."""
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
-    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    v = vocab.select(
-        F.regexp_replace(F.col("w"), "(.)", r"#$1").alias("sym"), "freq"
-    ).localCheckpoint(eager=True)
-
-    merges = []
-    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
-        el = F.expr("slice(split(sym, '#'), 2, size(split(sym, '#')) - 1)")
-        ve = v.withColumn("el", el)
-        n = F.size(F.col("el"))
-        pairs = ve.select(
-            "freq",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("el"), 1, n - 1),
-                    F.slice(F.col("el"), 2, n - 1),
-                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
-                )
-            ).alias("pr"),
-        )
-        best = (
-            pairs.groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "lhs", "rhs")
-            .limit(1)
-            .collect()[0]
-        )
-        a, b, cnt = best["lhs"], best["rhs"], best["cnt"]
-        merges.append((rnd, a, b, cnt))
-        if rnd < BPE_MERGE_ROUNDS:
-            fold = F.aggregate(
-                F.col("el"),
-                F.lit(""),
-                lambda acc, x: F.when(
-                    acc.endswith("#" + a) & (x == b),
-                    F.regexp_replace(acc, f"#{a}$", f"#{a}{b}"),
-                ).otherwise(F.concat(acc, F.lit("#"), x)),
-            )
-            v = ve.select(fold.alias("sym"), "freq").localCheckpoint(eager=True)
+    _, merges = _bpe_merge_loop(
+        spark, sf_dir, BPE_MERGE_ROUNDS, apply_all=False
+    )
 
     out = None
     for rnd, a, b, cnt in merges:
@@ -1265,6 +1314,46 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query("text_bpe_apply_tokenize", oracle=_bpe_apply_oracle(BPE_MERGE_ROUNDS))
+def text_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges — the production half of the tokenizer
+    pair (:func:`text_bpe_learn_merges` induces the vocabulary; this query
+    tokenizes the corpus with it and reports per-language token economics:
+    words, characters, subword tokens).  The ratio n_chars/n_tokens is the
+    compression a tokenizer buys — the number every training-data budget is
+    denominated in.
+
+    The trick that keeps this linear: merges apply to the DISTINCT word
+    vocabulary, not the corpus — per-word token count is read off the
+    fully-merged symbol string ('#'-count = symbol length minus word
+    length), and the corpus only hash-joins against that vocab-sized map
+    (broadcast: a natural-text vocabulary is millions of rows at worst,
+    megabytes against a corpus of terabytes).  Corpus-scale work is one
+    explode + one broadcast join + one 3-group rollup; the iterative part
+    runs over the vocab with per-round localCheckpoints exactly like the
+    learn side."""
+    v, _ = _bpe_merge_loop(spark, sf_dir, BPE_MERGE_ROUNDS, apply_all=True)
+    word = F.expr("replace(sym, '#', '')")
+    tokmap = v.select(
+        word.alias("w"),
+        (F.length("sym") - F.length(word)).cast("long").alias("n_tok"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    )
+    return (
+        corpus.join(F.broadcast(tokmap), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
 
 
 @query(

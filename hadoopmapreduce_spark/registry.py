@@ -199,6 +199,17 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # green fuzzy-blocking candidates
     "agg_collation_ci_groups",  # UNICODE_CI grouping vs en_us.nocase —
                                 # CI half of the collation family
+    # --- sixth round-5 session (each locally exact at sf0.001 + sf0.01;
+    # the round-6 re-pin orders the whole backlog) ---
+    "fin_lifo_periodic_match",  # reversed-receipt-axis sibling of the
+                                # FIFO interval alignment; conservation
+                                # cross-check against FIFO unit-tested
+    "dedup_chunk_rewrite",      # sub-document chunk dedup + reassembly on
+                                # the green mm_cdc_chunking manifest;
+                                # tiling + digest invariants unit-tested
+    "text_bpe_apply_tokenize",  # apply half of the green BPE pair; shares
+                                # the learn loop; token-bound invariants
+                                # unit-tested
 )
 
 

@@ -1,0 +1,147 @@
+"""Behavioral invariants for the sixth round-5 session's operators —
+properties the differential oracle cannot express (cross-method
+conservation, axis-reversal semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_lifo_conserves_exactly_like_fifo(spark, sf_dir):
+    """Periodic LIFO and FIFO must match the IDENTICAL per-part quantity —
+    both consume min(Σreceipts, Σissues); reversing the receipt axis only
+    redistributes which lot serves which issue.  Any per-part difference
+    means the reversed axis lost or double-counted an interval."""
+    from hadoopmapreduce_spark.operators.joins import (
+        fin_fifo_inventory_match,
+        fin_lifo_periodic_match,
+    )
+
+    fifo = fin_fifo_inventory_match(spark, sf_dir).select(
+        "part", F.col("qty_matched").alias("fifo_qty")
+    )
+    lifo = fin_lifo_periodic_match(spark, sf_dir).select(
+        "part", F.col("qty_matched").alias("lifo_qty")
+    )
+    joined = fifo.join(lifo, "part", "outer")
+    bad = joined.where(
+        F.coalesce("fifo_qty", F.lit(0)) != F.coalesce("lifo_qty", F.lit(0))
+    ).count()
+    assert bad == 0, f"{bad} parts: LIFO qty_matched diverges from FIFO"
+
+
+def test_lifo_ages_at_most_fifo_overall(spark, sf_dir):
+    """LIFO consumes the youngest stock, so the corpus-wide
+    quantity-weighted age must be <= FIFO's (strictly less whenever any
+    part has more than one lot) — the signed-age artifact the docstring
+    documents."""
+    from hadoopmapreduce_spark.operators.joins import (
+        fin_fifo_inventory_match,
+        fin_lifo_periodic_match,
+    )
+
+    f_age = (
+        fin_fifo_inventory_match(spark, sf_dir)
+        .agg(F.sum("qty_age_days"))
+        .collect()[0][0]
+    )
+    l_age = (
+        fin_lifo_periodic_match(spark, sf_dir)
+        .agg(F.sum("qty_age_days"))
+        .collect()[0][0]
+    )
+    assert l_age < f_age, f"LIFO age {l_age} not below FIFO age {f_age}"
+
+
+def test_lifo_hand_computed_example(spark):
+    """Crafted flow where FIFO and LIFO visibly differ:
+    receipts [0,10)@d1 and 5@d3 (younger), issue 8@d2.
+    Periodic LIFO serves the issue from the YOUNGEST lots first: 5 from the
+    d3 lot (age -1: lot ships after the issue) + 3 from the d1 lot (age 1)
+    -> qty 8, qty*age = 5*(-1) + 3*1 = -2.  FIFO gives 8 from d1 (age 1) = 8."""
+    from hadoopmapreduce_spark.operators.joins import (
+        fin_fifo_inventory_match,
+        fin_lifo_periodic_match,
+    )
+    from hadoopmapreduce_spark.operators import joins as J
+    from hadoopmapreduce_spark import catalog
+
+    d = datetime.datetime
+    rows = [
+        # (part, order, line, ship, qty): odd line = receipt, even = issue
+        (1, 101, 1, d(2024, 1, 1), 10.0),
+        (1, 102, 3, d(2024, 1, 3), 5.0),
+        (1, 103, 2, d(2024, 1, 2), 8.0),
+    ]
+    spark_df = spark.createDataFrame(
+        rows, "l_partkey long, l_orderkey long, l_linenumber long, "
+        "l_shipdate timestamp, l_quantity double"
+    ).withColumn("l_shipdate", F.to_date("l_shipdate"))
+
+    real = catalog.load_table
+    try:
+        catalog.load_table = lambda s, sd, name: spark_df  # only lineitem used
+        J.load_table = catalog.load_table
+        lifo = fin_lifo_periodic_match(spark, "ignored").collect()
+        fifo = fin_fifo_inventory_match(spark, "ignored").collect()
+    finally:
+        catalog.load_table = real
+        J.load_table = real
+    assert len(lifo) == 1 and len(fifo) == 1
+    assert lifo[0]["qty_matched"] == 8 and fifo[0]["qty_matched"] == 8
+    assert fifo[0]["qty_age_days"] == 8
+    assert lifo[0]["qty_age_days"] == -2
+
+
+def test_chunk_rewrite_partitions_every_char(spark, sf_dir):
+    """kept_chars + dropped_chars must equal the document length for every
+    doc — the chunker tiles the text exactly, and the rewrite only
+    classifies chunks, never resizes them."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.multimodal import dedup_chunk_rewrite
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    got = dedup_chunk_rewrite(spark, sf_dir)
+    bad = (
+        got.join(docs, "doc_id")
+        .where(F.col("kept_chars") + F.col("dropped_chars") != F.col("n"))
+        .count()
+    )
+    assert bad == 0, f"{bad} docs where chunks do not tile the text"
+
+
+def test_chunk_rewrite_untouched_docs_keep_their_digest(spark, sf_dir):
+    """A doc with zero dropped chunks must reassemble to EXACTLY its
+    original text (md5-equal) — proves the sort+fold rebuilds the document
+    rather than just counting chunks.  Non-vacuous: most docs are
+    untouched, and at least one doc must be rewritten at every SF."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.multimodal import dedup_chunk_rewrite
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("orig_md5")
+    )
+    got = dedup_chunk_rewrite(spark, sf_dir).join(docs, "doc_id")
+    untouched = got.where(F.col("dropped_chars") == 0)
+    assert untouched.count() > 0
+    bad = untouched.where(F.col("cleaned_md5") != F.col("orig_md5")).count()
+    assert bad == 0, f"{bad} untouched docs with a digest mismatch"
+    assert got.where(F.col("dropped_chars") > 0).count() > 0
+
+
+def test_bpe_apply_token_bounds_and_strict_compression(spark, sf_dir):
+    """Subword tokenization must satisfy n_words <= n_tokens <= n_chars per
+    language (a word is >= 1 token, a token >= 1 char), and the learned
+    merges must actually fire: corpus-wide tokens strictly below chars
+    (vacuous merges would mean the apply fold never matched)."""
+    from hadoopmapreduce_spark.operators.textops import text_bpe_apply_tokenize
+
+    rows = text_bpe_apply_tokenize(spark, sf_dir).collect()
+    assert rows, "no languages in output"
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"], r
+    assert sum(r["n_tokens"] for r in rows) < sum(r["n_chars"] for r in rows)
