@@ -662,3 +662,31 @@ def test_review_fixes_single_fact_scan(spark, sf_dir):
     for fn in (dq_chisq_drift, dedup_linkage_score_fs, text_zipf_fit):
         plan = physical_plan(fn(spark, sf_dir))
         assert plan.count("Scan parquet") <= 1, f"{fn.__name__} rescans"
+
+
+def test_session6_plan_shapes(spark, sf_dir):
+    """Sixth-session pins: LIFO keeps FIFO's equi-join shape (no nested
+    loop), the chunk rewrite scans documents at most twice (chunker
+    explode + narrow text projection) with no cartesian, and the BPE apply
+    joins the vocab-sized token map by BROADCAST so corpus rows never
+    shuffle on the word."""
+    from hadoopmapreduce_spark.operators.joins import fin_lifo_periodic_match
+    from hadoopmapreduce_spark.operators.multimodal import dedup_chunk_rewrite
+    from hadoopmapreduce_spark.operators.textops import text_bpe_apply_tokenize
+    from hadoopmapreduce_spark.plans import physical_plan
+
+    assert_not_contains(
+        fin_lifo_periodic_match(spark, sf_dir),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )
+    import re
+
+    rewrite = physical_plan(dedup_chunk_rewrite(spark, sf_dir))
+    # tree nodes print as "Scan parquet  (n)"; the detail section repeats
+    # each as "(n) Scan parquet" — count tree nodes only
+    n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", rewrite))
+    assert n_scans <= 2, f"chunk rewrite rescans documents ({n_scans} scans)"
+    assert "CartesianProduct" not in rewrite
+    apply_plan = physical_plan(text_bpe_apply_tokenize(spark, sf_dir))
+    assert "BroadcastHashJoin" in apply_plan, "token map not broadcast"
