@@ -2520,3 +2520,197 @@ def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cb").cast("long").alias("contrib_b_micro"),
         "chi2_micro",
     )
+
+
+# --------------------------------------------------------------------------
+# Recency weighting and resampled uncertainty — both exact-integer
+# --------------------------------------------------------------------------
+
+# half-life for the recency weighting, in days (26 weeks)
+DECAY_HALF_LIFE_DAYS = 182
+
+
+@query(
+    "agg_time_decay_revenue",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(o_orderdate) AS maxd,
+             CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                  AS BIGINT) // {DECAY_HALF_LIFE_DAYS} AS h
+      FROM orders),
+    scored AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             b.h - CAST(date_diff('day', o_orderdate, b.maxd) AS BIGINT)
+                   // {DECAY_HALF_LIFE_DAYS} AS shift
+      FROM orders CROSS JOIN bounds b)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS raw_cents,
+           CAST(SUM(CAST(cents * (CAST(1 AS BIGINT) << shift)
+                         AS DECIMAL(38,0))) AS BIGINT) AS decayed_score
+    FROM scored GROUP BY priority
+    """,
+)
+def agg_time_decay_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted revenue with an EXACT power-of-two decay — the
+    time-decay scoring every freshness-aware sampler / RFM-style ranking
+    wants, made bit-portable by restricting the decay base to 2: an order
+    loses half its weight every {DECAY_HALF_LIFE_DAYS} days, and the weight
+    is carried as an INTEGER left-shift ``cents << (H - age_halflives)``
+    (H = the corpus' own maximum age in half-lives, data-derived), so the
+    score is a plain integer sum — no pow(), no floats, no libm ulps.
+    Reading it: decayed_score / 2^H is the score in "cents at
+    corpus-max-age weight"; only the shift convention, not the ranking,
+    depends on H.
+
+    Overflow bound: H for a 7-year fixture is ~13, so per-order score ≤
+    cents·2^13 ≈ 5e11; sums accumulate in DECIMAL(38,0) and the emitted
+    BIGINT stays exact while orders-per-group · avg_cents · 2^H < 2^63
+    (≈ 7e7 orders per priority at this generator's price scale, ~sf50;
+    past that, widen the emitted column or lengthen the half-life).  Shapes: one aggregate for the (maxd, H) scalar
+    (broadcast as a literal / scalar subquery), then one scan + one
+    5-group partial-agg rollup — shuffle is 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd, mind = o.agg(
+        F.max("o_orderdate"), F.min("o_orderdate")
+    ).collect()[0]
+    h = (maxd - mind).days // DECAY_HALF_LIFE_DAYS
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    shift = (
+        F.lit(h)
+        - F.floor(
+            F.datediff(F.lit(maxd), F.col("o_orderdate"))
+            / DECAY_HALF_LIFE_DAYS
+        )
+    ).cast("int")
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            cents,
+            shift.alias("shift"),
+        )
+        .withColumn("w", F.expr("shiftleft(cast(1 as bigint), shift)"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("raw_cents"),
+            F.sum((F.col("cents") * F.col("w")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("decayed_score"),
+        )
+    )
+
+
+# Poisson(1) inverse-CDF thresholds on a 4096 grid (floor(4096*CDF(k)) for
+# k = 0..6; the tail mass beyond 7 is < 1.1e-5 and maps to weight 7).  The
+# replicate weight is the count of thresholds <= u for a uniform 12-bit u —
+# mean weight over the grid is 1.00098, and both engines evaluate the SAME
+# fixed integer ladder, so the draw is deterministic and bit-portable.
+POISSON1_THRESHOLDS = (1506, 3013, 3767, 4018, 4081, 4093, 4095)
+BOOTSTRAP_REPLICATES = 8
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+      SELECT unnest(range(0, {BOOTSTRAP_REPLICATES})) AS rep),
+    drawn AS (
+      SELECT r.rep,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                 || CAST(r.rep AS VARCHAR)), 1, 3))::BIGINT
+               AS u
+      FROM orders CROSS JOIN reps r),
+    weighted AS (
+      SELECT rep, cents,
+             CASE
+               WHEN u < {POISSON1_THRESHOLDS[0]} THEN 0
+               WHEN u < {POISSON1_THRESHOLDS[1]} THEN 1
+               WHEN u < {POISSON1_THRESHOLDS[2]} THEN 2
+               WHEN u < {POISSON1_THRESHOLDS[3]} THEN 3
+               WHEN u < {POISSON1_THRESHOLDS[4]} THEN 4
+               WHEN u < {POISSON1_THRESHOLDS[5]} THEN 5
+               WHEN u < {POISSON1_THRESHOLDS[6]} THEN 6
+               ELSE 7 END AS w
+      FROM drawn)
+    SELECT rep AS replicate_id,
+           CAST(SUM(w) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(w * cents AS DECIMAL(38,0))) AS BIGINT)
+             AS revenue_cents
+    FROM weighted GROUP BY rep
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP — the standard way to put confidence intervals on
+    a 100 TB aggregate in ONE pass: instead of resampling n rows with
+    replacement (which needs global coordination), each row independently
+    receives a Poisson(1) replicate weight, and the B = {BOOTSTRAP_REPLICATES}
+    re-weighted sums estimate the sampling distribution.  The spread of
+    ``revenue_cents`` across replicates IS the standard error of total
+    revenue.
+
+    The Poisson draw is derandomized so both engines agree bit-for-bit:
+    u = first 3 md5 nibbles of "orderkey:replicate" (12-bit uniform), and
+    the weight walks the fixed integer threshold ladder
+    {POISSON1_THRESHOLDS} (floor(4096·CDF) — see POISSON1_THRESHOLDS).
+    This is the repo's md5-nibble idiom (NOTES playbook #7) applied to
+    inverse-CDF sampling.
+
+    Shapes: one scan, a ×{BOOTSTRAP_REPLICATES} replicate explode (bounded
+    constant fan-out, like the 28-day day-explode), partial aggregation
+    collapses everything to {BOOTSTRAP_REPLICATES} groups — the shuffle is
+    {BOOTSTRAP_REPLICATES} rows regardless of input size."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    drawn = o.select(F.col("o_orderkey"), cents).select(
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOTSTRAP_REPLICATES - 1))
+        ).alias("rep"),
+        F.col("o_orderkey"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            3,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # materialize u in its own projection: inlining it into the CASE ladder
+    # makes codegen re-evaluate the md5 chain once per threshold
+    drawn = drawn.withColumn("u", u)
+    w = F.lit(7)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(F.col("u") < POISSON1_THRESHOLDS[k], F.lit(k)).otherwise(w)
+    return (
+        drawn.withColumn("w", w.cast("long"))
+        .groupBy(F.col("rep").cast("long").alias("replicate_id"))
+        .agg(
+            F.sum("w").alias("n_sampled"),
+            F.sum((F.col("w") * F.col("cents")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

@@ -210,6 +210,12 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "text_bpe_apply_tokenize",  # apply half of the green BPE pair; shares
                                 # the learn loop; token-bound invariants
                                 # unit-tested
+    "agg_time_decay_revenue",   # exact power-of-two recency weighting
+                                # (integer shift, data-derived H); weight-
+                                # extreme bounds unit-tested
+    "sample_poisson_bootstrap",  # derandomized Poisson(1) bootstrap via
+                                 # the md5-nibble inverse-CDF ladder;
+                                 # concentration bounds unit-tested
 )
 
 

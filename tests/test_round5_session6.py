@@ -145,3 +145,46 @@ def test_bpe_apply_token_bounds_and_strict_compression(spark, sf_dir):
     for r in rows:
         assert r["n_words"] <= r["n_tokens"] <= r["n_chars"], r
     assert sum(r["n_tokens"] for r in rows) < sum(r["n_chars"] for r in rows)
+
+
+def test_time_decay_bounded_by_weight_extremes(spark, sf_dir):
+    """Per priority, the decayed score must sit between raw_cents (every
+    order at the minimum weight 1) and raw_cents·2^H (every order at the
+    maximum weight) — H recomputed independently here."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.aggregates import (
+        DECAY_HALF_LIFE_DAYS,
+        agg_time_decay_revenue,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    maxd, mind = o.agg(F.max("o_orderdate"), F.min("o_orderdate")).collect()[0]
+    h = (maxd - mind).days // DECAY_HALF_LIFE_DAYS
+    assert h >= 1, "fixture spans less than one half-life"
+    for r in agg_time_decay_revenue(spark, sf_dir).collect():
+        assert r["raw_cents"] <= r["decayed_score"] <= r["raw_cents"] * (1 << h), r
+
+
+def test_poisson_bootstrap_replicates_concentrate(spark, sf_dir):
+    """Exactly B replicates; each replicate's resampled row count within
+    5 standard deviations (sqrt(n)) of n, and the replicate-mean revenue
+    within 5 relative sd of the true total — loose enough to never flake,
+    tight enough to catch a broken threshold ladder."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.aggregates import (
+        BOOTSTRAP_REPLICATES,
+        sample_poisson_bootstrap,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    true_rev = o.select(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    ).collect()[0][0]
+    rows = sample_poisson_bootstrap(spark, sf_dir).collect()
+    assert len(rows) == BOOTSTRAP_REPLICATES
+    sd = 5 * (n ** 0.5)
+    for r in rows:
+        assert abs(r["n_sampled"] - n) <= sd, (r, n)
+    mean_rev = sum(r["revenue_cents"] for r in rows) / len(rows)
+    assert abs(mean_rev - true_rev) <= 5 * true_rev / (n ** 0.5)
