@@ -417,3 +417,56 @@ def udaf_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return partials.groupBy("flag").applyInPandas(merge, out_schema)
+
+
+def _arrow_token_stats(batches):
+    """mapInArrow kernel: per-row token/char stats computed with pyarrow
+    compute kernels — no pandas materialization, zero-copy columnar in and
+    out.  Integer outputs only, so the Arrow path is bit-checkable against
+    the SQL twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text)
+        # tokens = whitespace runs + 1 (fixture text never has leading/
+        # trailing whitespace; the SQL twin uses the same convention)
+        n_tokens = pc.add(
+            pc.count_substring_regex(text, r"\s+"), pa.scalar(1, pa.int64())
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(n_chars, pa.int64()),
+                pc.cast(n_tokens, pa.int64()),
+            ],
+            ["doc_id", "n_chars", "n_tokens"],
+        )
+
+
+@query(
+    "udf_arrow_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` contract query — the fourth Python-interop surface
+    (after scalar pandas UDF, grouped/cogrouped applyInPandas, and UDTF):
+    RecordBatches cross into Python with NO pandas conversion and the
+    kernel runs pyarrow compute functions, the lowest-overhead Python
+    boundary Spark offers.  Per-doc char and whitespace-token counts in
+    exact integers, bit-checked against the SQL twin (the production path:
+    text_stats' pure-codegen expressions).
+
+    Shape: embarrassingly parallel map over scan batches — no shuffle, no
+    state; the Arrow boundary cost is per-batch, not per-row."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _arrow_token_stats,
+        "doc_id bigint, n_chars bigint, n_tokens bigint",
+    )

@@ -216,6 +216,9 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "sample_poisson_bootstrap",  # derandomized Poisson(1) bootstrap via
                                  # the md5-nibble inverse-CDF ladder;
                                  # concentration bounds unit-tested
+    "udf_arrow_token_stats",    # mapInArrow contract query (4th Python-
+                                # interop surface); cross-checked against
+                                # the codegen text_stats twin
 )
 
 

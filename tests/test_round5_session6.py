@@ -188,3 +188,28 @@ def test_poisson_bootstrap_replicates_concentrate(spark, sf_dir):
         assert abs(r["n_sampled"] - n) <= sd, (r, n)
     mean_rev = sum(r["revenue_cents"] for r in rows) / len(rows)
     assert abs(mean_rev - true_rev) <= 5 * true_rev / (n ** 0.5)
+
+
+def test_arrow_token_stats_matches_codegen_twin(spark, sf_dir):
+    """The mapInArrow kernel must agree row-for-row with the pure-codegen
+    text_stats path on the columns they share — pins the Arrow boundary
+    (types, batch tiling, regex convention) against the production
+    expressions."""
+    from hadoopmapreduce_spark.operators.textops import text_stats
+    from hadoopmapreduce_spark.operators.udfs import udf_arrow_token_stats
+
+    arrow = udf_arrow_token_stats(spark, sf_dir)
+    codegen = text_stats(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("c_chars"),
+        F.col("n_tokens").cast("long").alias("c_tokens"),
+    )
+    bad = (
+        arrow.join(codegen, "doc_id", "outer")
+        .where(
+            (F.col("n_chars") != F.col("c_chars"))
+            | (F.col("n_tokens") != F.col("c_tokens"))
+        )
+        .count()
+    )
+    assert bad == 0, f"{bad} docs disagree between Arrow and codegen paths"
