@@ -69,6 +69,11 @@ HEADLINERS = [
     ("graph_neighbor_jaccard_top", "brand scope pushed into BOTH wedge inputs before the quadratic fan-out; bounded top-N"),
     ("sort_collation_unicode", "ICU-collated top-k rides the same bounded-heap TakeOrderedAndProject as binary sorts"),
     ("graph_ppr_seeded", "per-iteration join+agg on the cached edge partitioning; checkpointed seed set broadcast each round"),
+    ("fin_lifo_periodic_match", "FIFO's interval-join shape with the receipt axis reversed — same exchanges, same overlap predicates"),
+    ("dedup_chunk_rewrite", "chunk-hash window marks first occurrences; doc-keyed join + per-doc sort/fold reassembly; <=2 document scans"),
+    ("text_bpe_apply_tokenize", "vocab-sized merge loop, then ONE broadcast join tokenizes the corpus — no corpus-keyed shuffle"),
+    ("sample_poisson_bootstrap", "x8 replicate explode + hoisted md5 draw; partial agg collapses the shuffle to 8 rows"),
+    ("udf_arrow_token_stats", "mapInArrow boundary: scan batches straight into pyarrow kernels, no shuffle, no pandas"),
 ]
 
 
