@@ -1642,3 +1642,62 @@ def pipeline_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("position", (F.col("base") + idx).cast("long"))
         .select("position", "doc_id", "lang", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation at corpus scale — confusion matrix over lang-ID
+# --------------------------------------------------------------------------
+
+from hadoopmapreduce_spark.registry import ORACLES as _REG_ORACLES
+
+
+@query(
+    "eval_lang_confusion",
+    oracle=f"""
+    WITH preds AS ({_REG_ORACLES["lang_id_markers"]}),
+    conf AS (
+      SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM preds GROUP BY 1, 2)
+    SELECT lang, lang_guess, n_docs,
+           CAST(n_docs * 1000000
+                // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+             AS recall_ppm,
+           CAST(n_docs * 1000000
+                // SUM(n_docs) OVER (PARTITION BY lang_guess) AS BIGINT)
+             AS precision_ppm
+    FROM conf
+    """,
+)
+def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVALUATION as a first-class corpus query: the confusion
+    matrix of the registered language-ID heuristic against the labeled
+    ``lang`` column, with exact-integer recall (share of each true
+    language routed to each guess) and precision (share of each guess that
+    was right) in ppm — the eval loop every data-pipeline classifier
+    (language, quality, toxicity) runs after each rule change.  Diagonal
+    rows carry the per-class recall/precision; off-diagonal rows say
+    WHERE the mass leaks.
+
+    Integer discipline: ppm = n·10^6 div total (no floats; DuckDB ``//``
+    on BIGINT is exact integer division — the DECIMAL ``//`` trap from
+    NOTES does not apply).  Shapes: composes :func:`lang_id_markers`
+    (narrow, no shuffle), one |langs|²-bounded groupBy, then two window
+    sums over the tiny matrix — corpus-scale work is the one scan the
+    classifier itself does."""
+    from pyspark.sql import Window as W
+
+    preds = lang_id_markers(spark, sf_dir)
+    conf = preds.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return conf.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.expr(
+            "n_docs * 1000000 div sum(n_docs) over (partition by lang)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "n_docs * 1000000 div sum(n_docs) over (partition by lang_guess)"
+        ).alias("precision_ppm"),
+    )

@@ -219,6 +219,9 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "udf_arrow_token_stats",    # mapInArrow contract query (4th Python-
                                 # interop surface); cross-checked against
                                 # the codegen text_stats twin
+    "eval_lang_confusion",      # classifier-eval confusion matrix over
+                                # green lang_id_markers; ppm conservation
+                                # unit-tested
 )
 
 

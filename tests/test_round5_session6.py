@@ -213,3 +213,23 @@ def test_arrow_token_stats_matches_codegen_twin(spark, sf_dir):
         .count()
     )
     assert bad == 0, f"{bad} docs disagree between Arrow and codegen paths"
+
+
+def test_lang_confusion_rows_and_columns_sum_to_a_million(spark, sf_dir):
+    """Recall ppm must sum to ~1e6 within each true language and precision
+    ppm within each guess (exact up to the |langs|-row floor-division
+    remainder), and total docs must equal the corpus size."""
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.textops import eval_lang_confusion
+
+    rows = eval_lang_confusion(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    by_lang, by_guess = {}, {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["recall_ppm"])
+        by_guess.setdefault(r["lang_guess"], []).append(r["precision_ppm"])
+    for lang, ppms in by_lang.items():
+        assert 1_000_000 - len(ppms) <= sum(ppms) <= 1_000_000, (lang, ppms)
+    for guess, ppms in by_guess.items():
+        assert 1_000_000 - len(ppms) <= sum(ppms) <= 1_000_000, (guess, ppms)
