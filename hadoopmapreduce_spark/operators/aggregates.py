@@ -2714,3 +2714,125 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# ECDF band width for the KS statistic: cents div 2^20 (~$10.5k bands).
+# The fixture price domain (< 2^26 cents) yields ~60 bands; per-band row
+# counts stay window-task-sized up to ~1e6 distinct values per band.  At a
+# wider domain, raise k to keep band count ~sqrt(distinct values).
+KS_BAND_SHIFT = 20
+
+
+@query(
+    "dq_ks_drift",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 8
+               AS in_a
+      FROM orders),
+    vals AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM base GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(SUM(cnt_b) AS BIGINT) AS nb
+      FROM vals),
+    cum AS (
+      SELECT cents,
+             CAST(SUM(cnt_a) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+             CAST(SUM(cnt_b) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+      FROM vals),
+    scored AS (
+      SELECT t.na, t.nb, c.cents,
+             CAST(abs(c.cum_a * t.nb - c.cum_b * t.na) AS BIGINT) AS d_num
+      FROM cum c CROSS JOIN tot t)
+    SELECT na AS n_a, nb AS n_b, cents AS at_cents, d_num,
+           CAST(CAST(1000000 AS HUGEINT) * d_num
+                // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm
+    FROM scored
+    ORDER BY d_num DESC, cents LIMIT 1
+    """,
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV drift audit in EXACT integer
+    arithmetic — the rank-based complement to :func:`dq_chisq_drift`
+    (chi-square sees categorical shifts; KS sees shifts anywhere in a
+    numeric distribution without choosing bins).  Cohorts split by the
+    same md5-nibble hash; the statistic is
+    ``D = max_v |cumA(v)·nB − cumB(v)·nA| / (nA·nB)``, kept as the
+    integer numerator plus a ppm quotient, with the arg-max price as the
+    drift location (ties broken toward the smallest value).
+
+    The scale problem KS poses is the GLOBAL cumulative sum over the value
+    axis — a naive window is one task.  This uses the repo's banded
+    distributed-ECDF pattern (decile/pareto family): per-value counts
+    shuffle once on the value; each value band (cents >> {KS_BAND_SHIFT})
+    cumsums independently; the ≤~100 per-band totals collect to the driver
+    (model-state-sized, like the ANN centroids) whose exclusive prefix
+    sums broadcast back as band offsets.  Overflow: cum·n ≤ nA·nB — int64
+    to ~3e9 rows per cohort; the ppm quotient runs in DECIMAL(38,0)."""
+    o = load_table(spark, sf_dir, "orders")
+    nib = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    base = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (nib < 8).alias("in_a"),
+    )
+    vals = (
+        base.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cnt_b"),
+        )
+        .withColumn("band", F.expr(f"cents div {1 << KS_BAND_SHIFT}"))
+        # feeds the band-total collect AND the banded window — one scan
+        .localCheckpoint(eager=False)
+    )
+    band_rows = sorted(
+        vals.groupBy("band")
+        .agg(F.sum("cnt_a").alias("ba"), F.sum("cnt_b").alias("bb"))
+        .collect(),
+        key=lambda r: r["band"],
+    )
+    na = sum(r["ba"] for r in band_rows)
+    nb = sum(r["bb"] for r in band_rows)
+    offsets, oa, ob = [], 0, 0
+    for r in band_rows:
+        offsets.append((r["band"], oa, ob))
+        oa += r["ba"]
+        ob += r["bb"]
+    off = spark.createDataFrame(
+        offsets, "band bigint, off_a bigint, off_b bigint"
+    )
+    w = W.partitionBy("band").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = (
+        vals.join(F.broadcast(off), "band")
+        .withColumn("cum_a", F.col("off_a") + F.sum("cnt_a").over(w))
+        .withColumn("cum_b", F.col("off_b") + F.sum("cnt_b").over(w))
+    )
+    scored = cum.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.col("cents").alias("at_cents"),
+        F.abs(F.col("cum_a") * nb - F.col("cum_b") * na).alias("d_num"),
+    )
+    top = scored.orderBy(F.desc("d_num"), "at_cents").limit(1)
+    # `div`, not `/`: decimal division rounds while the oracle's `//`
+    # truncates (one-ulp ppm disagreements at sf0.01)
+    return top.withColumn(
+        "d_ppm",
+        F.expr(
+            f"cast((cast(1000000 as decimal(38,0)) * d_num)"
+            f" div (cast({na} as decimal(38,0)) * {nb}) as long)"
+        ),
+    )

@@ -222,6 +222,9 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "eval_lang_confusion",      # classifier-eval confusion matrix over
                                 # green lang_id_markers; ppm conservation
                                 # unit-tested
+    "dq_ks_drift",              # exact-integer two-sample KS via the
+                                # banded distributed ECDF; sequential-
+                                # sweep differential unit test
 )
 
 

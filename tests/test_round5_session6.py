@@ -233,3 +233,41 @@ def test_lang_confusion_rows_and_columns_sum_to_a_million(spark, sf_dir):
         assert 1_000_000 - len(ppms) <= sum(ppms) <= 1_000_000, (lang, ppms)
     for guess, ppms in by_guess.items():
         assert 1_000_000 - len(ppms) <= sum(ppms) <= 1_000_000, (guess, ppms)
+
+
+def test_ks_drift_matches_sequential_ecdf(spark, sf_dir):
+    """Differential test: recompute the exact KS numerator with a plain
+    Python ECDF sweep (no bands, no windows) over the same md5 split —
+    the banded distributed pipeline must reproduce it exactly."""
+    import hashlib
+
+    import duckdb
+
+    from hadoopmapreduce_spark.operators.aggregates import dq_ks_drift
+
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+        f" AS BIGINT) FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    a, b = [], []
+    for key, cents in rows:
+        nib = int(hashlib.md5(str(key).encode()).hexdigest()[0], 16)
+        (a if nib < 8 else b).append(cents)
+    a.sort()
+    b.sort()
+    na, nb = len(a), len(b)
+    best, at = -1, None
+    ia = ib = 0
+    for v in sorted(set(a) | set(b)):
+        while ia < na and a[ia] <= v:
+            ia += 1
+        while ib < nb and b[ib] <= v:
+            ib += 1
+        d = abs(ia * nb - ib * na)
+        if d > best:
+            best, at = d, v
+    got = dq_ks_drift(spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["d_num"] == best
+    assert got["at_cents"] == at
+    assert 0 <= got["d_ppm"] <= 1_000_000
