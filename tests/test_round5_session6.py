@@ -271,3 +271,24 @@ def test_ks_drift_matches_sequential_ecdf(spark, sf_dir):
     assert got["d_num"] == best
     assert got["at_cents"] == at
     assert 0 <= got["d_ppm"] <= 1_000_000
+
+
+def test_orc_scan_pushes_filters_like_parquet(spark, sf_dir):
+    """ORC must inherit the same pushdown machinery the parquet pins rely
+    on: a filter over the round-tripped ORC directory shows PushedFilters
+    in the ORC scan node."""
+    import os
+
+    from hadoopmapreduce_spark.catalog import load_table, work_dir
+    from hadoopmapreduce_spark.plans import physical_plan
+
+    tmp = os.path.join(work_dir("orc", sf_dir), "orders_orc")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(tmp)
+    df = (
+        spark.read.orc(tmp)
+        .where(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = physical_plan(df)
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
