@@ -2612,7 +2612,7 @@ def agg_time_decay_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson(1) inverse-CDF thresholds on a 4096 grid (floor(4096*CDF(k)) for
 # k = 0..6; the tail mass beyond 7 is < 1.1e-5 and maps to weight 7).  The
 # replicate weight is the count of thresholds <= u for a uniform 12-bit u —
-# mean weight over the grid is 1.00098, and both engines evaluate the SAME
+# mean weight over the grid is 4099/4096 ≈ 1.00073, and both engines evaluate the SAME
 # fixed integer ladder, so the draw is deterministic and bit-portable.
 POISSON1_THRESHOLDS = (1506, 3013, 3767, 4018, 4081, 4093, 4095)
 BOOTSTRAP_REPLICATES = 8
@@ -2662,7 +2662,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Poisson draw is derandomized so both engines agree bit-for-bit:
     u = first 3 md5 nibbles of "orderkey:replicate" (12-bit uniform), and
     the weight walks the fixed integer threshold ladder
-    {POISSON1_THRESHOLDS} (floor(4096·CDF) — see POISSON1_THRESHOLDS).
+    {POISSON1_THRESHOLDS} (floor(4096·CDF); grid mean 4099/4096).
     This is the repo's md5-nibble idiom (NOTES playbook #7) applied to
     inverse-CDF sampling.
 

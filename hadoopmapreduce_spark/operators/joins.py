@@ -815,6 +815,82 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _inventory_interval_match(
+    spark: SparkSession, sf_dir: str, lifo: bool
+) -> DataFrame:
+    """Shared lot-matching engine for FIFO and periodic LIFO: both lay
+    receipts and issues on cumulative-quantity axes and overlap-join; the
+    ONLY degree of freedom is the receipt axis direction (ascending ship
+    order for FIFO, descending for LIFO).  Keeping one implementation
+    means the interval predicates, the odd/even flow classification, and
+    the quantity casts cannot diverge between the two accounting methods."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    flows = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
+    )
+    if lifo:
+        r_order = [F.desc("ship"), F.desc("orderkey"), F.desc("linenumber")]
+    else:
+        r_order = [F.col("ship"), F.col("orderkey"), F.col("linenumber")]
+    w_receipt = (
+        W.partitionBy("part")
+        .orderBy(*r_order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_issue = (
+        W.partitionBy("part")
+        .orderBy("ship", "orderkey", "linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = (
+        flows.where("is_receipt")
+        .withColumn("hi", F.sum("qty").over(w_receipt))
+        .select(
+            F.col("part").alias("r_part"), F.col("ship").alias("r_ship"),
+            F.col("qty").alias("r_qty"), F.col("hi").alias("r_hi"),
+        )
+    )
+    i = (
+        flows.where(~F.col("is_receipt"))
+        .withColumn("hi", F.sum("qty").over(w_issue))
+        .select(
+            F.col("part").alias("i_part"), F.col("ship").alias("i_ship"),
+            F.col("qty").alias("i_qty"), F.col("hi").alias("i_hi"),
+        )
+    )
+    m_qty = F.least(F.col("r_hi"), F.col("i_hi")) - F.greatest(
+        F.col("r_hi") - F.col("r_qty"), F.col("i_hi") - F.col("i_qty")
+    )
+    matched = (
+        r.join(
+            i,
+            (F.col("r_part") == F.col("i_part"))
+            & (F.col("r_hi") - F.col("r_qty") < F.col("i_hi"))
+            & (F.col("i_hi") - F.col("i_qty") < F.col("r_hi")),
+        )
+        .select(
+            F.col("r_part").alias("part"),
+            m_qty.alias("m_qty"),
+            F.datediff(F.col("i_ship"), F.col("r_ship")).cast("bigint").alias(
+                "age_days"
+            ),
+        )
+    )
+    return matched.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("m_qty").alias("qty_matched"),
+        F.sum(F.col("m_qty") * F.col("age_days")).alias("qty_age_days"),
+    )
+
+
 @query(
     "fin_fifo_inventory_match",
     oracle="""
@@ -877,63 +953,7 @@ def fin_fifo_inventory_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the per-part aging report: matched quantity and
     quantity-weighted age (issue ship date minus receipt ship date, in
     days — exact integers end-to-end)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window as W
-
-    w = (
-        W.partitionBy("part")
-        .orderBy("ship", "orderkey", "linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    flows = li.select(
-        F.col("l_partkey").alias("part"),
-        F.col("l_orderkey").alias("orderkey"),
-        F.col("l_linenumber").alias("linenumber"),
-        F.col("l_shipdate").alias("ship"),
-        F.col("l_quantity").cast("bigint").alias("qty"),
-        (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
-    )
-    # each side gets its OWN cumulative axis (filter first, then window) —
-    # the two interval sets must independently start at 0
-    r = (
-        flows.where("is_receipt")
-        .withColumn("hi", F.sum("qty").over(w))
-        .select(
-            F.col("part").alias("r_part"), F.col("ship").alias("r_ship"),
-            F.col("qty").alias("r_qty"), F.col("hi").alias("r_hi"),
-        )
-    )
-    i = (
-        flows.where(~F.col("is_receipt"))
-        .withColumn("hi", F.sum("qty").over(w))
-        .select(
-            F.col("part").alias("i_part"), F.col("ship").alias("i_ship"),
-            F.col("qty").alias("i_qty"), F.col("hi").alias("i_hi"),
-        )
-    )
-    m_qty = F.least(F.col("r_hi"), F.col("i_hi")) - F.greatest(
-        F.col("r_hi") - F.col("r_qty"), F.col("i_hi") - F.col("i_qty")
-    )
-    matched = (
-        r.join(
-            i,
-            (F.col("r_part") == F.col("i_part"))
-            & (F.col("r_hi") - F.col("r_qty") < F.col("i_hi"))
-            & (F.col("i_hi") - F.col("i_qty") < F.col("r_hi")),
-        )
-        .select(
-            F.col("r_part").alias("part"),
-            m_qty.alias("m_qty"),
-            F.datediff(F.col("i_ship"), F.col("r_ship")).cast("bigint").alias(
-                "age_days"
-            ),
-        )
-    )
-    return matched.groupBy("part").agg(
-        F.count(F.lit(1)).alias("n_matches"),
-        F.sum("m_qty").alias("qty_matched"),
-        F.sum(F.col("m_qty") * F.col("age_days")).alias("qty_age_days"),
-    )
+    return _inventory_interval_match(spark, sf_dir, lifo=False)
 
 
 @query(
@@ -995,63 +1015,4 @@ def fin_lifo_periodic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape identical to FIFO: one part-keyed window per side, the
     overlap join reuses the same partitioning, matching linear because each
     side's intervals are disjoint by construction."""
-    li = load_table(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window as W
-
-    flows = li.select(
-        F.col("l_partkey").alias("part"),
-        F.col("l_orderkey").alias("orderkey"),
-        F.col("l_linenumber").alias("linenumber"),
-        F.col("l_shipdate").alias("ship"),
-        F.col("l_quantity").cast("bigint").alias("qty"),
-        (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
-    )
-    w_lifo = (
-        W.partitionBy("part")
-        .orderBy(F.desc("ship"), F.desc("orderkey"), F.desc("linenumber"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_fwd = (
-        W.partitionBy("part")
-        .orderBy("ship", "orderkey", "linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    r = (
-        flows.where("is_receipt")
-        .withColumn("hi", F.sum("qty").over(w_lifo))
-        .select(
-            F.col("part").alias("r_part"), F.col("ship").alias("r_ship"),
-            F.col("qty").alias("r_qty"), F.col("hi").alias("r_hi"),
-        )
-    )
-    i = (
-        flows.where(~F.col("is_receipt"))
-        .withColumn("hi", F.sum("qty").over(w_fwd))
-        .select(
-            F.col("part").alias("i_part"), F.col("ship").alias("i_ship"),
-            F.col("qty").alias("i_qty"), F.col("hi").alias("i_hi"),
-        )
-    )
-    m_qty = F.least(F.col("r_hi"), F.col("i_hi")) - F.greatest(
-        F.col("r_hi") - F.col("r_qty"), F.col("i_hi") - F.col("i_qty")
-    )
-    matched = (
-        r.join(
-            i,
-            (F.col("r_part") == F.col("i_part"))
-            & (F.col("r_hi") - F.col("r_qty") < F.col("i_hi"))
-            & (F.col("i_hi") - F.col("i_qty") < F.col("r_hi")),
-        )
-        .select(
-            F.col("r_part").alias("part"),
-            m_qty.alias("m_qty"),
-            F.datediff(F.col("i_ship"), F.col("r_ship")).cast("bigint").alias(
-                "age_days"
-            ),
-        )
-    )
-    return matched.groupBy("part").agg(
-        F.count(F.lit(1)).alias("n_matches"),
-        F.sum("m_qty").alias("qty_matched"),
-        F.sum(F.col("m_qty") * F.col("age_days")).alias("qty_age_days"),
-    )
+    return _inventory_interval_match(spark, sf_dir, lifo=True)

@@ -1684,8 +1684,6 @@ def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (narrow, no shuffle), one |langs|²-bounded groupBy, then two window
     sums over the tiny matrix — corpus-scale work is the one scan the
     classifier itself does."""
-    from pyspark.sql import Window as W
-
     preds = lang_id_markers(spark, sf_dir)
     conf = preds.groupBy("lang", "lang_guess").agg(
         F.count(F.lit(1)).alias("n_docs")

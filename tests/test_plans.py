@@ -686,7 +686,10 @@ def test_session6_plan_shapes(spark, sf_dir):
     # tree nodes print as "Scan parquet  (n)"; the detail section repeats
     # each as "(n) Scan parquet" — count tree nodes only
     n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", rewrite))
-    assert n_scans <= 2, f"chunk rewrite rescans documents ({n_scans} scans)"
+    assert 1 <= n_scans <= 2, (
+        f"chunk rewrite scan count {n_scans} — 0 means the regex no longer"
+        f" matches the explain format and the pin is vacuous"
+    )
     assert "CartesianProduct" not in rewrite
     apply_plan = physical_plan(text_bpe_apply_tokenize(spark, sf_dir))
     assert "BroadcastHashJoin" in apply_plan, "token map not broadcast"

@@ -207,8 +207,9 @@ def test_arrow_token_stats_matches_codegen_twin(spark, sf_dir):
     bad = (
         arrow.join(codegen, "doc_id", "outer")
         .where(
-            (F.col("n_chars") != F.col("c_chars"))
-            | (F.col("n_tokens") != F.col("c_tokens"))
+            # null-safe: a row dropped/added by either path must count
+            ~F.col("n_chars").eqNullSafe(F.col("c_chars"))
+            | ~F.col("n_tokens").eqNullSafe(F.col("c_tokens"))
         )
         .count()
     )
@@ -282,7 +283,7 @@ def test_orc_scan_pushes_filters_like_parquet(spark, sf_dir):
     from hadoopmapreduce_spark.catalog import load_table, work_dir
     from hadoopmapreduce_spark.plans import physical_plan
 
-    tmp = os.path.join(work_dir("orc", sf_dir), "orders_orc")
+    tmp = os.path.join(work_dir("orc_plan_probe", sf_dir), "orders_orc")
     load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(tmp)
     df = (
         spark.read.orc(tmp)
