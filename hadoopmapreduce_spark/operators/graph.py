@@ -1067,3 +1067,90 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+@query(
+    "graph_modularity_brand",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    labels AS (
+      SELECT p_partkey AS node, p_brand AS community FROM part),
+    labeled AS (
+      SELECT e.u, e.v, lu.community AS cu, lv.community AS cv
+      FROM edges e
+      JOIN labels lu ON e.u = lu.node
+      JOIN labels lv ON e.v = lv.node),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM labeled),
+    intra AS (
+      SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM labeled WHERE cu = cv GROUP BY 1),
+    deg AS (
+      SELECT community, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+        SELECT u AS node, cu AS community FROM labeled
+        UNION ALL SELECT v AS node, cv AS community FROM labeled) t
+      GROUP BY 1)
+    SELECT d.community,
+           COALESCE(i.e_c, 0) AS e_c,
+           d.d_c,
+           CAST(4 * mm.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c AS BIGINT)
+             AS contrib_num,
+           CAST(mm.m AS BIGINT) AS m_edges
+    FROM deg d LEFT JOIN intra i USING (community) CROSS JOIN m mm
+    """,
+)
+def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the brand partition over the co-purchase graph
+    — the community-quality score (Q = Σ_c [e_c/m − (d_c/2m)²]) every
+    clustering/community pipeline reports, kept EXACT by emitting the
+    integer pieces instead of the quotient: per community, the intra-edge
+    count e_c, the degree mass d_c, and the contribution numerator
+    ``4·m·e_c − d_c²`` (Q = Σ contrib_num / 4m²).  No division at all, so
+    the floor-vs-truncate negative-division trap between the engines never
+    arises (contributions are routinely negative for anti-community
+    partitions).
+
+    Overflow: 4·m·e_c ≤ 4m² — int64 safe to m ≈ 1.5e9 edges; document
+    larger graphs through DECIMAL(38,0).  Shapes: two broadcast joins
+    label the (cached, shared) edge table with part brands, then two
+    brand-keyed aggregates — linear in edges, the partition table is
+    dimension-sized."""
+    edges = copurchase_edges(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("community")
+    )
+    lu = labels.select(
+        F.col("node").alias("u"), F.col("community").alias("cu")
+    )
+    lv = labels.select(
+        F.col("node").alias("v"), F.col("community").alias("cv")
+    )
+    labeled = (
+        edges.join(F.broadcast(lu), "u").join(F.broadcast(lv), "v")
+        # feeds m, intra, and deg — one materialization, three consumers
+        .localCheckpoint(eager=False)
+    )
+    m = labeled.count()
+    intra = (
+        labeled.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        labeled.select(F.col("cu").alias("community"))
+        .unionAll(labeled.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    return (
+        deg.join(intra, "community", "left")
+        .select(
+            "community",
+            F.coalesce("e_c", F.lit(0)).alias("e_c"),
+            "d_c",
+            (
+                F.lit(4 * m) * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).cast("long").alias("contrib_num"),
+            F.lit(m).cast("long").alias("m_edges"),
+        )
+    )

@@ -228,6 +228,9 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "scan_orc_roundtrip",       # ORC write/read vs the parquet oracle;
                                 # pushdown pinned (Avro jar absent —
                                 # probe in the docstring)
+    "graph_modularity_brand",   # exact-integer Newman modularity of the
+                                # brand partition; 2m / range identities
+                                # unit-tested
 )
 
 

@@ -293,3 +293,19 @@ def test_orc_scan_pushes_filters_like_parquet(spark, sf_dir):
     plan = physical_plan(df)
     assert "orc" in plan.lower()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Graph identities the oracle comparison cannot see on its own:
+    degree masses must sum to 2m, intra-edges to at most m, and the
+    summed contribution numerator must keep Q = sum/(4m^2) inside its
+    theoretical [-1/2, 1] range."""
+    from hadoopmapreduce_spark.operators.graph import graph_modularity_brand
+
+    rows = graph_modularity_brand(spark, sf_dir).collect()
+    m = rows[0]["m_edges"]
+    assert all(r["m_edges"] == m for r in rows)
+    assert sum(r["d_c"] for r in rows) == 2 * m
+    assert 0 <= sum(r["e_c"] for r in rows) <= m
+    q_4m2 = sum(r["contrib_num"] for r in rows)
+    assert -2 * m * m <= q_4m2 <= 4 * m * m
