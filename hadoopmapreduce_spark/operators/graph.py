@@ -1154,3 +1154,129 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m).cast("long").alias("m_edges"),
         )
     )
+
+
+WALK_STEPS = 4
+
+
+def _walks_oracle(steps: int) -> str:
+    joins = []
+    for t in range(1, steps + 1):
+        joins.append(
+            f"""w{t} AS (
+      SELECT w.walk_id, a.dst AS cur,
+             w.path || ':' || CAST(a.dst AS VARCHAR) AS path
+      FROM w{t - 1} w JOIN adj a
+        ON a.src = w.cur
+       AND a.rnk = ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR)
+                                       || ':{t}'), 1, 8))::BIGINT
+                   % a.deg + 1)"""
+        )
+    return f"""
+    WITH {_EDGES_SQL},
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    adj AS (
+      SELECT src, dst,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                  AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+      FROM directed),
+    seeds AS (
+      SELECT p_partkey AS node FROM part p
+      WHERE p.p_brand = (SELECT MIN(p_brand) FROM part)
+        AND EXISTS (SELECT 1 FROM adj WHERE src = p.p_partkey)),
+    w0 AS (
+      SELECT node AS walk_id, node AS cur, CAST(node AS VARCHAR) AS path
+      FROM seeds),
+    {', '.join(joins)}
+    SELECT walk_id, path, cur AS end_node FROM w{steps}
+    """
+
+
+@query("graph_random_walks", oracle=_walks_oracle(WALK_STEPS))
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated RANDOM-WALK corpus generation — the DeepWalk/node2vec
+    input step that turns a graph into training sequences: one
+    {WALK_STEPS}-step walk per seed node (the data-derived min brand, the
+    repo's scoped-graph convention), each step hopping to the neighbor
+    whose rank is ``H(walk_id, step) mod degree`` with neighbor ranks
+    fixed by (src, dst) ordering.  Derandomized via the md5 idiom, so
+    both engines — and any two cluster runs — emit the IDENTICAL corpus:
+    reproducibility that sampled walk engines give up.
+
+    Output: (walk_id, path, end_node) with the path as a ':'-joined node
+    sequence — the sentence a skip-gram embedding trains on.
+
+    Shapes: the ranked adjacency (row_number + count per src — one
+    node-keyed window over the shared cached edge table) materializes
+    ONCE via eager checkpoint and serves all {WALK_STEPS} hop joins; walk
+    state is seed-set-sized and referenced once per hop (linear lineage,
+    the PageRank pattern — no per-round cut needed); each hop is one
+    equi-join keyed on the current node.  At 100 TB: walks ∝ seeds,
+    adjacency build is the one edge-scale shuffle, hops are
+    walk-set-sized."""
+    directed = directed_copurchase_edges(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    from hadoopmapreduce_spark.session import iter_state_shuffle
+
+    with iter_state_shuffle(spark, directed.count()):
+        adj = directed.select(
+            "src",
+            "dst",
+            F.row_number()
+            .over(W.partitionBy("src").orderBy("dst"))
+            .cast("long")
+            .alias("rnk"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("src"))
+            .cast("long")
+            .alias("deg"),
+        ).localCheckpoint(eager=True)
+    part = load_table(spark, sf_dir, "part")
+    seeds = (
+        part.join(
+            F.broadcast(part.agg(F.min("p_brand").alias("mb"))),
+            F.col("p_brand") == F.col("mb"),
+        )
+        .select(F.col("p_partkey").alias("node"))
+        .join(adj.select("src").distinct(), F.col("node") == F.col("src"))
+        .select("node")
+    )
+    state = seeds.select(
+        F.col("node").alias("walk_id"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for t in range(1, WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("walk_id").cast("string"), F.lit(f":{t}")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+            + 1
+        )
+        state = (
+            state.join(adj, state["cur"] == adj["src"])
+            .where(F.col("rnk") == pick)
+            .select(
+                "walk_id",
+                F.col("dst").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit(":"), F.col("dst").cast("string")
+                ).alias("path"),
+            )
+        )
+    return state.select("walk_id", "path", F.col("cur").alias("end_node"))

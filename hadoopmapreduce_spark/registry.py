@@ -231,6 +231,9 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "graph_modularity_brand",   # exact-integer Newman modularity of the
                                 # brand partition; 2m / range identities
                                 # unit-tested
+    "graph_random_walks",       # derandomized DeepWalk corpus (md5-mod
+                                # neighbor picks); edge-membership of
+                                # every hop unit-tested
 )
 
 
