@@ -78,6 +78,10 @@ def main() -> None:
         "fin_fifo_inventory_match", "graph_neighbor_jaccard_top",
         "sort_collation_unicode", "graph_ppr_seeded", "dq_chisq_drift",
         "dedup_linkage_score_fs",
+        # sixth-session families
+        "dedup_chunk_rewrite", "text_bpe_apply_tokenize",
+        "sample_poisson_bootstrap", "dq_ks_drift", "graph_random_walks",
+        "scan_orc_roundtrip",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",
