@@ -338,3 +338,42 @@ def test_random_walks_traverse_real_edges(spark, sf_dir):
     }
     bad = [h for h in hops if h not in edge_set]
     assert not bad, f"{len(bad)} hops are not graph edges: {bad[:3]}"
+
+
+def test_chunk_rewrite_fully_duplicated_doc_reassembles_empty(spark, tmp_path):
+    """The empty-reassembly branch no fixture exercises: an exact-duplicate
+    document loses EVERY chunk, and both engines must agree on the empty
+    digest (Spark concat_ws over an empty array vs the oracle's
+    COALESCE(NULL, '')).  Crafted corpus: one long doc, its exact copy,
+    and a short unique doc."""
+    import duckdb
+
+    from hadoopmapreduce_spark import registry
+    from hadoopmapreduce_spark.oracle import compare
+
+    registry.load_all()
+    long_text = "alpha beta gamma delta " * 40
+    rows = [
+        (1, long_text, "en", "s", len(long_text)),
+        (2, long_text, "en", "s", len(long_text)),  # exact duplicate
+        (3, "unique words only here", "en", "s", 22),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    got = registry.QUERIES["dedup_chunk_rewrite"](spark, str(tmp_path))
+    rep = compare(
+        "chunk_rewrite_dup", got, con, registry.ORACLES["dedup_chunk_rewrite"]
+    )
+    assert rep.ok and rep.exact_values, rep.detail
+    by_doc = {r["doc_id"]: r for r in got.collect()}
+    assert by_doc[2]["n_kept"] == 0 and by_doc[2]["dropped_chars"] > 0
+    # md5 of the empty string — the documented empty-reassembly digest
+    assert by_doc[2]["cleaned_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+    assert by_doc[1]["n_kept"] == by_doc[1]["n_chunks"]
