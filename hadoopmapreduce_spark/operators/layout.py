@@ -596,3 +596,76 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_orderkey"),
         )
     )
+
+
+@query(
+    "maintenance_targeted_delete",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_totalprice, o_orderkey % 1000 = 7 AS doomed FROM orders)
+    SELECT CAST(SUM(CASE WHEN doomed THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_deleted,
+           CAST(SUM(CASE WHEN doomed THEN 0 ELSE 1 END) AS BIGINT)
+             AS rows_remaining,
+           CAST(SUM(CASE WHEN doomed THEN 0 ELSE
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                END) AS BIGINT) AS cents_remaining
+    FROM tagged
+    """,
+)
+def maintenance_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED ROW DELETE with file-level rewrite pruning — the GDPR /
+    right-to-be-forgotten maintenance pass, done the way a lakehouse does
+    it: instead of rewriting the whole table, Spark's ``_metadata.file_path``
+    hidden column identifies WHICH physical files contain doomed keys
+    (here ``o_orderkey % 1000 == 7``), only those files are read back,
+    filtered, and rewritten, and every untouched file is carried over
+    byte-for-byte (an OS-level copy standing in for the metadata-only move
+    a real table format does).  At 100 TB with key-clustered layout this
+    touches a small fraction of files; the file list is a bounded
+    ``collect()`` (file count, not rows — model-state-sized).
+
+    The registered output is the data-level audit (rows deleted/remaining
+    and the surviving money total), which the parquet-oracle checks
+    exactly; the FILE-level selectivity (rewritten < total, untouched
+    bytes identical) is pinned in tests/test_round5_session6.py."""
+    import shutil
+
+    tmp = work_dir("tdelete", sf_dir, fresh=True)
+    base, clean = os.path.join(tmp, "base"), os.path.join(tmp, "clean")
+    load_table(spark, sf_dir, "orders").repartition(16, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(base)
+
+    doomed = F.col("o_orderkey") % 1000 == 7
+    table = spark.read.parquet(base)
+    affected = sorted(
+        r["f"]
+        for r in table.where(doomed)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    )
+    rows_deleted = table.where(doomed).count()
+    os.makedirs(clean, exist_ok=True)
+    affected_names = {os.path.basename(f) for f in affected}
+    for name in os.listdir(base):
+        if name.endswith(".parquet") and name not in affected_names:
+            shutil.copy2(os.path.join(base, name), os.path.join(clean, name))
+    if affected:
+        (
+            spark.read.parquet(*affected)
+            .where(~doomed)
+            .write.mode("append")
+            .parquet(clean)
+        )
+    remaining = spark.read.parquet(clean)
+    return remaining.agg(
+        F.lit(rows_deleted).cast("long").alias("rows_deleted"),
+        F.count(F.lit(1)).alias("rows_remaining"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("cents_remaining"),
+    )

@@ -234,6 +234,10 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "graph_random_walks",       # derandomized DeepWalk corpus (md5-mod
                                 # neighbor picks); edge-membership of
                                 # every hop unit-tested
+    "maintenance_targeted_delete",  # GDPR-style delete rewriting only
+                                    # files holding doomed keys (via
+                                    # _metadata.file_path); byte-identity
+                                    # of carried files unit-tested
 )
 
 

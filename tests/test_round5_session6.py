@@ -377,3 +377,33 @@ def test_chunk_rewrite_fully_duplicated_doc_reassembles_empty(spark, tmp_path):
     # md5 of the empty string — the documented empty-reassembly digest
     assert by_doc[2]["cleaned_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
     assert by_doc[1]["n_kept"] == by_doc[1]["n_chunks"]
+
+
+def test_targeted_delete_rewrites_only_affected_files(spark, sf_dir):
+    """File-level selectivity the oracle cannot see: after the delete, the
+    untouched files must be byte-identical copies of the originals, and at
+    least one file must survive untouched (the rewrite must not degrade to
+    a full-table rewrite)."""
+    import os
+
+    from hadoopmapreduce_spark.catalog import work_dir
+    from hadoopmapreduce_spark.operators.layout import maintenance_targeted_delete
+
+    maintenance_targeted_delete(spark, sf_dir).collect()
+    tmp = work_dir("tdelete", sf_dir)
+    base, clean = os.path.join(tmp, "base"), os.path.join(tmp, "clean")
+    base_files = {
+        n for n in os.listdir(base) if n.endswith(".parquet")
+    }
+    carried = {
+        n for n in os.listdir(clean) if n.endswith(".parquet") and n in base_files
+    }
+    assert carried, "every file was rewritten — file pruning is not working"
+    for n in sorted(carried):
+        with open(os.path.join(base, n), "rb") as fa, open(
+            os.path.join(clean, n), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), f"carried file {n} changed"
+    # the doomed keys really are gone from the cleaned table
+    remaining = spark.read.parquet(clean)
+    assert remaining.where(F.col("o_orderkey") % 1000 == 7).count() == 0
