@@ -74,6 +74,12 @@ HEADLINERS = [
     ("text_bpe_apply_tokenize", "vocab-sized merge loop, then ONE broadcast join tokenizes the corpus — no corpus-keyed shuffle"),
     ("sample_poisson_bootstrap", "x8 replicate explode + hoisted md5 draw; partial agg collapses the shuffle to 8 rows"),
     ("udf_arrow_token_stats", "mapInArrow boundary: scan batches straight into pyarrow kernels, no shuffle, no pandas"),
+    ("agg_time_decay_revenue", "scan + 5-group partial agg; decay weight is a codegen integer shift"),
+    ("eval_lang_confusion", "classifier scan + |langs|^2 groupBy + two window sums over the tiny matrix"),
+    ("dq_ks_drift", "banded ECDF: value-keyed agg, per-band windows, broadcast band offsets, bounded top-1"),
+    ("graph_modularity_brand", "two broadcast label joins on the shared cached edge table; checkpointed three-consumer intermediate"),
+    ("graph_random_walks", "ranked adjacency materialized once; seed-sized hop joins with linear lineage"),
+    ("maintenance_targeted_delete", "_metadata.file_path pruning: only files holding doomed keys are re-read and rewritten"),
 ]
 
 
