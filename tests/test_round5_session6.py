@@ -407,3 +407,44 @@ def test_targeted_delete_rewrites_only_affected_files(spark, sf_dir):
     # the doomed keys really are gone from the cleaned table
     remaining = spark.read.parquet(clean)
     assert remaining.where(F.col("o_orderkey") % 1000 == 7).count() == 0
+
+
+def test_adjudication_lists_are_well_formed():
+    """A typo'd name in ADJUDICATION_PRIORITY/DEFERRED passes the window
+    test silently (it is 'neither registered nor missing'); pin that every
+    listed name resolves to a registered query and the two lists are
+    disjoint."""
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    unknown_p = [q for q in registry.ADJUDICATION_PRIORITY if q not in registry.QUERIES]
+    unknown_d = [q for q in registry.ADJUDICATION_DEFERRED if q not in registry.QUERIES]
+    assert not unknown_p, f"priority names not registered: {unknown_p}"
+    assert not unknown_d, f"deferred names not registered: {unknown_d}"
+    both = set(registry.ADJUDICATION_PRIORITY) & set(registry.ADJUDICATION_DEFERRED)
+    assert not both, f"names in both lists: {both}"
+
+
+def test_poisson_ladder_matches_recomputed_cdf():
+    """The fixed inverse-CDF thresholds must equal floor(4096*CDF_k) of a
+    freshly recomputed Poisson(1), and the grid mean must be exactly
+    4099/4096 — guards against anyone 'correcting' the constants."""
+    import math
+
+    from hadoopmapreduce_spark.operators.aggregates import POISSON1_THRESHOLDS
+
+    cdf, p = 0.0, math.exp(-1.0)
+    expect = []
+    for k in range(len(POISSON1_THRESHOLDS)):
+        cdf += p
+        expect.append(math.floor(4096 * cdf))
+        p /= k + 1
+    assert list(POISSON1_THRESHOLDS) == expect
+    total = sum(
+        min(
+            (i for i, t in enumerate(POISSON1_THRESHOLDS) if u < t),
+            default=len(POISSON1_THRESHOLDS),
+        )
+        for u in range(4096)
+    )
+    assert total == 4099
