@@ -24,6 +24,7 @@ _MODULES = (
     "graph",
     "layout",
     "sqltext",
+    "evals",
 )
 
 

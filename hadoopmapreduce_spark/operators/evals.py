@@ -1,0 +1,314 @@
+"""[EXT] Classifier- and dataset-evaluation operators.
+
+The reference (ClickThru.java) computes one fixed metric; a training-data
+engine additionally needs the EVAL loop around every heuristic it ships:
+threshold-free ranking quality (AUC), ranked-capture tables (gains/CAP),
+and label-noise audits against the embedding space.  These join
+``eval_lang_confusion`` (textops.py) as first-class corpus queries.
+
+Determinism discipline (registry contract): every metric is exact-integer
+(ppm via truncating BIGINT division — Spark ``div`` / DuckDB ``//`` both
+truncate toward zero on the non-negative quantities used here); ranking
+ties are either shared (RANK over the raw score, the Mann-Whitney
+definition) or fully broken (``doc_id`` / ``neighbor_id`` / ``label``
+tie-breaks), so both engines select identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.operators.similarity import _dot, _embeddings
+from hadoopmapreduce_spark.registry import query
+
+# Shared scorer for the binary-classifier evals: vowel density in ppm as a
+# cheap "English-ness" score, judged against the labeled lang column.  The
+# score itself is deliberately weak — the OPERATORS are the deliverable;
+# a production pipeline plugs its quality/toxicity model score in here.
+_SCORE_ORACLE = """
+  SELECT doc_id,
+         (1000000 * (length(text)
+                     - length(regexp_replace(text, '[aeiou]', '', 'g'))))
+           // greatest(length(text), 1) AS score_ppm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+"""
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "(1000000 * (length(text)"
+            " - length(regexp_replace(text, '[aeiou]', ''))))"
+            " div greatest(length(text), 1)"
+        ).alias("score_ppm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+
+
+@query(
+    "eval_auc_rank",
+    oracle=f"""
+    WITH scored AS ({_SCORE_ORACLE}),
+    ranked AS (
+      SELECT pos,
+             RANK() OVER (ORDER BY score_ppm) AS r,
+             COUNT(*) OVER (PARTITION BY score_ppm) AS c
+      FROM scored),
+    s AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * r + c - 1)) AS BIGINT) AS sum2r
+      FROM ranked)
+    SELECT n_pos, n_neg,
+           sum2r - n_pos * (n_pos + 1) AS u2,
+           (1000000 * (sum2r - n_pos * (n_pos + 1)))
+             // NULLIF(2 * n_pos * n_neg, 0) AS auc_ppm
+    FROM s
+    """,
+)
+def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank identity — the
+    threshold-free quality number every data-pipeline classifier (quality,
+    language, toxicity) is judged by, computed without a single float:
+
+        AUC = U / (n_pos * n_neg),   U = sum(ranks of positives) - n_pos(n_pos+1)/2
+
+    Ties get the textbook average rank; to stay integral the whole
+    derivation is carried at 2x (``2r + c - 1`` is twice the average rank
+    of a tie class of size ``c`` starting at RANK() ``r``), and the final
+    truncating division lands in ppm.  ``u2`` (= 2U, exact) ships alongside
+    so the hash pins the full-precision statistic, not just the ppm.
+
+    Integer bounds: ``1e6 * u2 <= 1e6 * 2 * n_docs^2`` stays under 2^63 to
+    ~2.1e6 docs; past that, widen the two products to DECIMAL(38,0) /
+    HUGEINT (the agg_moments pattern) — the shape is unchanged.
+
+    Scale shape — NO per-row global window: because all positives in one
+    tie class share one average rank, AUC needs only per-SCORE-CLASS
+    aggregates, and ``score_ppm`` lives in a bounded domain ([0, 1e6]), so
+    the class table is metadata-sized no matter the corpus.  One partial+
+    final groupBy(score) collapses 100 TB to <=1e6 rows; the rank prefix
+    sum runs as a window over THAT table (the dq_ks_drift band-offset
+    pattern); a 3-scalar aggregate finishes.  The class contribution
+    ``p_s * (2r + n_s - 1)`` is the tie-averaged 2x rank sum of the
+    class's positives.  NULL auc_ppm (not a crash) when a class is empty,
+    in both engines."""
+    scored = _scored_docs(spark, sf_dir)
+    per = scored.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("pos").alias("p_s"),
+    )
+    w = W.orderBy("score_ppm").rowsBetween(W.unboundedPreceding, -1)
+    classes = per.select(
+        "n_s",
+        "p_s",
+        (F.lit(1) + F.coalesce(F.sum("n_s").over(w), F.lit(0))).alias("r"),
+    )
+    s = classes.agg(
+        F.sum("p_s").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("p_s")).alias("n_neg"),
+        F.sum(F.col("p_s") * (2 * F.col("r") + F.col("n_s") - 1)).alias("sum2r"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        (F.col("sum2r") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        F.expr(
+            "(1000000 * (sum2r - n_pos * (n_pos + 1)))"
+            " div nullif(2 * n_pos * n_neg, 0)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "eval_gains_deciles",
+    oracle=f"""
+    WITH scored AS ({_SCORE_ORACLE}),
+    binned AS (
+      SELECT pos,
+             NTILE(10) OVER (ORDER BY score_ppm DESC, doc_id) AS bin
+      FROM scored),
+    per AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM binned GROUP BY 1)
+    SELECT bin, n_docs, n_pos,
+           (1000000 * n_pos) // n_docs AS pos_rate_ppm,
+           (1000000 * CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT))
+             // NULLIF(CAST(SUM(n_pos) OVER () AS BIGINT), 0)
+             AS cum_capture_ppm
+    FROM per
+    """,
+)
+def eval_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains / CAP table: rank the corpus by classifier score (best first),
+    cut into deciles, and report each decile's positive rate plus the
+    cumulative share of ALL positives captured so far — the "review the
+    top-k%" curve that decides audit budgets and score thresholds.
+
+    Determinism: NTILE over a FULLY tie-broken order (score DESC, doc_id)
+    assigns identical bins in both engines (standard SQL NTILE: the first
+    ``n mod 10`` bins take the extra row); every metric is a truncating
+    integer ppm.  A perfect scorer captures 1e6 ppm within the positive
+    deciles; a random one tracks the diagonal.
+
+    Scale shape — NO single-partition NTILE window (the
+    agg_decile_lift_table rule), and here not even a range repartition:
+    ``score_ppm`` is domain-bounded ([0, 1e6]), so per-class counts give a
+    broadcastable offset table, the global rank is
+    ``offset(class) + row_number() within class (by doc_id)`` — a window
+    DISTRIBUTED on the score key — and the bin falls out of NTILE's
+    first-``n mod k``-tiles-get-one-extra arithmetic exactly as in
+    agg_decile_lift_table.  Skew bound: one tie class = one partition,
+    acceptable for a real-valued score; the lift-table's range-repartition
+    machinery is the fallback for degenerate scorers."""
+    scored = _scored_docs(spark, sf_dir)
+    per_s = scored.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).alias("n_s")
+    ).localCheckpoint(eager=True)  # one materialization, two readers
+    n_total = int(per_s.agg(F.sum("n_s")).collect()[0][0])
+    wd = W.orderBy(F.desc("score_ppm")).rowsBetween(W.unboundedPreceding, -1)
+    off = per_s.select(
+        "score_ppm",
+        F.coalesce(F.sum("n_s").over(wd), F.lit(0)).alias("off"),
+    )
+    lw = W.partitionBy("score_ppm").orderBy("doc_id")
+    ranked = scored.join(F.broadcast(off), "score_ppm").select(
+        "pos", (F.col("off") + F.row_number().over(lw)).alias("rank")
+    )
+    q, m = n_total // 10, n_total % 10
+    cutover = m * (q + 1)
+    bin_col = (
+        F.when(F.col("rank") <= cutover, F.expr(f"(rank - 1) div {q + 1}"))
+        .otherwise(
+            F.lit(m) + F.expr(f"(rank - {cutover} - 1) div {max(q, 1)}")
+        )
+        .cast("int")
+        + 1
+    )
+    binned = ranked.select("pos", bin_col.alias("bin"))
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").alias("n_pos"),
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    return per.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.expr("(1000000 * n_pos) div n_docs").alias("pos_rate_ppm"),
+        (F.lit(1000000) * F.sum("n_pos").over(w_cum)).alias("_cum"),
+        F.nullif(F.sum("n_pos").over(w_all), F.lit(0)).alias("_tot"),
+    ).withColumn(
+        "cum_capture_ppm", F.expr("_cum div _tot")
+    ).drop("_cum", "_tot")
+
+
+PROBE_MOD = 50  # audit vec_id % 50 == 1: a fixed ~2% probe panel
+NOISE_K = 5
+
+
+@query(
+    "eval_knn_label_noise",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+         n AS (SELECT vec_id, v, label,
+                      sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT * FROM n WHERE vec_id % {PROBE_MOD} = 1),
+         scored AS (
+           SELECT q.vec_id AS probe_id, q.label AS own_label,
+                  c.label AS nbr_label,
+                  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+                  c.vec_id AS neighbor_id
+           FROM q JOIN n c ON q.vec_id <> c.vec_id),
+         top AS (
+           SELECT probe_id, own_label, nbr_label FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                        ORDER BY cosine DESC, neighbor_id) AS rk
+             FROM scored) t
+           WHERE rk <= {NOISE_K}),
+         votes AS (
+           SELECT probe_id, own_label, nbr_label,
+                  CAST(COUNT(*) AS BIGINT) AS n_votes
+           FROM top GROUP BY 1, 2, 3)
+    SELECT probe_id, own_label,
+           nbr_label AS knn_label, n_votes,
+           CASE WHEN nbr_label <> own_label THEN 1 ELSE 0 END AS is_suspect
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY n_votes DESC, nbr_label) AS vrk
+          FROM votes) v
+    WHERE vrk = 1
+    """,
+)
+def eval_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE AUDIT by k-NN disagreement (Confident-Learning family):
+    for a fixed probe panel, find the 5 cosine-nearest neighbors in the
+    full corpus and compare the majority neighbor label with the point's
+    own label — a mismatch flags a likely mislabel for human review.  This
+    is the standard pre-training label-QA pass over an embedded dataset.
+
+    Reuses the oracle-green exact-cosine machinery of ``knn_cosine_topk``
+    (broadcast probes, sequential-fold dot product identical to DuckDB's
+    ``list_dot_product``, fully tie-broken top-k), then a per-probe
+    majority vote tie-broken on the smaller label.
+
+    Scale shape: probes are a fixed ~2% panel here; the corpus side is one
+    scan with the probe panel broadcast (linear, no shuffle).  At 100 TB
+    the exact scorer is the REFEREE run on samples exactly like this —
+    the full-corpus audit swaps in ``ann_lsh_topk``'s bucketed candidate
+    generation and keeps the vote/flag tail unchanged."""
+    n = _embeddings(spark, sf_dir)
+    lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = n.join(lbl, "vec_id")
+    q = n.filter(F.col("vec_id") % PROBE_MOD == 1).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("own_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = n.join(
+        F.broadcast(q), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "own_label",
+        F.col("label").alias("nbr_label"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NOISE_K)
+        .select("probe_id", "own_label", "nbr_label")
+    )
+    votes = top.groupBy("probe_id", "own_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = W.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "probe_id",
+            "own_label",
+            F.col("nbr_label").alias("knn_label"),
+            "n_votes",
+            F.when(F.col("nbr_label") != F.col("own_label"), 1)
+            .otherwise(0)
+            .alias("is_suspect"),
+        )
+    )

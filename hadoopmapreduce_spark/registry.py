@@ -238,6 +238,14 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                     # files holding doomed keys (via
                                     # _metadata.file_path); byte-identity
                                     # of carried files unit-tested
+    # --- seventh round-5 session ---
+    "eval_auc_rank",            # exact Mann-Whitney ROC-AUC at 2x-integer
+                                # precision; tie handling via RANK + class
+                                # size, truncating ppm division
+    "eval_gains_deciles",       # gains/CAP table over a fully tie-broken
+                                # NTILE; sibling of agg_decile_lift_table
+    "eval_knn_label_noise",     # k-NN majority-vote label audit; reuses
+                                # knn_cosine_topk's green exact-cosine path
 )
 
 

@@ -80,6 +80,9 @@ HEADLINERS = [
     ("graph_modularity_brand", "two broadcast label joins on the shared cached edge table; checkpointed three-consumer intermediate"),
     ("graph_random_walks", "ranked adjacency materialized once; seed-sized hop joins with linear lineage"),
     ("maintenance_targeted_delete", "_metadata.file_path pruning: only files holding doomed keys are re-read and rewritten"),
+    ("eval_auc_rank", "exact Mann-Whitney AUC: rank window reads the domain-bounded score-class aggregate, never corpus rows"),
+    ("eval_gains_deciles", "gains/CAP table: broadcast class-offset table + score-keyed row_number — no single-partition NTILE"),
+    ("eval_knn_label_noise", "label-noise audit: probe panel broadcast against one corpus scan, vote windows keyed on probe"),
 ]
 
 

@@ -693,3 +693,34 @@ def test_session6_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in rewrite
     apply_plan = physical_plan(text_bpe_apply_tokenize(spark, sf_dir))
     assert "BroadcastHashJoin" in apply_plan, "token map not broadcast"
+
+
+def test_eval_family_plan_shapes(spark, sf_dir):
+    """Seventh-session pins: the AUC never windows over corpus rows (its
+    only Window reads the partial+final score-class aggregate), the gains
+    table broadcasts the domain-bounded offset table (no single-partition
+    NTILE, no sort-merge), and the kNN noise audit keeps knn_cosine_topk's
+    broadcast shape — the corpus side never shuffles."""
+    from hadoopmapreduce_spark.operators.evals import (
+        eval_auc_rank,
+        eval_gains_deciles,
+        eval_knn_label_noise,
+    )
+
+    auc = physical_plan(eval_auc_rank(spark, sf_dir))
+    assert "CartesianProduct" not in auc
+    assert "partial_count" in auc or "partial count" in auc.lower(), (
+        "score-class rollup lost its partial aggregate"
+    )
+    # the class prefix-sum window must consume the aggregate, not the scan:
+    # with the agg below it, the Window node sees columns n_s/p_s, never text
+    window_section = auc.split("Window")[1] if "Window" in auc else ""
+    assert "n_s" in window_section, "rank window no longer reads class aggregates"
+
+    gains = physical_plan(eval_gains_deciles(spark, sf_dir))
+    assert "BroadcastHashJoin" in gains, "offset table not broadcast"
+    assert "SortMergeJoin" not in gains and "CartesianProduct" not in gains
+
+    knn = eval_knn_label_noise(spark, sf_dir)
+    assert_not_contains(knn, "SortMergeJoin", "CartesianProduct")
+    assert_contains(knn, "Broadcast")
