@@ -214,27 +214,69 @@ def eval_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROBE_MOD = 50  # audit vec_id % 50 == 1: a fixed ~2% probe panel
 NOISE_K = 5
 
+# Shared CTE chain (through the tie-broken top-k with its rank) for the two
+# neighbor-based evals — the SQL twin of :func:`_probe_topk`.
+_TOPK_CTES = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+          FROM embeddings),
+    n AS (SELECT vec_id, v, label,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id % {PROBE_MOD} = 1),
+    scored AS (
+      SELECT q.vec_id AS probe_id, q.label AS own_label,
+             c.label AS nbr_label,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+             c.vec_id AS neighbor_id
+      FROM q JOIN n c ON q.vec_id <> c.vec_id),
+    top AS (
+      SELECT probe_id, own_label, nbr_label, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored) t
+      WHERE rk <= {NOISE_K})
+"""
+
+
+def _probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, own_label, nbr_label, rk): the ``NOISE_K`` cosine-nearest
+    corpus neighbors of each probe-panel member, rank fully tie-broken
+    (cosine DESC, neighbor_id).  Broadcast probes against one corpus scan —
+    knn_cosine_topk's green shape; shared by the label-noise audit and the
+    NDCG eval."""
+    n = _embeddings(spark, sf_dir)
+    lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = n.join(lbl, "vec_id")
+    q = n.filter(F.col("vec_id") % PROBE_MOD == 1).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("own_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = n.join(
+        F.broadcast(q), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "own_label",
+        F.col("label").alias("nbr_label"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NOISE_K)
+        .select("probe_id", "own_label", "nbr_label", "rk")
+    )
+
 
 @query(
     "eval_knn_label_noise",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-               FROM embeddings),
-         n AS (SELECT vec_id, v, label,
-                      sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         q AS (SELECT * FROM n WHERE vec_id % {PROBE_MOD} = 1),
-         scored AS (
-           SELECT q.vec_id AS probe_id, q.label AS own_label,
-                  c.label AS nbr_label,
-                  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
-                  c.vec_id AS neighbor_id
-           FROM q JOIN n c ON q.vec_id <> c.vec_id),
-         top AS (
-           SELECT probe_id, own_label, nbr_label FROM (
-             SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                        ORDER BY cosine DESC, neighbor_id) AS rk
-             FROM scored) t
-           WHERE rk <= {NOISE_K}),
+    WITH {_TOPK_CTES},
          votes AS (
            SELECT probe_id, own_label, nbr_label,
                   CAST(COUNT(*) AS BIGINT) AS n_votes
@@ -265,34 +307,7 @@ def eval_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact scorer is the REFEREE run on samples exactly like this —
     the full-corpus audit swaps in ``ann_lsh_topk``'s bucketed candidate
     generation and keeps the vote/flag tail unchanged."""
-    n = _embeddings(spark, sf_dir)
-    lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    n = n.join(lbl, "vec_id")
-    q = n.filter(F.col("vec_id") % PROBE_MOD == 1).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("label").alias("own_label"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    scored = n.join(
-        F.broadcast(q), F.col("vec_id") != F.col("probe_id")
-    ).select(
-        "probe_id",
-        "own_label",
-        F.col("label").alias("nbr_label"),
-        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
-            "cosine"
-        ),
-        F.col("vec_id").alias("neighbor_id"),
-    )
-    w = W.partitionBy("probe_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    top = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= NOISE_K)
-        .select("probe_id", "own_label", "nbr_label")
-    )
+    top = _probe_topk(spark, sf_dir)
     votes = top.groupBy("probe_id", "own_label", "nbr_label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
@@ -311,4 +326,142 @@ def eval_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("is_suspect"),
         )
+    )
+
+
+# 1/log2(i+1) in ppm, precomputed so no libm log crosses the engine
+# boundary (the _BENFORD_PPM pattern); _IDCG_PPM[k] is the ideal DCG of k
+# relevant results — the prefix sums of the discount ladder.
+_DISC_PPM = {1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853}
+_IDCG_PPM = {1: 1000000, 2: 1630930, 3: 2130930, 4: 2561607, 5: 2948460}
+
+_DISC_CASE = "CASE rk " + " ".join(
+    f"WHEN {i} THEN {p}" for i, p in _DISC_PPM.items()
+) + " ELSE 0 END"
+_IDCG_CASE = "CASE n_rel " + " ".join(
+    f"WHEN {i} THEN {p}" for i, p in _IDCG_PPM.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "eval_ndcg_label_match",
+    oracle=f"""
+    WITH {_TOPK_CTES},
+    per AS (
+      SELECT probe_id, own_label,
+             CAST(SUM(CASE WHEN nbr_label = own_label
+                           THEN {_DISC_CASE} ELSE 0 END) AS BIGINT)
+               AS dcg_ppm,
+             CAST(SUM(CASE WHEN nbr_label = own_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel
+      FROM top GROUP BY 1, 2)
+    SELECT probe_id, own_label, n_rel, dcg_ppm,
+           CAST({_IDCG_CASE} AS BIGINT) AS idcg_ppm,
+           (1000000 * dcg_ppm) // NULLIF(CAST({_IDCG_CASE} AS BIGINT), 0)
+             AS ndcg_ppm
+    FROM per
+    """,
+)
+def eval_ndcg_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the embedding space as a retrieval index, with "neighbor
+    shares my label" as the graded relevance — the standard ranking-quality
+    number for an embedding model drop (did the new checkpoint still put
+    same-class items first?), computed per probe-panel member.
+
+    Exact integers end to end: the log2 position discounts are PRECOMPUTED
+    ppm constants (no runtime libm — the dq_benford_first_digit rule), DCG
+    is an integer dot of the relevance vector with that ladder, ideal DCG
+    for binary relevance is the ladder's prefix sum at n_rel, and NDCG is
+    one truncating ppm division.  NULL ndcg_ppm (not a crash) for probes
+    with zero relevant neighbors, in both engines.
+
+    Scale shape: everything downstream of the shared broadcast top-k
+    (:func:`_probe_topk`) is a panel-sized groupBy — the corpus is touched
+    exactly once."""
+    top = _probe_topk(spark, sf_dir)
+    rel = F.when(F.col("nbr_label") == F.col("own_label"), 1).otherwise(0)
+    per = top.groupBy("probe_id", "own_label").agg(
+        F.sum(
+            F.when(
+                F.col("nbr_label") == F.col("own_label"),
+                F.expr(_DISC_CASE),
+            ).otherwise(0)
+        ).alias("dcg_ppm"),
+        F.sum(rel).alias("n_rel"),
+    )
+    return per.select(
+        "probe_id",
+        "own_label",
+        "n_rel",
+        "dcg_ppm",
+        F.expr(f"CAST({_IDCG_CASE} AS BIGINT)").alias("idcg_ppm"),
+        F.expr(
+            f"(1000000 * dcg_ppm) div nullif(CAST({_IDCG_CASE} AS BIGINT), 0)"
+        ).alias("ndcg_ppm"),
+    )
+
+
+CALIB_BINS = 10
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS ({_SCORE_ORACLE}),
+    binned AS (
+      SELECT least(score_ppm // {1000000 // CALIB_BINS}, {CALIB_BINS - 1})
+               + 1 AS bin,
+             score_ppm, pos
+      FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(score_ppm) AS BIGINT) // COUNT(*) AS mean_score_ppm,
+           (1000000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*) AS pos_rate_ppm,
+           abs(CAST(SUM(score_ppm) AS BIGINT) // COUNT(*)
+               - (1000000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*))
+             AS gap_ppm
+    FROM binned GROUP BY 1
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM (calibration table): cut the score axis into
+    {CALIB_BINS} fixed-width bins and compare each bin's mean score with
+    its observed positive rate — the per-bin gap is the Expected
+    Calibration Error's integrand, the number that says whether a
+    classifier's scores can be READ as probabilities (and so whether a
+    fixed threshold transfers across corpora).
+
+    Fixed-WIDTH bins (score domain is [0, 1e6] ppm), unlike the
+    fixed-COUNT deciles of eval_gains_deciles — the two tables answer
+    different questions (calibration vs ranked capture).  All integer:
+    truncating ppm divisions; empty bins are absent (same in both
+    engines).  int64 headroom: SUM(score_ppm) <= n*1e6 holds to ~9.2e12
+    docs per bin; past that widen to DECIMAL(38,0) (agg_moments pattern).
+
+    Scale shape: one scoring scan into a {CALIB_BINS}-group partial+final
+    aggregate — the cheapest possible distributed shape, no window, no
+    join."""
+    scored = _scored_docs(spark, sf_dir)
+    width = 1000000 // CALIB_BINS
+    binned = scored.select(
+        (F.least(F.expr(f"score_ppm div {width}"), F.lit(CALIB_BINS - 1)) + 1)
+        .alias("bin"),
+        "score_ppm",
+        "pos",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("score_ppm").alias("_score_sum"),
+    )
+    return per.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.expr("_score_sum div n_docs").alias("mean_score_ppm"),
+        F.expr("(1000000 * n_pos) div n_docs").alias("pos_rate_ppm"),
+        F.expr(
+            "abs(_score_sum div n_docs - (1000000 * n_pos) div n_docs)"
+        ).alias("gap_ppm"),
     )

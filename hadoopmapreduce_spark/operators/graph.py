@@ -1280,3 +1280,126 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return state.select("walk_id", "path", F.col("cur").alias("end_node"))
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.src = e1.dst
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    credit AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_n
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1)
+    SELECT d.node, d.d AS degree,
+           COALESCE(c.tri_n, 0) AS tri_n,
+           (2000000 * COALESCE(c.tri_n, 0)) // (d.d * (d.d - 1)) AS cc_ppm
+    FROM deg d LEFT JOIN credit c ON c.node = d.node
+    WHERE d.d >= 2
+    ORDER BY cc_ppm DESC, tri_n DESC, d.node ASC
+    LIMIT 20
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by LOCAL CLUSTERING COEFFICIENT — per-node triangle
+    density ``cc(v) = 2*tri(v) / (d(v)*(d(v)-1))`` in exact integer ppm,
+    the standard "how clique-like is this node's neighborhood" signal
+    behind community seeding and anomaly detection (a high-degree node
+    with near-zero cc is a hub/bot signature; near-1e6 is a clique).
+
+    Reuses the degree-oriented adjacency-intersection machinery of
+    :func:`triangle_count`, but EXPLODES each edge's common-neighbor
+    intersection into (a, b, c) triangle rows so all three corners can be
+    credited — the explode is output-bounded (exactly one row per
+    triangle, the quantity the census already computes), so the extra
+    cost over the census is one triangle-sized union + groupBy.  Nodes
+    with degree < 2 are excluded (cc undefined); triangle-free survivors
+    keep cc 0 and lose top-20 ties to triangled ones (cc DESC, tri_n
+    DESC, node ASC is a total order).
+
+    int64 headroom: ``2e6 * tri(v)`` with ``tri(v) <= d^2 <= 4e12`` (at
+    the 2e6-node cap of the adjacency broadcast) stays under 2^63; at
+    larger degrees the multiply widens to DECIMAL(38,0) first — shape
+    unchanged."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .cache()  # plan-keyed: shared with triangle_count's oriented table
+    )
+    _CACHED.append(oriented)
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    if edges.count() <= BROADCAST_ADJ_MAX_EDGES:
+        adj = F.broadcast(adj.localCheckpoint(eager=True))
+    tri = (
+        oriented.join(
+            adj.select(F.col("src"), F.col("nbrs").alias("a_nbrs")), "src"
+        )
+        .join(
+            adj.select(
+                F.col("src").alias("dst"), F.col("nbrs").alias("b_nbrs")
+            ),
+            "dst",
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("a_nbrs", "b_nbrs")).alias("c"),
+        )
+    )
+    credit = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_n"))
+    )
+    return (
+        deg.join(credit, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce("tri_n", F.lit(0)).alias("tri_n"),
+            F.expr(
+                "(2000000 * coalesce(tri_n, 0)) div (d * (d - 1))"
+            ).alias("cc_ppm"),
+        )
+        .filter(F.col("degree") >= 2)
+        .orderBy(F.desc("cc_ppm"), F.desc("tri_n"), F.asc("node"))
+        .limit(20)
+    )

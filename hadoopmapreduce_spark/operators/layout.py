@@ -669,3 +669,143 @@ def maintenance_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents_remaining"),
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector round trip — Spark 4's built-in TEXT format for the
+    nested-document feeds (catalogs, sitemaps, legal/patent corpora) a
+    training-data pipeline still ingests: sink orders to XML (one
+    ``<order>`` element per row), re-read it WITH AN EXPLICIT SCHEMA, and
+    aggregate.  The oracle runs on the parquet original, so the hash match
+    proves longs, doubles, timestamps, and strings survive the text
+    boundary bit-for-bit (doubles round-trip via Java's shortest-repr
+    toString / parse pair; probed exact on the fixture domain 2026-08-14).
+
+    Explicit read schema, never inference: at 100 TB inference is an extra
+    full pass, and it widens sparse integer columns to double on the shard
+    that happens to lack them — schema drift the pipeline would chase for
+    days.  XML files are splittable by row tag in Spark's reader, so the
+    scan parallelizes like any text source; pushdown does NOT reach into
+    text (unlike parquet/ORC — pinned there), which is exactly why the
+    registered shape projects before aggregating.
+
+    Availability probe 2026-08-14: built-in (Spark 4 SPARK-44265, no
+    external jar needed) — unlike Avro, which remains env-stubbed."""
+    tmp = os.path.join(work_dir("xml", sf_dir), "orders_xml")
+    cols = [
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    o.write.mode("overwrite").format("xml").option("rowTag", "order").save(tmp)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(o.schema)
+        .load(tmp)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+SNAP_VERSIONS = 4
+SNAP_RETAIN = 2
+
+
+@query(
+    "maintenance_snapshot_expire",
+    oracle=f"""
+    SELECT CAST({SNAP_VERSIONS} AS BIGINT) AS versions_written,
+           CAST({SNAP_RETAIN} AS BIGINT) AS versions_retained,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def maintenance_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT RETENTION EXPIRY — the third leg of the lakehouse
+    maintenance triad (compact: maintenance_compact_roundtrip; targeted
+    delete: maintenance_targeted_delete; expire: here).  A versioned
+    snapshot chain accumulates one directory per commit (see
+    streaming_merge_upsert's CDC sink); retention policy keeps the last K
+    and physically removes the rest — Delta's VACUUM / Iceberg's
+    expire_snapshots, emulated on the same plain-parquet version layout
+    the merge emulation uses (sources/lakehouse.py documents the
+    env-blocked real connectors).
+
+    The audit row is NOT literals echoed back: ``versions_written`` and
+    ``versions_retained`` are counted from the FILESYSTEM before and
+    after expiry, so the oracle's constants only match if exactly
+    {SNAP_VERSIONS} commits landed and expiry pruned to exactly
+    {SNAP_RETAIN}; the state columns aggregate the post-expiry LATEST
+    snapshot, so a hash match also proves expiry never touched live data.
+    Version chunking is content-derived (event_id % {SNAP_VERSIONS}), not
+    random — every run builds the identical chain.
+
+    Scale shape: each snapshot is one partial+final aggregate write;
+    expiry itself is metadata-sized (directory listing + removes, never a
+    data read) — exactly why retention runs nightly at 100 TB while
+    rewrites are scheduled."""
+    import shutil
+
+    base = work_dir("snap_expire", sf_dir, fresh=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    for i in range(1, SNAP_VERSIONS + 1):
+        snap = (
+            ev.filter(F.col("event_id") % SNAP_VERSIONS < i)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("s"),
+            )
+        )
+        snap.write.mode("overwrite").parquet(
+            os.path.join(base, f"snap_v{i}")
+        )
+    versions = sorted(
+        (d for d in os.listdir(base) if d.startswith("snap_v")),
+        key=lambda d: int(d.split("_v")[1]),
+    )
+    written = len(versions)
+    for doomed in versions[:-SNAP_RETAIN]:
+        shutil.rmtree(os.path.join(base, doomed))
+    kept = sorted(
+        (d for d in os.listdir(base) if d.startswith("snap_v")),
+        key=lambda d: int(d.split("_v")[1]),
+    )
+    latest = spark.read.parquet(os.path.join(base, kept[-1]))
+    return latest.agg(
+        F.lit(written).cast("long").alias("versions_written"),
+        F.lit(len(kept)).cast("long").alias("versions_retained"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_purchases").cast("long").alias("n_purchases"),
+        F.sum("s").cast("decimal(28,6)").cast("double").alias("total_value"),
+    )

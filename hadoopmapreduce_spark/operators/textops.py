@@ -12,7 +12,7 @@ both engines), so everything here is oracle-checkable bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hadoopmapreduce_spark.catalog import load_table
@@ -1698,4 +1698,129 @@ def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "n_docs * 1000000 div sum(n_docs) over (partition by lang_guess)"
         ).alias("precision_ppm"),
+    )
+
+
+@query(
+    "pipeline_mixture_cap_rebalance",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY 1),
+    pos AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (ORDER BY tokens, lang) AS BIGINT) AS i,
+             CAST(COALESCE(SUM(tokens) OVER (ORDER BY tokens, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s_prev,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+             CAST(SUM(tokens) OVER () AS BIGINT) // 2 AS b
+      FROM per),
+    flags AS (
+      SELECT *, CASE WHEN tokens * (n_langs - i + 1) <= b - s_prev
+                     THEN 1 ELSE 0 END AS is_full
+      FROM pos),
+    agg AS (
+      SELECT *,
+             CAST(SUM(is_full) OVER () AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN is_full = 1 THEN tokens ELSE 0 END) OVER ()
+                  AS BIGINT) AS s_k,
+             CAST(SUM(1 - is_full) OVER (ORDER BY lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS rn_capped
+      FROM flags),
+    q AS (
+      SELECT lang, n_docs, tokens, is_full,
+             CASE WHEN is_full = 1 THEN tokens
+                  ELSE (b - s_k) // (n_langs - k)
+                       + CASE WHEN rn_capped <= (b - s_k) % (n_langs - k)
+                              THEN 1 ELSE 0 END
+             END AS quota_tokens
+      FROM agg)
+    SELECT lang, n_docs, tokens, quota_tokens,
+           (1000000 * quota_tokens) // greatest(tokens, 1) AS factor_ppm,
+           1 - is_full AS is_capped
+    FROM q
+    """,
+)
+def pipeline_mixture_cap_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-MIXTURE REBALANCING by water-filling — divide a token budget
+    (here half the corpus) across languages as evenly as possible WITHOUT
+    upsampling anyone: small languages are taken whole ("full"), the
+    budget they don't use is re-spread over the large ones, which all
+    land on a common cap.  This is the standard no-repetition variant of
+    training-mixture rebalancing (the capped cousin of temperature
+    sampling), and the per-lang ``factor_ppm`` is exactly the
+    subsampling rate a downstream sampler applies.
+
+    Exact integer water-filling WITHOUT iteration: sorted by tokens
+    ascending, a language is full iff ``T_i * (L - i + 1) <= B - S_{i-1}``
+    (what it would claim under an equal split of the remaining budget
+    fits) — fullness is monotone along that order, so one window pass
+    finds the waterline; the capped share splits as ``R div c`` with the
+    first ``R mod c`` languages (lang ASC) taking one extra token
+    (largest-remainder, the fin_prorate discipline), so
+    ``sum(quota) == B`` exactly (pinned in tests).  A capped language's
+    quota never exceeds its supply: ``T_{k+1} > R/c`` follows from the
+    waterline inequality failing at k+1.
+
+    Scale shape: one corpus scan into a per-lang partial+final aggregate;
+    every window runs over the LANGUAGE-sized table (the band-offset
+    pattern) — metadata-sized no matter the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).alias("tokens"),
+    )
+    wi = W.orderBy("tokens", "lang")
+    pos = per.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("tokens").over(wi.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("s_prev"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_langs"),
+        F.expr("sum(tokens) over () div 2").alias("b"),
+    )
+    flags = pos.withColumn(
+        "is_full",
+        F.when(
+            F.col("tokens") * (F.col("n_langs") - F.col("i") + 1)
+            <= F.col("b") - F.col("s_prev"),
+            1,
+        ).otherwise(0),
+    )
+    wl = W.orderBy("lang").rowsBetween(W.unboundedPreceding, 0)
+    agg = flags.select(
+        "*",
+        F.sum("is_full").over(W.partitionBy()).alias("k"),
+        F.sum(F.when(F.col("is_full") == 1, F.col("tokens")).otherwise(0))
+        .over(W.partitionBy())
+        .alias("s_k"),
+        F.sum(F.lit(1) - F.col("is_full")).over(wl).alias("rn_capped"),
+    )
+    q = agg.withColumn(
+        "quota_tokens",
+        F.when(F.col("is_full") == 1, F.col("tokens")).otherwise(
+            F.expr(
+                "(b - s_k) div (n_langs - k)"
+                " + if(rn_capped <= (b - s_k) % (n_langs - k), 1, 0)"
+            )
+        ),
+    )
+    return q.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        "quota_tokens",
+        F.expr("(1000000 * quota_tokens) div greatest(tokens, 1)").alias(
+            "factor_ppm"
+        ),
+        (F.lit(1) - F.col("is_full")).alias("is_capped"),
     )

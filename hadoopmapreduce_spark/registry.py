@@ -246,6 +246,20 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                 # NTILE; sibling of agg_decile_lift_table
     "eval_knn_label_noise",     # k-NN majority-vote label audit; reuses
                                 # knn_cosine_topk's green exact-cosine path
+    "eval_ndcg_label_match",    # NDCG@5 with precomputed integer log2
+                                # discounts over the shared probe top-k
+    "eval_calibration_bins",    # reliability diagram: fixed-width score
+                                # bins, mean-score vs pos-rate gap
+    "graph_clustering_coefficient",  # per-node triangle credit via
+                                     # output-bounded intersection explode
+    "scan_xml_roundtrip",       # Spark 4 built-in XML text source vs the
+                                # parquet oracle; explicit-schema read
+    "maintenance_snapshot_expire",  # retention VACUUM over the versioned
+                                    # snapshot chain; audit counted from
+                                    # the filesystem, not echoed literals
+    "pipeline_mixture_cap_rebalance",  # water-filling token-budget split
+                                       # across langs; one window pass,
+                                       # conservation unit-tested
 )
 
 

@@ -83,6 +83,11 @@ HEADLINERS = [
     ("eval_auc_rank", "exact Mann-Whitney AUC: rank window reads the domain-bounded score-class aggregate, never corpus rows"),
     ("eval_gains_deciles", "gains/CAP table: broadcast class-offset table + score-keyed row_number — no single-partition NTILE"),
     ("eval_knn_label_noise", "label-noise audit: probe panel broadcast against one corpus scan, vote windows keyed on probe"),
+    ("eval_calibration_bins", "reliability diagram: one scan into a 10-group partial+final aggregate — no window, no join"),
+    ("graph_clustering_coefficient", "per-node triangle credit: output-bounded intersection explode over the broadcast adjacency"),
+    ("scan_xml_roundtrip", "XML text-source roundtrip: explicit-schema read, projected before the aggregate"),
+    ("maintenance_snapshot_expire", "retention expiry: the returned plan reads only the retained latest snapshot"),
+    ("pipeline_mixture_cap_rebalance", "water-filling mixture: every window over the language-sized rollup, one corpus shuffle"),
 ]
 
 

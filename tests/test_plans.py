@@ -724,3 +724,50 @@ def test_eval_family_plan_shapes(spark, sf_dir):
     knn = eval_knn_label_noise(spark, sf_dir)
     assert_not_contains(knn, "SortMergeJoin", "CartesianProduct")
     assert_contains(knn, "Broadcast")
+
+
+def test_session7_plan_shapes(spark, sf_dir):
+    """Clustering coefficient keeps the census's broadcast-adjacency shape
+    (no cartesian, no Python); the XML re-read prunes to the aggregated
+    columns before the shuffle (one projection, no full-width scan into
+    the agg)."""
+    from hadoopmapreduce_spark.operators.evals import eval_ndcg_label_match
+    from hadoopmapreduce_spark.operators.graph import (
+        graph_clustering_coefficient,
+    )
+    from hadoopmapreduce_spark.operators.layout import scan_xml_roundtrip
+
+    cc = graph_clustering_coefficient(spark, sf_dir)
+    assert_not_contains(cc, "CartesianProduct", "PythonUDF")
+    assert_contains(cc, "BroadcastHashJoin")
+    assert_contains(cc, "TakeOrderedAndProject")  # bounded top-20, no sort
+
+    ndcg = eval_ndcg_label_match(spark, sf_dir)
+    assert_not_contains(ndcg, "SortMergeJoin", "CartesianProduct")
+    assert_contains(ndcg, "Broadcast")
+
+    xml = physical_plan(scan_xml_roundtrip(spark, sf_dir))
+    assert "CartesianProduct" not in xml
+    assert "partial_count" in xml or "partial count" in xml.lower()
+
+
+def test_mixture_rebalance_windows_language_sized_only(spark, sf_dir):
+    """The corpus scan feeds ONE partial+final aggregate; every window in
+    the plan runs downstream of that lang-sized rollup (the plan's Window
+    nodes must see the per-lang token column, never document text)."""
+    from hadoopmapreduce_spark.operators.textops import (
+        pipeline_mixture_cap_rebalance,
+    )
+
+    import re
+
+    plan = physical_plan(pipeline_mixture_cap_rebalance(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    window_inputs = re.findall(
+        r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert window_inputs, "explain format changed — pin is vacuous"
+    for cols in window_inputs:
+        assert "text#" not in cols, f"window reads document text: {cols}"
+        assert "tokens#" in cols

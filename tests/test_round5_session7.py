@@ -82,3 +82,161 @@ def test_knn_noise_audit_covers_exactly_the_probe_panel(spark, sf_dir):
     for r in out:
         assert 1 <= r["n_votes"] <= NOISE_K
         assert r["is_suspect"] == int(r["knn_label"] != r["own_label"])
+
+
+def test_ndcg_bounds_and_noise_consistency(spark, sf_dir):
+    """Per-probe: dcg <= idcg, ndcg in [0, 1e6] (NULL only when n_rel = 0),
+    and cross-operator consistency with the label-noise audit — when the
+    majority neighbor label IS the own label, the vote count equals the
+    relevant-neighbor count, since both count own-label rows in the same
+    shared top-k."""
+    from hadoopmapreduce_spark.operators.evals import (
+        eval_knn_label_noise,
+        eval_ndcg_label_match,
+    )
+
+    ndcg = {r["probe_id"]: r for r in eval_ndcg_label_match(spark, sf_dir).collect()}
+    noise = {r["probe_id"]: r for r in eval_knn_label_noise(spark, sf_dir).collect()}
+    assert set(ndcg) == set(noise)
+    for pid, r in ndcg.items():
+        assert r["dcg_ppm"] <= r["idcg_ppm"]
+        if r["n_rel"] == 0:
+            assert r["ndcg_ppm"] is None and r["dcg_ppm"] == 0
+        else:
+            assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        v = noise[pid]
+        if v["is_suspect"] == 0:
+            assert v["n_votes"] == r["n_rel"], (
+                f"probe {pid}: majority own-label votes {v['n_votes']} != "
+                f"relevant count {r['n_rel']}"
+            )
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    """Bins cover the corpus exactly once, each bin's mean score sits
+    inside the bin's score range, and the gap is the advertised identity."""
+    from hadoopmapreduce_spark.operators.evals import (
+        CALIB_BINS,
+        _scored_docs,
+        eval_calibration_bins,
+    )
+
+    rows = eval_calibration_bins(spark, sf_dir).collect()
+    n_corpus = _scored_docs(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    width = 1_000_000 // CALIB_BINS
+    for r in rows:
+        lo = (r["bin"] - 1) * width
+        hi = 1_000_000 if r["bin"] == CALIB_BINS else r["bin"] * width - 1
+        assert lo <= r["mean_score_ppm"] <= hi
+        assert r["gap_ppm"] == abs(r["mean_score_ppm"] - r["pos_rate_ppm"])
+
+
+def test_clustering_coefficient_invariants(spark, sf_dir):
+    """Every reported node: degree >= 2, 0 <= tri_n <= C(d,2), cc_ppm is
+    the exact integer formula, cc <= 1e6, and the 20 rows arrive in the
+    declared total order."""
+    from hadoopmapreduce_spark.operators.graph import (
+        graph_clustering_coefficient,
+    )
+
+    rows = graph_clustering_coefficient(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        d = r["degree"]
+        assert d >= 2
+        assert 0 <= r["tri_n"] <= d * (d - 1) // 2
+        assert r["cc_ppm"] == (2_000_000 * r["tri_n"]) // (d * (d - 1))
+        assert r["cc_ppm"] <= 1_000_000
+    keys = [(-r["cc_ppm"], -r["tri_n"], r["node"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_xml_roundtrip_writes_real_xml(spark, sf_dir):
+    """The sink must be genuine row-tagged XML on disk (not a renamed
+    columnar file) and preserve the exact row count."""
+    import glob
+    import os
+
+    from hadoopmapreduce_spark.catalog import load_table, work_dir
+    from hadoopmapreduce_spark.operators.layout import scan_xml_roundtrip
+
+    agg = scan_xml_roundtrip(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in agg) == n_orders
+    parts = glob.glob(
+        os.path.join(work_dir("xml", sf_dir), "orders_xml", "part-*")
+    )
+    assert parts, "no XML part files written"
+    with open(parts[0]) as f:
+        head = f.read(4096)
+    assert "<order>" in head and "<o_orderkey>" in head
+
+
+def test_snapshot_expire_prunes_filesystem_and_keeps_latest(spark, sf_dir):
+    """After the op: exactly SNAP_RETAIN version dirs remain, they are the
+    HIGHEST-numbered ones, and the reported state equals an independent
+    aggregate of the full purchase stream (expiry never touched live
+    data)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table, work_dir
+    from hadoopmapreduce_spark.operators.layout import (
+        SNAP_RETAIN,
+        SNAP_VERSIONS,
+        maintenance_snapshot_expire,
+    )
+
+    row = maintenance_snapshot_expire(spark, sf_dir).collect()[0]
+    base = work_dir("snap_expire", sf_dir)
+    kept = sorted(
+        int(d.split("_v")[1])
+        for d in os.listdir(base)
+        if d.startswith("snap_v")
+    )
+    assert len(kept) == SNAP_RETAIN
+    assert kept == list(range(SNAP_VERSIONS - SNAP_RETAIN + 1, SNAP_VERSIONS + 1))
+    direct = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert row["n_users"] == direct["u"]
+    assert row["n_purchases"] == direct["n"]
+    assert row["versions_written"] == SNAP_VERSIONS
+    assert row["versions_retained"] == SNAP_RETAIN
+
+
+def test_mixture_rebalance_conserves_budget_and_never_upsamples(spark, sf_dir):
+    """sum(quota) == total_tokens div 2 exactly; no language's quota
+    exceeds its supply (factor <= 1e6); full languages keep everything;
+    capped languages land within one token of a common waterline."""
+    from hadoopmapreduce_spark.operators.textops import (
+        pipeline_mixture_cap_rebalance,
+    )
+
+    rows = pipeline_mixture_cap_rebalance(spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in rows)
+    assert sum(r["quota_tokens"] for r in rows) == total // 2
+    capped_quotas = []
+    for r in rows:
+        assert 0 <= r["quota_tokens"] <= r["tokens"]
+        assert r["factor_ppm"] <= 1_000_000
+        if r["is_capped"] == 0:
+            assert r["quota_tokens"] == r["tokens"]
+            assert r["factor_ppm"] == 1_000_000 or r["tokens"] == 0
+        else:
+            capped_quotas.append(r["quota_tokens"])
+    if capped_quotas:
+        assert max(capped_quotas) - min(capped_quotas) <= 1
+        # the waterline sits above every full language's supply
+        full_max = max(
+            (r["tokens"] for r in rows if r["is_capped"] == 0), default=0
+        )
+        assert min(capped_quotas) >= full_max
