@@ -465,3 +465,90 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(_score_sum div n_docs - (1000000 * n_pos) div n_docs)"
         ).alias("gap_ppm"),
     )
+
+
+PR_THRESHOLDS = tuple(range(100_000, 1_000_000, 100_000))
+
+
+@query(
+    "eval_pr_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({_SCORE_ORACLE}),
+    classes AS (
+      SELECT score_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(pos) AS BIGINT) AS p_s
+      FROM scored GROUP BY 1),
+    th(threshold_ppm) AS (VALUES {", ".join(f"({t})" for t in PR_THRESHOLDS)}),
+    per AS (
+      SELECT t.threshold_ppm,
+             CAST(SUM(CASE WHEN c.score_ppm >= t.threshold_ppm
+                           THEN c.p_s ELSE 0 END) AS BIGINT) AS n_tp,
+             CAST(SUM(CASE WHEN c.score_ppm >= t.threshold_ppm
+                           THEN c.n_s - c.p_s ELSE 0 END) AS BIGINT) AS n_fp,
+             CAST(SUM(c.p_s) AS BIGINT) AS n_pos
+      FROM th t CROSS JOIN classes c
+      GROUP BY 1)
+    SELECT threshold_ppm, n_tp, n_fp,
+           n_pos - n_tp AS n_fn,
+           (1000000 * n_tp) // NULLIF(n_tp + n_fp, 0) AS precision_ppm,
+           (1000000 * n_tp) // NULLIF(n_pos, 0) AS recall_ppm,
+           (2000000 * n_tp) // NULLIF(n_tp + n_fp + n_pos, 0) AS f1_ppm
+    FROM per
+    """,
+)
+def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION / RECALL / F1 at a fixed ladder of score thresholds — the
+    operating-point table that turns a scored corpus into a deployable
+    filter ("keep everything above t"): pick the row whose precision
+    clears the contamination budget and read off the recall you paid.
+    Completes the classifier-eval family (AUC = threshold-free summary,
+    calibration = can scores be read as probabilities, gains = ranked
+    capture, THIS = the actual knob).
+
+    Exact integers throughout: counts from the domain-bounded score-class
+    rollup, truncating ppm divisions, and F1 via the integer identity
+    ``F1 = 2tp / (2tp + fp + fn)`` — one division, no float harmonic
+    mean.  NULL (not crash) where a denominator is empty, both engines.
+
+    Scale shape: the corpus collapses to the same <=1e6-row score-class
+    table eval_auc_rank uses; the 9-threshold sweep is a cross join
+    against THAT (metadata x constant), never against corpus rows."""
+    scored = _scored_docs(spark, sf_dir)
+    classes = scored.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("pos").alias("p_s"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in PR_THRESHOLDS], "threshold_ppm int"
+    )
+    per = (
+        classes.crossJoin(F.broadcast(th))
+        .groupBy("threshold_ppm")
+        .agg(
+            F.sum(
+                F.when(F.col("score_ppm") >= F.col("threshold_ppm"),
+                       F.col("p_s")).otherwise(0)
+            ).alias("n_tp"),
+            F.sum(
+                F.when(
+                    F.col("score_ppm") >= F.col("threshold_ppm"),
+                    F.col("n_s") - F.col("p_s"),
+                ).otherwise(0)
+            ).alias("n_fp"),
+            F.sum("p_s").alias("n_pos"),
+        )
+    )
+    return per.select(
+        "threshold_ppm",
+        "n_tp",
+        "n_fp",
+        (F.col("n_pos") - F.col("n_tp")).alias("n_fn"),
+        F.expr("(1000000 * n_tp) div nullif(n_tp + n_fp, 0)").alias(
+            "precision_ppm"
+        ),
+        F.expr("(1000000 * n_tp) div nullif(n_pos, 0)").alias("recall_ppm"),
+        F.expr("(2000000 * n_tp) div nullif(n_tp + n_fp + n_pos, 0)").alias(
+            "f1_ppm"
+        ),
+    )

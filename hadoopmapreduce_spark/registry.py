@@ -260,6 +260,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "pipeline_mixture_cap_rebalance",  # water-filling token-budget split
                                        # across langs; one window pass,
                                        # conservation unit-tested
+    "eval_pr_threshold_sweep",  # operating-point table over the bounded
+                                # score-class rollup; integer F1 identity
 )
 
 

@@ -88,6 +88,7 @@ HEADLINERS = [
     ("scan_xml_roundtrip", "XML text-source roundtrip: explicit-schema read, projected before the aggregate"),
     ("maintenance_snapshot_expire", "retention expiry: the returned plan reads only the retained latest snapshot"),
     ("pipeline_mixture_cap_rebalance", "water-filling mixture: every window over the language-sized rollup, one corpus shuffle"),
+    ("eval_pr_threshold_sweep", "operating-point sweep: constant threshold table broadcast against the bounded score-class rollup"),
 ]
 
 

@@ -240,3 +240,31 @@ def test_mixture_rebalance_conserves_budget_and_never_upsamples(spark, sf_dir):
             (r["tokens"] for r in rows if r["is_capped"] == 0), default=0
         )
         assert min(capped_quotas) >= full_max
+
+
+def test_pr_sweep_monotone_and_consistent_with_auc_population(spark, sf_dir):
+    """As the threshold rises, predicted-positives (tp+fp) shrink and tp
+    is non-increasing; recall is non-increasing; tp+fn is the constant
+    positive count and matches eval_auc_rank's n_pos; F1 obeys the
+    integer identity."""
+    from hadoopmapreduce_spark.operators.evals import (
+        eval_auc_rank,
+        eval_pr_threshold_sweep,
+    )
+
+    rows = sorted(
+        eval_pr_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["threshold_ppm"],
+    )
+    n_pos = eval_auc_rank(spark, sf_dir).collect()[0]["n_pos"]
+    assert len(rows) == 9
+    prev_pred, prev_tp = None, None
+    for r in rows:
+        assert r["n_tp"] + r["n_fn"] == n_pos
+        pred = r["n_tp"] + r["n_fp"]
+        if prev_pred is not None:
+            assert pred <= prev_pred and r["n_tp"] <= prev_tp
+        prev_pred, prev_tp = pred, r["n_tp"]
+        denom = 2 * r["n_tp"] + r["n_fp"] + r["n_fn"]
+        if denom:
+            assert r["f1_ppm"] == (2_000_000 * r["n_tp"]) // denom
