@@ -211,8 +211,16 @@ def eval_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_cum", "_tot")
 
 
-PROBE_MOD = 50  # audit vec_id % 50 == 1: a fixed ~2% probe panel
+PROBE_MOD = 50
 NOISE_K = 5
+# The audit panel is a FIXED BUDGET, not a fixed rate: vec_id % 50 == 1
+# capped to the first PANEL_MAX hits.  A label-noise/NDCG audit feeds a
+# human-review queue, so its size must not grow with the corpus — and a
+# rate-based panel makes the exact scorer quadratic (probes x corpus):
+# measured 36x wall at 9x data on the sf0.9 fixture before the cap, ~9x
+# (linear) after.  The cap leaves every fixture <= sf0.1 unchanged.
+PANEL_MAX = 100
+PROBE_CAP = PROBE_MOD * PANEL_MAX
 
 # Shared CTE chain (through the tie-broken top-k with its rank) for the two
 # neighbor-based evals — the SQL twin of :func:`_probe_topk`.
@@ -221,7 +229,8 @@ _TOPK_CTES = f"""
           FROM embeddings),
     n AS (SELECT vec_id, v, label,
                  sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    q AS (SELECT * FROM n WHERE vec_id % {PROBE_MOD} = 1),
+    q AS (SELECT * FROM n
+          WHERE vec_id % {PROBE_MOD} = 1 AND vec_id < {PROBE_CAP}),
     scored AS (
       SELECT q.vec_id AS probe_id, q.label AS own_label,
              c.label AS nbr_label,
@@ -246,7 +255,9 @@ def _probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _embeddings(spark, sf_dir)
     lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     n = n.join(lbl, "vec_id")
-    q = n.filter(F.col("vec_id") % PROBE_MOD == 1).select(
+    q = n.filter(
+        (F.col("vec_id") % PROBE_MOD == 1) & (F.col("vec_id") < PROBE_CAP)
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("own_label"),
         F.col("v").alias("qv"),
@@ -302,7 +313,7 @@ def eval_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_dot_product``, fully tie-broken top-k), then a per-probe
     majority vote tie-broken on the smaller label.
 
-    Scale shape: probes are a fixed ~2% panel here; the corpus side is one
+    Scale shape: probes are a fixed-budget panel (PANEL_MAX); the corpus side is one
     scan with the probe panel broadcast (linear, no shuffle).  At 100 TB
     the exact scorer is the REFEREE run on samples exactly like this —
     the full-corpus audit swaps in ``ann_lsh_topk``'s bucketed candidate

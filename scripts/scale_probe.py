@@ -64,11 +64,15 @@ def main() -> None:
     dir_a, dir_b = os.path.join(base, f"sf{sf_a}"), os.path.join(base, f"sf{sf_b}")
     data_ratio = float(sf_b) / float(sf_a)
     registry.load_all()
+    # probe a custom set (e.g. just this session's new operators) without
+    # re-running the standing list: SPARK_GRAFT_PROBE_QUERIES=a,b,c
+    override = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    probe = override.split(",") if override else PROBE
     spark = get_spark()
 
     print(f"| query | sf{sf_a} (s) | sf{sf_b} (s) | wall ratio (data x{data_ratio:.0f}) |")
     print("|---|---|---|---|")
-    for name in PROBE:
+    for name in probe:
         fn = registry.QUERIES[name]
         try:
             a = best_of(fn, dir_a)

@@ -60,11 +60,14 @@ def test_gains_table_conserves_and_accumulates(spark, sf_dir):
 
 
 def test_knn_noise_audit_covers_exactly_the_probe_panel(spark, sf_dir):
-    """One verdict per panel member (vec_id % PROBE_MOD == 1), vote counts
-    within [1, k], and the suspect flag consistent with the label pair."""
+    """One verdict per panel member (vec_id % PROBE_MOD == 1, capped to
+    the fixed audit budget), vote counts within [1, k], and the suspect
+    flag consistent with the label pair."""
     from hadoopmapreduce_spark.catalog import load_table
     from hadoopmapreduce_spark.operators.evals import (
         NOISE_K,
+        PANEL_MAX,
+        PROBE_CAP,
         PROBE_MOD,
         eval_knn_label_noise,
     )
@@ -73,10 +76,13 @@ def test_knn_noise_audit_covers_exactly_the_probe_panel(spark, sf_dir):
     panel = {
         r["vec_id"]
         for r in load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % PROBE_MOD == 1)
+        .filter(
+            (F.col("vec_id") % PROBE_MOD == 1) & (F.col("vec_id") < PROBE_CAP)
+        )
         .select("vec_id")
         .collect()
     }
+    assert len(panel) <= PANEL_MAX
     assert {r["probe_id"] for r in out} == panel
     assert len(out) == len(panel)
     for r in out:
