@@ -82,6 +82,10 @@ def main() -> None:
         "dedup_chunk_rewrite", "text_bpe_apply_tokenize",
         "sample_poisson_bootstrap", "dq_ks_drift", "graph_random_walks",
         "scan_orc_roundtrip",
+        # seventh-session families
+        "eval_auc_rank", "eval_knn_label_noise",
+        "graph_clustering_coefficient", "scan_xml_roundtrip",
+        "pipeline_mixture_cap_rebalance",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",

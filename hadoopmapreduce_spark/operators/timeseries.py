@@ -613,3 +613,125 @@ def ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.expr("_num div _tot").alias("share_ppm"),
     )
+
+
+@query(
+    "ts_rolling_trend_28d",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+               AS y_tenk
+      FROM events GROUP BY 1, 2),
+    centered AS (
+      SELECT event_type,
+             CAST(x - MIN(x) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+             CAST(MIN(x) OVER (PARTITION BY event_type) AS BIGINT) AS x0,
+             y_tenk
+      FROM daily),
+    roll AS (
+      SELECT event_type, x, x0,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y_tenk) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y_tenk) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      FROM centered
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT event_type,
+           DATE '1970-01-01' + CAST(x + x0 AS INT) AS day,
+           n AS n_days,
+           CAST(CASE
+             WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+               THEN 0
+             ELSE CASE WHEN CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy < 0
+                       THEN -1 ELSE 1 END
+                  * (abs(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                     * 1000000
+                     // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+           END AS BIGINT) AS slope_ppm_tenk_per_day
+    FROM roll WHERE n >= 7
+    """,
+)
+def ts_rolling_trend_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 28-day OLS trend per event type — ts_linear_trend's
+    windowed twin and the shape real monitoring uses: "what is the slope
+    RIGHT NOW", recomputed each day over the trailing four weeks.  A
+    RANGE frame on the day index (not ROWS) makes gaps behave: a missing
+    day shrinks the window rather than silently stretching it to 28
+    observations.
+
+    Same exact-integer discipline as the global trend: x centered on each
+    type's first day (a constant shift leaves the slope unchanged and
+    keeps the moments small), y in 1e-4 units, windowed moments in int64
+    (bounded: 28 days × span × daily total), then the num/den products
+    widened to decimal(38)/HUGEINT and the quotient emitted in ppm with
+    the sign split out (Spark div truncates, DuckDB // floors; they agree
+    on |numerator|).  Windows with under 7 observations are suppressed —
+    a 2-point "trend" is noise, and both engines drop identical rows.
+
+    Plan: one groupBy(type, day) partial agg, then five window aggregates
+    sharing ONE type-keyed sort over the tiny daily table — the rolling
+    moments never touch event rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("y_tenk")
+    )
+    wt = Window.partitionBy("event_type")
+    centered = daily.select(
+        "event_type",
+        (F.col("x") - F.min("x").over(wt)).cast("long").alias("x"),
+        F.min("x").over(wt).cast("long").alias("x0"),
+        "y_tenk",
+    )
+    wr = Window.partitionBy("event_type").orderBy("x").rangeBetween(-27, 0)
+    roll = centered.select(
+        "event_type",
+        "x",
+        "x0",
+        F.count(F.lit(1)).over(wr).alias("n"),
+        F.sum("x").over(wr).alias("sx"),
+        F.sum("y_tenk").over(wr).alias("sy"),
+        F.sum(F.col("x") * F.col("y_tenk")).over(wr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wr).alias("sxx"),
+    ).filter(F.col("n") >= 7)
+    d38 = "decimal(38,0)"
+    wide = roll.select(
+        "event_type",
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("x") + F.col("x0")).cast("int"),
+        ).alias("day"),
+        F.col("n").alias("n_days"),
+        F.col("n").cast(d38).alias("n38"),
+        F.col("sx").cast(d38).alias("sx38"),
+        F.col("sy").cast(d38).alias("sy38"),
+        F.col("sxy").cast(d38).alias("sxy38"),
+        F.col("sxx").cast(d38).alias("sxx38"),
+    )
+    num = F.col("n38") * F.col("sxy38") - F.col("sx38") * F.col("sy38")
+    den = F.col("n38") * F.col("sxx38") - F.col("sx38") * F.col("sx38")
+    return wide.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.when(den == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.when(num < 0, -1).otherwise(1).cast("long")
+            * F.expr(
+                "abs(n38 * sxy38 - sx38 * sy38) * 1000000"
+                " div (n38 * sxx38 - sx38 * sx38)"
+            )
+        )
+        .alias("slope_ppm_tenk_per_day"),
+    )

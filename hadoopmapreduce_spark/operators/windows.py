@@ -1197,3 +1197,126 @@ def event_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"))
     )
     return p.select("user_id", "t1", "t2", "t3")
+
+
+@query(
+    "event_attribution_time_decay",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    joined AS (
+      SELECT p.event_id AS pid, t.event_type AS touch_type,
+             t.ts, t.event_id AS tid,
+             8 >> CAST(date_diff('second', t.ts, p.ts) // 21600 AS INT) AS w
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.ts <= p.ts AND t.ts > p.ts - INTERVAL 24 HOURS),
+    wsum AS (
+      SELECT *, CAST(SUM(w) OVER (PARTITION BY pid) AS BIGINT) AS wt
+      FROM joined),
+    based AS (
+      SELECT *, (1000000 * w) // wt AS base_credit,
+                (1000000 * w) % wt AS frac
+      FROM wsum),
+    ranked AS (
+      SELECT *,
+             CAST(SUM(base_credit) OVER (PARTITION BY pid) AS BIGINT)
+               AS base_sum,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY frac DESC, ts, tid) AS fr
+      FROM based),
+    credited AS (
+      SELECT touch_type,
+             base_credit + CASE WHEN fr <= 1000000 - base_sum
+                                THEN 1 ELSE 0 END AS credit
+      FROM ranked
+      UNION ALL
+      SELECT 'none' AS touch_type, 1000000 AS credit
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM joined j WHERE j.pid = p.event_id))
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(credit) AS BIGINT) AS micro_credit
+    FROM credited GROUP BY 1
+    """,
+)
+def event_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the third member of the
+    attribution trio (last-touch: winner-take-all; linear: equal split;
+    THIS: recency-weighted split).  Each purchase's 1,000,000
+    micro-credits divide across its 24 h lookback touches proportionally
+    to a half-life-6h decay — and because the decay base is 2 and age
+    buckets are 6 h, the weight is an INTEGER SHIFT ``8 >> (age div 6h)``
+    ∈ {8,4,2,1} (the agg_time_decay_revenue idiom), so credit allocation
+    is exact largest-remainder integer arithmetic: floor shares
+    ``(1e6·w) div Σw``, then the leftover units go to the touches with
+    the largest remainders (ties by time, then event id).  Per-purchase
+    credit sums to exactly 1e6 by construction (pinned in tests, with
+    the cross-variant consistency check against the linear split).
+
+    Shape: identical to event_attribution_linear — user-keyed equi-join
+    with the 24 h residual, then three windows all partitioned on the
+    purchase id; at 100 TB both sides bucket by (user_id, day)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts").cast("long") > F.col("pts").cast("long") - 24 * 3600),
+    ).select(
+        "pid",
+        "touch_type",
+        "tts",
+        "tid",
+        F.expr(
+            "shiftright(8, cast((cast(pts as long) - cast(tts as long))"
+            " div 21600 as int))"
+        ).alias("w"),
+    )
+    wp = W.partitionBy("pid")
+    based = joined.select(
+        "*",
+        F.sum("w").over(wp).alias("wt"),
+    ).select(
+        "*",
+        F.expr("(1000000 * w) div wt").alias("base_credit"),
+        F.expr("(1000000 * w) % wt").alias("frac"),
+    )
+    ranked = based.select(
+        "*",
+        F.sum("base_credit").over(wp).alias("base_sum"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("frac"), F.asc("tts"), F.asc("tid")))
+        .alias("fr"),
+    )
+    credited = ranked.select(
+        "touch_type",
+        (
+            F.col("base_credit")
+            + F.when(F.col("fr") <= F.lit(1000000) - F.col("base_sum"), 1)
+            .otherwise(0)
+        ).alias("credit"),
+    )
+    untouched = p.join(
+        joined.select("pid").distinct(), "pid", "left_anti"
+    ).select(F.lit("none").alias("touch_type"), F.lit(1000000).alias("credit"))
+    return (
+        credited.unionByName(untouched)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").cast("long").alias("micro_credit"),
+        )
+    )

@@ -262,6 +262,11 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                        # conservation unit-tested
     "eval_pr_threshold_sweep",  # operating-point table over the bounded
                                 # score-class rollup; integer F1 identity
+    "event_attribution_time_decay",  # recency-weighted third member of
+                                     # the attribution trio; integer-shift
+                                     # weights, largest-remainder credits
+    "ts_rolling_trend_28d",     # windowed twin of ts_linear_trend; RANGE
+                                # frame on the day index, HUGEINT moments
 )
 
 

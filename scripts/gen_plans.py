@@ -89,6 +89,8 @@ HEADLINERS = [
     ("maintenance_snapshot_expire", "retention expiry: the returned plan reads only the retained latest snapshot"),
     ("pipeline_mixture_cap_rebalance", "water-filling mixture: every window over the language-sized rollup, one corpus shuffle"),
     ("eval_pr_threshold_sweep", "operating-point sweep: constant threshold table broadcast against the bounded score-class rollup"),
+    ("event_attribution_time_decay", "recency-weighted credits: user-keyed equi-join + three purchase-keyed windows, integer-shift weights"),
+    ("ts_rolling_trend_28d", "rolling OLS: five RANGE-frame moments sharing one type-keyed sort over the daily rollup"),
 ]
 
 

@@ -771,3 +771,27 @@ def test_mixture_rebalance_windows_language_sized_only(spark, sf_dir):
     for cols in window_inputs:
         assert "text#" not in cols, f"window reads document text: {cols}"
         assert "tokens#" in cols
+
+
+def test_time_decay_and_rolling_trend_plan_shapes(spark, sf_dir):
+    """Time-decay attribution keeps the linear variant's equi-join shape
+    (user-keyed hash join, never a nested loop over purchases x touches);
+    the rolling trend's five window moments share ONE type-keyed sort over
+    the daily rollup (exactly one Window node, fed by the aggregate)."""
+    import re
+
+    from hadoopmapreduce_spark.operators.timeseries import ts_rolling_trend_28d
+    from hadoopmapreduce_spark.operators.windows import (
+        event_attribution_time_decay,
+    )
+
+    att = physical_plan(event_attribution_time_decay(spark, sf_dir))
+    assert "CartesianProduct" not in att
+    assert "BroadcastNestedLoopJoin" not in att
+
+    trend = physical_plan(ts_rolling_trend_28d(spark, sf_dir))
+    rolling_windows = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", trend)
+    assert rolling_windows, "explain format changed — pin is vacuous"
+    for cols in rolling_windows:
+        assert "value#" not in cols, f"window reads raw event rows: {cols}"
+    assert "partial_sum" in trend or "partial sum" in trend.lower()

@@ -274,3 +274,73 @@ def test_pr_sweep_monotone_and_consistent_with_auc_population(spark, sf_dir):
         denom = 2 * r["n_tp"] + r["n_fp"] + r["n_fn"]
         if denom:
             assert r["f1_ppm"] == (2_000_000 * r["n_tp"]) // denom
+
+
+def test_time_decay_attribution_conserves_and_matches_linear_structure(spark, sf_dir):
+    """Every purchase emits exactly 1e6 micro-credits (total = purchases
+    x 1e6); the credit STRUCTURE (which touches, how many, who gets
+    'none') is identical to the linear variant — only the split differs."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.windows import (
+        event_attribution_linear,
+        event_attribution_time_decay,
+    )
+
+    decay = {r["touch_type"]: r for r in event_attribution_time_decay(spark, sf_dir).collect()}
+    linear = {r["touch_type"]: r for r in event_attribution_linear(spark, sf_dir).collect()}
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["micro_credit"] for r in decay.values()) == n_purchases * 1_000_000
+    assert set(decay) == set(linear)
+    for k in decay:
+        assert decay[k]["n_credits"] == linear[k]["n_credits"]
+    if "none" in decay:
+        assert decay["none"]["micro_credit"] == linear["none"]["micro_credit"]
+
+
+def test_rolling_trend_window_bounds_and_point_recompute(spark, sf_dir):
+    """Window support stays within [7, 28]; one (type, day) point is
+    re-derived from the daily series by a sequential integer recompute —
+    the differential referee for the windowed moments."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.timeseries import ts_rolling_trend_28d
+
+    rows = ts_rolling_trend_28d(spark, sf_dir).collect()
+    assert rows
+    assert all(7 <= r["n_days"] <= 28 for r in rows)
+    pick = max(rows, key=lambda r: (r["event_type"], r["day"]))
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == pick["event_type"]
+    )
+    daily = (
+        ev.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    x0 = min(r["x"] for r in daily)
+    d = (pick["day"] - __import__("datetime").date(1970, 1, 1)).days - x0
+    win = [(r["x"] - x0, r["y"]) for r in daily if d - 27 <= r["x"] - x0 <= d]
+    n = len(win)
+    assert n == pick["n_days"]
+    sx = sum(x for x, _ in win)
+    sy = sum(y for _, y in win)
+    sxy = sum(x * y for x, y in win)
+    sxx = sum(x * x for x, y in win)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    expect = 0 if den == 0 else (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+    assert pick["slope_ppm_tenk_per_day"] == expect
