@@ -110,3 +110,82 @@ def sql_shared_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale; the naive per-row evaluation it replaces is quadratic."""
     register_views(spark, sf_dir)
     return spark.sql(SHARED_CORRELATED_SQL)
+
+
+# GROUPING SETS — the arbitrary-combination sibling of agg_cube_grouping_id
+# (cube) and ts_rollup_time_hierarchy (rollup).  The shared ANSI surface:
+# both engines expand each set through one Expand-style pass, and
+# GROUPING(col) disambiguates "NULL because rolled up" from data NULLs.
+SHARED_GROUPING_SETS_SQL = """
+SELECT n.n_name AS nation,
+       o.o_orderpriority AS priority,
+       GROUPING(n.n_name) AS g_nation,
+       GROUPING(o.o_orderpriority) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+"""
+
+
+@query("sql_shared_grouping_sets", oracle=SHARED_GROUPING_SETS_SQL)
+def sql_shared_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with explicit set list — the arbitrary-combination
+    member of the multi-level aggregation family (cube:
+    agg_cube_grouping_id; rollup: ts_rollup_time_hierarchy; THIS: the
+    hand-picked sets a reporting layer actually asks for — per-nation,
+    per-priority, and grand total, WITHOUT the nation×priority cross
+    level cube would add).  GROUPING() flags distinguish rolled-up NULLs
+    from data NULLs, which is what makes the result joinable/cacheable
+    downstream.
+
+    One shared ANSI text for both engines.  Plan: Spark expands the three
+    sets through one Expand node feeding a single partial+final hash
+    aggregate — one fact scan for all levels, the same 100 TB shape as
+    the rollup queries (x3 expansion rows, each narrower than the
+    input)."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_GROUPING_SETS_SQL)
+
+
+# LATERAL correlated subquery — the "top-N per row of the outer table"
+# idiom.  Exercises Catalyst's LateralJoin/DecorrelateInnerQuery surface
+# (a different code path from window-function top-k) against DuckDB's
+# lateral unnesting.  Dialect notes: both engines require the LATERAL
+# keyword here and accept a correlated ORDER BY ... LIMIT inside it; the
+# tie-break on o_orderkey makes the selected row unique so the engines
+# cannot legally differ.
+SHARED_LATERAL_SQL = """
+SELECT r.r_name AS region,
+       big.o_orderkey AS top_orderkey,
+       CAST(big.o_totalprice AS DOUBLE) AS top_price
+FROM region r,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 1
+) big
+"""
+
+
+@query("sql_shared_lateral", oracle=SHARED_LATERAL_SQL)
+def sql_shared_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — top order per region written the way
+    an analyst writes it (a per-row subquery with ORDER BY/LIMIT), not as
+    a window function.  One shared text: Spark 4 decorrelates the lateral
+    into a ranked join (DecorrelateInnerQuery), DuckDB executes it as
+    lateral unnesting — the check proves the two rewrites select the same
+    rows, which only holds because the inner ORDER BY is a total order.
+
+    Scale note: after decorrelation this is the window-top-1 plan
+    (rank-over-region + filter), NOT an N-per-outer-row rescan — the
+    5-row outer table makes that visible in PLANS.md; with a large outer
+    table the same rewrite keeps it a single joined pass."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_LATERAL_SQL)

@@ -267,6 +267,10 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                      # weights, largest-remainder credits
     "ts_rolling_trend_28d",     # windowed twin of ts_linear_trend; RANGE
                                 # frame on the day index, HUGEINT moments
+    "sql_shared_grouping_sets",  # explicit-set GROUPING SETS + GROUPING()
+                                 # flags; one text, two engines
+    "sql_shared_lateral",       # LATERAL top-1-per-row; Catalyst
+                                # decorrelation vs DuckDB lateral unnest
 )
 
 

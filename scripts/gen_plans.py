@@ -91,6 +91,8 @@ HEADLINERS = [
     ("eval_pr_threshold_sweep", "operating-point sweep: constant threshold table broadcast against the bounded score-class rollup"),
     ("event_attribution_time_decay", "recency-weighted credits: user-keyed equi-join + three purchase-keyed windows, integer-shift weights"),
     ("ts_rolling_trend_28d", "rolling OLS: five RANGE-frame moments sharing one type-keyed sort over the daily rollup"),
+    ("sql_shared_grouping_sets", "explicit GROUPING SETS: one Expand into a single partial+final aggregate, one fact scan"),
+    ("sql_shared_lateral", "LATERAL top-1 decorrelated to WindowGroupLimit — never a per-outer-row rescan"),
 ]
 
 

@@ -795,3 +795,22 @@ def test_time_decay_and_rolling_trend_plan_shapes(spark, sf_dir):
     for cols in rolling_windows:
         assert "value#" not in cols, f"window reads raw event rows: {cols}"
     assert "partial_sum" in trend or "partial sum" in trend.lower()
+
+
+def test_shared_sql_grouping_sets_and_lateral_shapes(spark, sf_dir):
+    """GROUPING SETS must plan through one Expand into a single aggregate
+    (one fact scan for all levels); the LATERAL top-1 must decorrelate
+    into a ranked-window plan (WindowGroupLimit), never a per-outer-row
+    rescan or cartesian."""
+    from hadoopmapreduce_spark.operators.sqltext import (
+        sql_shared_grouping_sets,
+        sql_shared_lateral,
+    )
+
+    gs = physical_plan(sql_shared_grouping_sets(spark, sf_dir))
+    assert "Expand" in gs
+    assert gs.count("orders.parquet") == 1
+    lat = physical_plan(sql_shared_lateral(spark, sf_dir))
+    assert "WindowGroupLimit" in lat or "Window" in lat
+    assert "CartesianProduct" not in lat
+    assert lat.count("orders.parquet") == 1
