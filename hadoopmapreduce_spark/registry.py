@@ -271,6 +271,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                  # flags; one text, two engines
     "sql_shared_lateral",       # LATERAL top-1-per-row; Catalyst
                                 # decorrelation vs DuckDB lateral unnest
+    "streaming_pyds_replay",    # Python Data Source STREAM reader:
+                                # offsets + rate limit + partition splits
 )
 
 

@@ -968,3 +968,80 @@ def streaming_tws_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@query(
+    "streaming_pyds_replay",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING CONNECTOR in pure Python — the streaming half of
+    Spark 4's Python Data Source API (``DataSourceStreamReader``, the
+    partition-planning tier), completing the connector matrix next to the
+    batch ``textkv`` source: offsets, rate limiting (one chunk per
+    trigger), per-batch partition planning (two executor row-range splits
+    per micro-batch), and checkpointable ``{"row": n}`` offsets.  The
+    events table replays as ~4 micro-batches; per-batch decimal partials
+    append to parquet via foreachBatch and the returned DataFrame is the
+    re-aggregated total — algebraic-state folding, so the result equals
+    the batch aggregate however the replay was chopped (the
+    streaming_merge_upsert discipline).
+
+    ``processAllAvailable`` (not availableNow) drains it: availableNow
+    snapshots the FIRST latestOffset and would stop after one chunk of a
+    rate-limited source.  Single-file fixture contract, matching
+    textkv_source's local-path contract; at 100 TB the chunk boundaries
+    map to row groups/files and each task reads only its byte range."""
+    from hadoopmapreduce_spark.sources.event_replay_source import (
+        EventReplayDataSource,
+    )
+
+    spark.dataSource.register(EventReplayDataSource)
+    path = os.path.join(sf_dir, "events.parquet")
+    src = (
+        spark.readStream.format("event_replay")
+        .option("path", path)
+        .option("chunks", "4")
+        .load()
+    )
+    outdir = work_dir("pyds_replay", sf_dir, fresh=True)
+    partials = os.path.join(outdir, "partials")
+
+    def _fold(batch_df: DataFrame, epoch: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("s"),
+            )
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", os.path.join(outdir, "_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    if not os.path.isdir(partials):
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
+    return (
+        spark.read.parquet(partials)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s").cast("decimal(28,6)").cast("double").alias("total_value"),
+        )
+    )

@@ -344,3 +344,26 @@ def test_rolling_trend_window_bounds_and_point_recompute(spark, sf_dir):
     num, den = n * sxy - sx * sy, n * sxx - sx * sx
     expect = 0 if den == 0 else (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
     assert pick["slope_ppm_tenk_per_day"] == expect
+
+
+def test_pyds_replay_is_genuinely_multi_batch(spark, sf_dir):
+    """The rate-limited Python streaming source must split the replay into
+    multiple micro-batches: the appended partials hold more rows than one
+    batch's per-type rollup could produce, and a checkpoint directory with
+    committed offsets exists."""
+    import os
+
+    from hadoopmapreduce_spark.catalog import work_dir
+    from hadoopmapreduce_spark.streaming.windowed import streaming_pyds_replay
+
+    out = streaming_pyds_replay(spark, sf_dir).collect()
+    n_types = len(out)
+    assert n_types > 0
+    base = work_dir("pyds_replay", sf_dir)
+    partials = spark.read.parquet(os.path.join(base, "partials"))
+    assert partials.count() > n_types, (
+        "partials hold one rollup per type — the replay ran as a single "
+        "micro-batch; the chunked rate limit is not splitting"
+    )
+    commits = os.path.join(base, "_ckpt", "commits")
+    assert os.path.isdir(commits) and len(os.listdir(commits)) >= 2
