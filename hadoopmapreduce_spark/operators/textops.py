@@ -853,7 +853,15 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts via the zip_with ladder), two joins of the bigram table against
     the unigram counts (term-keyed shuffles, Zipf skew handled by AQE),
     scalar totals broadcast, min-count pruning BEFORE the joins, bounded
-    top-k at the end."""
+    top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    O(k) driver merge) — the rank column is attached by enumerating the
+    <=N collected rows, so no single-partition Window ever sees the full
+    scored-pair table (at a real vocabulary that window was the one
+    single-reducer stage in the plan)."""
+    return _pmi_rank(spark, _pmi_scored_top(spark, sf_dir))
+
+
+def _pmi_scored_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split(F.col("text"), r"\s+").alias("ts"))
     n = F.size(F.col("ts"))
@@ -894,14 +902,32 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assoc"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("assoc"), F.asc("w1"), F.asc("w2"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= PMI_TOP_N)
-        .select("w1", "w2", "c_xy", "assoc", "rk")
+        scored.orderBy(F.desc("assoc"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_N)
+        .select("w1", "w2", "c_xy", "assoc")
     )
+
+
+def _pmi_rank(spark: SparkSession, top: DataFrame) -> DataFrame:
+    """Attach ``rk`` to the globally-ordered <=PMI_TOP_N-row top slice by
+    driver-side enumerate (TakeOrderedAndProject returns rows in order, and
+    Python floats ARE IEEE doubles, so assoc round-trips bit-exactly)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("w1", T.StringType()),
+            T.StructField("w2", T.StringType()),
+            T.StructField("c_xy", T.LongType()),
+            T.StructField("assoc", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (r.w1, r.w2, r.c_xy, r.assoc, i + 1) for i, r in enumerate(top.collect())
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 _MD5_NIBBLE_SQL = "(strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1)"

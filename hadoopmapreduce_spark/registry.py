@@ -27,180 +27,83 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round-5 close: 58 queries registered this round have never had a driver
-# verdict and 2 were promoted from rows-only to full oracles
-# (``simhash_dedup``, ``agg_cms_heavy_hitters``) — 60 candidates for 50
-# slots.  The 50 below are 48 never-checked plus both promotions; the 10
-# lowest-novelty never-checked queries wait in ``ADJUDICATION_DEFERRED``
-# (each documented there) and front the round-6 window, where the r1-green
-# rotation (VERDICT r4 ask #6) also resumes.  Queries not named here keep
+# Round-6 pin (mechanically derived by ``scripts/repin_window.py`` from the
+# committed CORRECTNESS_r1..r5 artifacts): all 50 slots go to queries that
+# have NEVER had a driver verdict — the round-5 backlog was 80, the single
+# highest-leverage item per VERDICT r5 ask #1.  The remaining 30
+# never-checked queries wait in ``ADJUDICATION_DEFERRED`` and front the
+# round-7 window, after which the oldest-green rotation (VERDICT r4 ask #6)
+# resumes.  Registry growth is FROZEN this round so the window drains the
+# backlog instead of chasing new registrations.  Queries not named here keep
 # registration order after the pinned prefix — nothing is ever dropped, so
 # verdicts union toward full coverage across rounds.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    "sink_textkv_writer_roundtrip",
-    "scan_dirty_json_quarantine",
-    "join_bloom_prefilter",
-    "join_bloom_multiprobe",
-    "join_interval_overlap",
-    "join_broadcast_fallback",
-    "dq_benford_first_digit",
-    "ts_seasonal_decompose",
-    "dq_uniqueness_audit",
-    "agg_bitmap_distinct",
-    "agg_pareto_nation_n80",
-    "agg_weighted_avg_exact",
-    "ts_mom_revenue_change",
-    "agg_cube_grouping_id",
-    "agg_weighted_quantile_exact",
-    "agg_decile_lift_table",
-    "window_distribution_suite",
-    "event_attribution_last_touch",
-    "window_gap_islands",
-    "window_running_distinct",
-    "window_rolling_median_exact",
-    "event_attribution_linear",
-    "text_bpe_learn_merges",
-    "fn_xxhash64_suite",
-    "fn_url_suite",
-    "udaf_pandas_grouped_agg",
-    "udaf_tdigest_quantiles",
-    "table_diff_reconcile",
-    "scd2_asof_lookup",
-    "topk_terms_per_lang",
-    "dq_freshness_lag",
-    "pipeline_training_data_prep",
-    "dedup_fuzzy_blocking",
-    "doc_containment_pairs",
-    "dedup_substring_spans",
-    "dedup_minhash_eval",
-    "dedup_incremental_corpus",
-    "knn_filtered_topk",
-    "mm_chunk_manifest",
-    "mm_cdc_chunking",
-    "graph_kcore_peel_trace",
-    "graph_basket_lift_top",
-    "graph_wcc_components",
-    "scan_nested_struct_pruned",
-    "join_partition_pruned_dynamic",
-    "streaming_sliding_topk",
-    "streaming_late_data_audit",
-    "streaming_dim_refresh_enrich",
-    "simhash_dedup",
-    "agg_cms_heavy_hitters",
+    "sql_shared_revenue",
+    "sql_shared_ctr",
+    "mm_cdc_dedup_report",
+    "graph_degree_distribution",
+    "fn_struct_suite",
+    "fn_array_hof_suite",
+    "fn_binary_suite",
+    "agg_filter_clause",
+    "agg_percentile_disc",
+    "dedup_url_canonicalize",
+    "agg_gini_coefficient",
+    "join_asof_nearest_view",
+    "window_max_drawdown",
+    "agg_herfindahl_index",
+    "dq_fact_detail_reconcile",
+    "agg_pareto_frontier_2d",
+    "fin_prorate_largest_remainder",
+    "event_markov_transitions",
+    "text_inverted_index",
+    "dedup_prefix_filter_jaccard",
+    "dq_mad_outliers",
+    "sample_bottomk_per_group",
+    "ts_linear_trend",
+    "sql_shared_correlated",
+    "dq_completeness_profile",
+    "scan_parquet_footer_stats",
+    "join_null_safe_eq",
+    "agg_rfm_segmentation",
+    "ts_cusum_alerts",
+    "sort_topk_with_ties",
+    "event_top_journeys",
+    "agg_share_of_parent",
+    "scan_schema_evolution_union",
+    "dq_cross_field_rules",
+    "dq_duplicate_payments",
+    "event_new_vs_returning",
+    "graph_degree_assortativity",
+    "ts_weekday_profile",
+    "window_session_bounce",
+    "event_rolling_28d_actives",
+    "dq_observe_metrics",
+    "sample_weighted_bottomk",
+    "fin_fifo_inventory_match",
+    "event_funnel_24h",
+    "text_zipf_fit",
+    "text_trigram_novelty",
+    "pipeline_curriculum_mix",
+    "graph_neighbor_jaccard_top",
+    "sort_collation_unicode",
+    "graph_ppr_seeded",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
 # OUTSIDE this round's 50-slot window (the backlog exceeds the window, so
-# somebody must wait).  Chosen for lowest novelty: each is a thin
-# composition or same-class sibling of machinery already driver-green, and
-# every one is locally oracle-verified at sf0.001+sf0.01.  They front the
-# round-6 window; tests/test_parity.py enforces that nothing else is
-# silently left out.
+# somebody must wait).  Every one is locally oracle-verified at
+# sf0.001+sf0.01 under tests/test_parity.py, which also enforces that
+# nothing else is silently left out.  These 30 exhaust the never-checked
+# backlog — they front the round-7 window, after which the oldest-green
+# rotation resumes.
 ADJUDICATION_DEFERRED: tuple[str, ...] = (
-    "sql_shared_revenue",       # one SQL text run verbatim by both engines
-    "sql_shared_ctr",           # ditto
-    "mm_cdc_dedup_report",      # one groupBy over mm_cdc_chunking's manifest
-    "graph_degree_distribution",  # census over the shared green edge table
-    "fn_struct_suite",          # same class as the 14 suites green in r4
-    "fn_array_hof_suite",       # ditto
-    "fn_binary_suite",          # ditto
-    "agg_filter_clause",        # single FILTER-clause aggregate
-    "agg_percentile_disc",      # sibling of the green percentile family
-    "dedup_url_canonicalize",   # composite of fn_url_suite (in-window)
-    "agg_gini_coefficient",     # scalar summary over the decile table's
-                                # shared _ranked_customer_revenue (in-window)
-    "join_asof_nearest_view",   # third direction of the green as-of family,
-                                # same union+window machinery
-    "window_max_drawdown",      # cumsum+cummax windows, green window family;
-                                # signed-flow behavior unit-tested
-    "agg_herfindahl_index",     # sort-free decimal concentration scalar,
-                                # same decimal discipline as the green aggs
-    "dq_fact_detail_reconcile",  # value-level sibling of the green
-                                 # dq_referential_integrity key check
-    "agg_pareto_frontier_2d",   # two-phase skyline vs independent
-                                # NOT-EXISTS oracle; invariants unit-tested
-    "fin_prorate_largest_remainder",  # int64 window arithmetic, conservation
-                                      # proven by unit test + oracle
-    "event_markov_transitions",  # lead() + tiny normalize — sessionize's
-                                 # exchange shape, green since r1
-    "text_inverted_index",      # wordcount shuffle (topk_terms, green r3)
-                                # with a posting-list digest column
-    "dedup_prefix_filter_jaccard",  # prefix-filtering vs brute-force oracle;
-                                    # deterministic twin of green minhash
-    "dq_mad_outliers",          # percentile_disc family (green r4) +
-                                # broadcast of 5-row medians
-    "sample_bottomk_per_group",  # md5-nibble hash idiom (green via
-                                 # sample_split) + row_number window
-    "ts_linear_trend",          # decimal-domain moments (agg_moments,
-                                # green r2) over the daily rollup
-    "sql_shared_correlated",    # third one-text-two-engines SQL; exercises
-                                # Catalyst decorrelation vs DuckDB unnesting
-    "dq_completeness_profile",  # single-pass multi-distinct vs 6-scan
-                                # UNION ALL oracle decomposition
-    "scan_parquet_footer_stats",  # rows-only by design (literal-path
-                                  # parquet_metadata has no view twin);
-                                  # bit-exact differential unit test
-    "join_null_safe_eq",        # 15th join variant; <=> vs IS NOT
-                                # DISTINCT FROM, NULL-row pinned by test
-    "agg_rfm_segmentation",     # percentile_disc thresholds (green family)
-                                # + broadcast compare, no ranking window
-    "ts_cusum_alerts",          # cumsum/running-min windows (green family)
-                                # via the S − min S reflection identity
-    "sort_topk_with_ties",      # RANK-gated top-k — tie-break-free twin
-                                # of the green sort_topk_orders
-    "event_top_journeys",       # sessionize's exchange + ordered fold +
-                                # bounded top-10
-    "agg_share_of_parent",      # two-level rollup ratio over the green
-                                # TPC-H dim-join machinery
-    "scan_schema_evolution_union",  # mergeSchema read vs typed-NULL UNION
-                                    # oracle; compact-roundtrip's pattern
-    "dq_cross_field_rules",     # one-pass conditional sums + stack vs
-                                # per-rule-scan oracle decomposition
-    "dq_duplicate_payments",    # bounded self-equi-join on (cust, cents),
-                                # date band residual — exact_dedup's shape
-    "event_new_vs_returning",   # first-day join + conditional distincts;
-                                # cohort_retention's green machinery
-    "graph_degree_assortativity",  # decimal-moment correlation (green via
-                                   # agg_moments) over the shared edges
-    "ts_weekday_profile",       # epoch-Monday modulo weekday (portable);
-                                # 7-row agg, window-normalized
-    "window_session_bounce",    # sessionize_events' green exchange + a
-                                # per-day ppm fold
-    "event_rolling_28d_actives",  # bounded ×28 day-explode + exact
-                                  # distinct; running_distinct's sibling
-    "dq_observe_metrics",       # Observation API: write-pass metrics vs
-                                # relational recompute oracle
-    # --- fifth round-5 session (each locally exact at sf0.001 + sf0.01;
-    # with the backlog already at the 50-slot cap these consume round-6
-    # rotation slots — the round-6 re-pin decides the final order) ---
-    "sample_weighted_bottomk",  # weighted twin of sample_bottomk_per_group
-                                # (h div w priority, same md5 idiom)
-    "fin_fifo_inventory_match",  # FIFO lot matching as cumulative-interval
-                                 # alignment; window + co-partitioned join
-    "event_funnel_24h",         # time-constrained funnel; cascaded argmin
-                                # joins on the green event machinery
-    "text_zipf_fit",            # integer floor-log2 rank/freq regression
-                                # (bit-length idiom, exact rational slope)
-    "text_trigram_novelty",     # held-out n-gram novelty vs train split;
-                                # gram ladder + md5-nibble split, both green
-    "pipeline_curriculum_mix",  # round-robin language interleave; global
-                                # order from arithmetic vs oracle's sort
-    "graph_neighbor_jaccard_top",  # wedge-count Jaccard link prediction
-                                   # over the shared green edge table
-    "sort_collation_unicode",   # ICU collated top-k — Spark UNICODE vs
-                                # DuckDB en_us alignment probed in NOTES
-    "graph_ppr_seeded",         # personalized PageRank; pagerank_int's
-                                # green integer iteration + seeded restart
-    # --- past the 50-slot round-6 window (53 deferred total): these
-    # three wait for round 7 unless the round-6 re-pin promotes them ---
     "dq_chisq_drift",           # exact-integer chi-square drift audit
                                 # (portable PSI alternative; HUGEINT/d38)
     "dedup_linkage_score_fs",   # Fellegi-Sunter log-odds scoring over the
                                 # green fuzzy-blocking candidates
     "agg_collation_ci_groups",  # UNICODE_CI grouping vs en_us.nocase —
                                 # CI half of the collation family
-    # --- sixth round-5 session (each locally exact at sf0.001 + sf0.01;
-    # the round-6 re-pin orders the whole backlog) ---
     "fin_lifo_periodic_match",  # reversed-receipt-axis sibling of the
                                 # FIFO interval alignment; conservation
                                 # cross-check against FIFO unit-tested
@@ -238,7 +141,6 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                     # files holding doomed keys (via
                                     # _metadata.file_path); byte-identity
                                     # of carried files unit-tested
-    # --- seventh round-5 session ---
     "eval_auc_rank",            # exact Mann-Whitney ROC-AUC at 2x-integer
                                 # precision; tie handling via RANK + class
                                 # size, truncating ppm division

@@ -814,3 +814,27 @@ def test_shared_sql_grouping_sets_and_lateral_shapes(spark, sf_dir):
     assert "WindowGroupLimit" in lat or "Window" in lat
     assert "CartesianProduct" not in lat
     assert lat.count("orders.parquet") == 1
+
+
+def test_pmi_topk_is_bounded_not_global_window(spark, sf_dir):
+    """VERDICT r5 ask #2: the PMI top-N must plan as TakeOrderedAndProject
+    (per-partition heaps, O(k) driver merge), NOT a row_number() over an
+    unpartitioned Window — at a real vocabulary that window funneled the
+    full scored-pair table through one reducer.  The distributed stage
+    (`_pmi_scored_top`) must carry no Window at all; the registered query
+    attaches rk by enumerating the <=N collected rows."""
+    from hadoopmapreduce_spark.operators.textops import (
+        PMI_TOP_N,
+        _pmi_scored_top,
+        pmi_top_pairs,
+    )
+
+    top = _pmi_scored_top(spark, sf_dir)
+    assert_contains(top, "TakeOrderedAndProject")
+    assert_not_contains(top, "Window", "CartesianProduct")
+    out = pmi_top_pairs(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= PMI_TOP_N
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assocs = [r.assoc for r in rows]
+    assert assocs == sorted(assocs, reverse=True)
