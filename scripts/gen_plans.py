@@ -93,12 +93,55 @@ HEADLINERS = [
     ("ts_rolling_trend_28d", "rolling OLS: five RANGE-frame moments sharing one type-keyed sort over the daily rollup"),
     ("sql_shared_grouping_sets", "explicit GROUPING SETS: one Expand into a single partial+final aggregate, one fact scan"),
     ("sql_shared_lateral", "LATERAL top-1 decorrelated to WindowGroupLimit — never a per-outer-row rescan"),
+    # round-6 (VERDICT r5 ask #7): every query >1.5 s in bench_full.json gets
+    # a snapshot — the only plan defect ever shipped (BFS, r4) was in an
+    # un-snapshotted query.  Coverage is asserted in main().
+    ("graph_pagerank_int", "per-iteration join+agg on the cached edge partitioning; integer mass, linear lineage via checkpointed ranks"),
+    ("dedup_clusters", "star-contraction components: per-round checkpoint cuts lineage, O(log n) rounds, node-keyed exchanges only"),
+    ("dedup_clusters_twostar", "alternating big-star/small-star rounds; 2-scalar convergence probe reads a count, not the cluster table"),
+    ("scan_textkv_source", "Python DataSource reader: per-file partitions stream k<TAB>v lines; parse stays in Arrow batches"),
+    ("streaming_view_purchase_join", "stream-stream interval join with watermarks both sides; state bounded by the join window"),
+    ("streaming_late_data_audit", "watermark audit: on-time rows aggregate in-stream, late rows land in a side output, totals reconciled"),
+    ("streaming_dim_refresh_enrich", "foreachBatch dim refresh: each micro-batch broadcast-joins the CURRENT dim snapshot"),
+    ("streaming_pyds_replay", "Python DataSource STREAM reader: offset-tracked rate-limited partitions replay the parquet as micro-batches"),
+    ("ann_ivf_topk", "IVF: centroid assignment prunes to nprobe cells; per-cell exact scoring, bounded rerank heap"),
+    ("join_bucketed_colocated", "bucketed co-located join: both sides pre-bucketed on the key — no exchange before the join"),
+    ("agg_collation_ci_groups", "UNICODE_CI grouping: collated key exchange + binary-MIN representative, one aggregate pass"),
+    ("scan_orc_roundtrip", "ORC write/read roundtrip: pushdown + pruned ReadSchema on the ORC scan, parquet-oracle equality"),
+    ("ngram_jaccard_pairs", "DELIBERATE quadratic differential baseline for the banded path — bounded by the blocking key"),
+    ("embedding_near_dup", "DELIBERATE exact all-pairs cosine baseline for the LSH path — bounded probe set"),
+    ("agg_equidepth_histogram", "global ntile sort — exact baseline; production path is approx_percentile (docstring)"),
+    ("layout_zorder_stats", "Morton-key ntile(16) audit; production path is repartitionByRange(z) (SCALE.md)"),
 ]
+
+
+def check_coverage() -> None:
+    """Every query >1.5 s in the sf0.1 bench sidecar must have a section
+    (VERDICT r5 ask #7) — fail generation, not review, when one is missing."""
+    import json
+
+    sidecar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_full.json",
+    )
+    if not os.path.exists(sidecar):
+        return
+    data = json.load(open(sidecar))
+    if data.get("sf") not in (None, 0.1, "0.1"):  # only the sf0.1 protocol counts
+        return
+    covered = {name for name, _ in HEADLINERS}
+    slow = sorted(
+        k for k, v in data["queries"].items() if v > 1.5 and k not in covered
+    )
+    assert not slow, (
+        f"queries >1.5s in bench_full.json without a PLANS.md section: {slow}"
+    )
 
 
 def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
     registry.load_all()
+    check_coverage()
     spark = get_spark("gen-plans", cpus=4, shuffle_partitions=8)
     out = [
         "# PLANS — physical plans of the headline queries",
