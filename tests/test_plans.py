@@ -838,3 +838,31 @@ def test_pmi_topk_is_bounded_not_global_window(spark, sf_dir):
     assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
     assocs = [r.assoc for r in rows]
     assert assocs == sorted(assocs, reverse=True)
+
+
+def test_round6_window_cohort_plan_shapes(spark, sf_dir):
+    """Machine-check the plan claims made for the round-6 adjudication
+    cohort in SCALE.md: rank-gated top-k rides WindowGroupLimit (per-group
+    bounded work, the WITH TIES analogue of TakeOrderedAndProject), the
+    FILTER-clause aggregate is one scan + one aggregate, and none of the
+    join-bearing members degrade to a cartesian/nested-loop."""
+    from hadoopmapreduce_spark.operators.sorts import sort_topk_with_ties
+    from hadoopmapreduce_spark.operators.aggregates import agg_filter_clause
+    from hadoopmapreduce_spark.operators.asof import join_asof_nearest_view
+    from hadoopmapreduce_spark.operators.joins import dq_duplicate_payments
+    from hadoopmapreduce_spark.operators.windows import event_top_journeys
+
+    ties = physical_plan(sort_topk_with_ties(spark, sf_dir))
+    assert "WindowGroupLimit" in ties
+    assert "CartesianProduct" not in ties
+
+    fc = physical_plan(agg_filter_clause(spark, sf_dir))
+    assert fc.count("lineitem.parquet") == 1
+    assert "HashAggregate" in fc
+
+    for df in (
+        join_asof_nearest_view(spark, sf_dir),
+        dq_duplicate_payments(spark, sf_dir),
+        event_top_journeys(spark, sf_dir),
+    ):
+        assert_not_contains(df, "CartesianProduct", "BroadcastNestedLoopJoin")
