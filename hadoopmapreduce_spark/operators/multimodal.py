@@ -6,12 +6,14 @@ column plus scalar/struct metadata columns — parquet stores the blob inline
 metadata-only queries, and Arrow carries it zero-copy into Python when a
 decoder actually runs.
 
-The real decode step (image/audio codecs) is STUBBED — the libs aren't in
-this container; see ``decode_image_stub``.  What is real and tested: the
-schema convention, the binary round-trip, the ``mapInPandas`` batch
-plumbing (Arrow-chunked iterator, metadata-derived features), and the
-frame-sampling explode.  A deterministic fake decoder keeps the pipeline
-end-to-end verifiable against a SQL oracle.
+The IMAGE/VIDEO decode step is STUBBED — PIL/libvips/ffmpeg aren't in this
+container; see ``decode_image_stub``.  AUDIO decode is REAL as of round 6:
+``synthesize_wav``/``decode_wav_features`` below run an actual RIFF/WAVE
+PCM16 codec round trip through the stdlib ``wave`` parser (no external
+dependency), with exact-integer RMS/peak so the decoded features stay
+SQL-oracle-checkable.  Also real and tested: the schema convention, the
+binary round-trip, the ``mapInPandas`` batch plumbing (Arrow-chunked
+iterator, metadata-derived features), and the frame-sampling explode.
 """
 
 from __future__ import annotations
@@ -40,6 +42,113 @@ def decode_image_stub(payload: bytes) -> None:
         "real image decoding requires PIL/libvips; not available in this "
         "environment — mm_decode_features uses a deterministic fake decoder"
     )
+
+
+WAV_FRAMERATE = 8000
+WAV_HALF_PERIOD = 4  # square-wave polarity flips every 4 frames
+
+
+def synthesize_wav(n_frames: int, amplitude: int) -> bytes:
+    """Deterministic mono PCM16 WAV: a square wave of ``amplitude`` flipping
+    polarity every ``WAV_HALF_PERIOD`` frames.  Every sample has magnitude
+    exactly ``amplitude``, so the integer RMS of the decoded PCM equals the
+    amplitude — which is what makes the decode features predictable by a
+    SQL oracle while the decoder itself stays a REAL codec path."""
+    import io
+    import wave
+
+    import numpy as np
+
+    idx = np.arange(n_frames, dtype=np.int64)
+    sign = np.where((idx // WAV_HALF_PERIOD) % 2 == 0, 1, -1)
+    pcm = (sign * amplitude).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_FRAMERATE)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_features(payload: bytes) -> dict:
+    """REAL audio decode: parse the RIFF/WAVE container with the stdlib
+    ``wave`` module (a genuine header+chunk parser — tampered headers
+    raise), then compute exact-integer features from the PCM frames:
+    ``rms = isqrt(sum(s^2) // n)`` and ``peak = max |s|``.  No floats, so
+    the values are bit-stable across engines and partitionings."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    pcm = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    sumsq = int((pcm * pcm).sum())
+    return {
+        "n_channels": n_channels,
+        "sampwidth": sampwidth,
+        "framerate": framerate,
+        "n_frames": n_frames,
+        "peak": int(np.abs(pcm).max()) if pcm.size else 0,
+        "rms": math.isqrt(sumsq // pcm.size) if pcm.size else 0,
+    }
+
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, n_channels int, sampwidth int, framerate int, "
+    "n_frames bigint, peak int, rms int"
+)
+
+
+def _audio_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the real WAV decoder: Arrow-chunked batches
+    in, typed feature frame out — the identical plumbing shape as
+    ``_fake_decode_batch``, with a true codec in the loop."""
+    for pdf in batches:
+        feats = [decode_wav_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV payloads synthesized per document (frame count from the
+    text's byte length, amplitude from the doc id) via a pandas UDF —
+    the bytes crossing into parquet/Arrow are genuine RIFF/WAVE files."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(n_frames: pd.Series, amp: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synthesize_wav(int(n), int(a)) for n, a in zip(n_frames, amp)]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = F.length(F.encode(F.col("text"), "utf-8")) % 400 + 10
+    amp = (F.col("doc_id") % 7 + 1) * 1000
+    return d.select(
+        "doc_id",
+        n_frames.cast("int").alias("n_frames_spec"),
+        amp.cast("int").alias("amp_spec"),
+    ).withColumn("payload", _synth(F.col("n_frames_spec"), F.col("amp_spec")))
+
+
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio pipeline: synthesize WAV payloads, decode them
+    back through the stdlib codec in ``mapInPandas``, emit typed features.
+    Every decoded value is independently predictable from (doc_id, text):
+    n_frames = octet_length(text) % 400 + 10, peak = rms =
+    (doc_id % 7 + 1) * 1000, framerate/channels/width constants — the
+    oracle shape for the round-7 registration of this operator."""
+    assets = audio_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_audio_decode_batch, schema=_AUDIO_SCHEMA)
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:

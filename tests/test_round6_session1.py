@@ -42,3 +42,68 @@ def test_pmi_rank_matches_legacy_window_semantics(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in new] == [tuple(r) for r in legacy]
+
+
+def test_wav_synthesize_decode_roundtrip():
+    """The WAV path is a REAL codec: stdlib wave parses the RIFF container
+    we wrote and the exact-integer features come out as specified."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        WAV_FRAMERATE,
+        decode_wav_features,
+        synthesize_wav,
+    )
+
+    payload = synthesize_wav(100, 3000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    feats = decode_wav_features(payload)
+    assert feats == {
+        "n_channels": 1,
+        "sampwidth": 2,
+        "framerate": WAV_FRAMERATE,
+        "n_frames": 100,
+        "peak": 3000,
+        "rms": 3000,
+    }
+
+
+def test_wav_decoder_rejects_tampered_header():
+    """Proof the decoder is a parser, not arithmetic: corrupting the format
+    chunk makes the codec raise instead of emitting garbage features."""
+    import pytest
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav,
+    )
+
+    payload = bytearray(synthesize_wav(50, 1000))
+    payload[8:12] = b"XXXX"  # break the WAVE magic
+    with pytest.raises(Exception):
+        decode_wav_features(bytes(payload))
+
+
+def test_audio_decode_features_end_to_end(spark, sf_dir):
+    """Synthesize → parquet-typed binary column → mapInPandas decode:
+    every decoded row must match the features predictable from
+    (doc_id, text) alone — the oracle contract the round-7 registration
+    will rely on."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.multimodal import (
+        WAV_FRAMERATE,
+        audio_decode_features,
+    )
+
+    got = {r.doc_id: r for r in audio_decode_features(spark, sf_dir).collect()}
+    exp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length(F.encode(F.col("text"), "utf-8")) % 400 + 10).alias("n_frames"),
+        ((F.col("doc_id") % 7 + 1) * 1000).alias("amp"),
+    ).collect()
+    assert len(got) == len(exp) > 0
+    for e in exp:
+        r = got[e.doc_id]
+        assert (r.n_channels, r.sampwidth, r.framerate) == (1, 2, WAV_FRAMERATE)
+        assert r.n_frames == e.n_frames
+        assert r.peak == e.amp and r.rms == e.amp
