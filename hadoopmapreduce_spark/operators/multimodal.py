@@ -140,13 +140,29 @@ def audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("payload", _synth(F.col("n_frames_spec"), F.col("amp_spec")))
 
 
+# DuckDB twin of audio_decode_features, validated by test now and ready for
+# the round-7 @query registration (kept unregistered this round to hold the
+# adjudication-backlog freeze — VERDICT r5 ask #1).
+AUDIO_DECODE_ORACLE_SQL = f"""
+    SELECT doc_id,
+           1 AS n_channels,
+           2 AS sampwidth,
+           {WAV_FRAMERATE} AS framerate,
+           CAST(octet_length(encode(text)) % 400 + 10 AS BIGINT) AS n_frames,
+           CAST((doc_id % 7 + 1) * 1000 AS INT) AS peak,
+           CAST((doc_id % 7 + 1) * 1000 AS INT) AS rms
+    FROM documents
+"""
+
+
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL audio pipeline: synthesize WAV payloads, decode them
     back through the stdlib codec in ``mapInPandas``, emit typed features.
     Every decoded value is independently predictable from (doc_id, text):
     n_frames = octet_length(text) % 400 + 10, peak = rms =
-    (doc_id % 7 + 1) * 1000, framerate/channels/width constants — the
-    oracle shape for the round-7 registration of this operator."""
+    (doc_id % 7 + 1) * 1000, framerate/channels/width constants —
+    ``AUDIO_DECODE_ORACLE_SQL`` above is the validated oracle for the
+    round-7 registration of this operator."""
     assets = audio_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_audio_decode_batch, schema=_AUDIO_SCHEMA)
 

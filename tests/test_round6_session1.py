@@ -153,3 +153,17 @@ def test_wav_binaryfile_source_ingest(spark, tmp_path):
     for doc_id, (n, a) in specs.items():
         r = decoded[doc_id]
         assert (r.n_frames, r.peak, r.rms) == (n, a, a)
+
+
+def test_audio_decode_oracle_parity(spark, sf_dir, oracle_con):
+    """The pre-staged round-7 oracle must already hash-match the real
+    decode pipeline — registration later is then a pure wiring change."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        AUDIO_DECODE_ORACLE_SQL,
+        audio_decode_features,
+    )
+    from hadoopmapreduce_spark.oracle import compare
+
+    df = audio_decode_features(spark, sf_dir)
+    report = compare("audio_decode_features", df, oracle_con, AUDIO_DECODE_ORACLE_SQL)
+    assert report.ok and report.exact_values, report.detail
