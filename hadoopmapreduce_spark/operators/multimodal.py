@@ -6,11 +6,15 @@ column plus scalar/struct metadata columns — parquet stores the blob inline
 metadata-only queries, and Arrow carries it zero-copy into Python when a
 decoder actually runs.
 
-The IMAGE/VIDEO decode step is STUBBED — PIL/libvips/ffmpeg aren't in this
-container; see ``decode_image_stub``.  AUDIO decode is REAL as of round 6:
-``synthesize_wav``/``decode_wav_features`` below run an actual RIFF/WAVE
-PCM16 codec round trip through the stdlib ``wave`` parser (no external
-dependency), with exact-integer RMS/peak so the decoded features stay
+VIDEO decode is STUBBED — ffmpeg isn't in this container; see
+``decode_image_stub`` (kept for the general-image case: PIL/libvips for
+JPEG etc. are likewise absent).  As of round 6 two modalities decode for
+REAL with stdlib-only codecs: AUDIO via ``synthesize_wav``/
+``decode_wav_features`` (actual RIFF/WAVE PCM16 through the stdlib
+``wave`` parser) and IMAGE via ``synthesize_png``/``decode_png_features``
+(a spec-faithful minimal PNG reader: chunk walk with CRC32 verification,
+zlib inflate, all five scanline filter reconstructions — grayscale
+subset).  Exact-integer features (RMS/peak, pixel sum/max) keep both
 SQL-oracle-checkable.  Also real and tested: the schema convention, the
 binary round-trip, the ``mapInPandas`` batch plumbing (Arrow-chunked
 iterator, metadata-derived features), and the frame-sampling explode.
@@ -165,6 +169,217 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-7 registration of this operator."""
     assets = audio_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_audio_decode_batch, schema=_AUDIO_SCHEMA)
+
+
+# --- real (minimal) PNG codec: 8-bit grayscale, stdlib zlib only --------
+#
+# PNG (RFC 2083) is signature + chunked container (length/type/data/CRC32)
+# with zlib-compressed, per-scanline-filtered pixel data.  The decoder
+# below is spec-faithful for the grayscale subset: it verifies the
+# signature and every chunk CRC, inflates IDAT, and reconstructs all five
+# scanline filter types (None/Sub/Up/Average/Paeth) — a genuine codec
+# path, not arithmetic on byte lengths.  Color/interlace/palette are out
+# of scope (raise), matching this engine's honest-stub discipline.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synthesize_png(width: int, height: int, seed: int) -> bytes:
+    """Deterministic 8-bit grayscale PNG: pixel(x, y) = (x + y + seed) % 256,
+    scanlines filter-type 0, one IDAT chunk.  A real, standards-valid file
+    (any PNG reader opens it) whose pixel statistics are closed-form in
+    (width, height, seed) — the property that keeps the decode features
+    SQL-oracle-checkable."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        raw.extend((x + y + seed) % 256 for x in range(width))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: bytes, width: int, height: int) -> bytearray:
+    """Reconstruct raw grayscale pixels from inflated scanline data,
+    implementing all five PNG filter types (bpp = 1)."""
+    out = bytearray()
+    stride = width
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(height):
+        ftype = data[pos]
+        pos += 1
+        line = bytearray(data[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(1, stride):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out.extend(line)
+        prev = line
+    return out
+
+
+def decode_png_features(payload: bytes) -> dict:
+    """REAL image decode for the grayscale-PNG subset: signature check,
+    chunk walk with CRC32 verification, IDAT inflate, scanline
+    unfiltering, exact-integer pixel statistics."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("PNG missing IHDR/IEND")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if (bit_depth, color_type, interlace) != (8, 0, 0):
+        raise NotImplementedError(
+            "minimal decoder: 8-bit non-interlaced grayscale only"
+        )
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height)
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_pixels": width * height,
+        "sum_pixels": sum(pixels),
+        "max_pixel": max(pixels) if pixels else 0,
+    }
+
+
+_IMAGE_SCHEMA = (
+    "doc_id bigint, width int, height int, bit_depth int, color_type int, "
+    "n_pixels bigint, sum_pixels bigint, max_pixel int"
+)
+
+
+def _image_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [decode_png_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG payloads per document: width from the text's byte length,
+    height and pixel seed from the doc id — small, standards-valid files."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(w: pd.Series, h: pd.Series, seed: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_png(int(wi), int(hi), int(si))
+                for wi, hi, si in zip(w, h, seed)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.length(F.encode(F.col("text"), "utf-8")) % 16 + 4)
+        .cast("int")
+        .alias("w_spec"),
+        (F.col("doc_id") % 8 + 4).cast("int").alias("h_spec"),
+        (F.col("doc_id") % 256).cast("int").alias("seed_spec"),
+    ).withColumn(
+        "payload", _synth(F.col("w_spec"), F.col("h_spec"), F.col("seed_spec"))
+    )
+
+
+# DuckDB twin of image_decode_features (round-7 registration, like
+# AUDIO_DECODE_ORACLE_SQL): sum over pixel(x,y) = (x+y+seed) % 256
+# recomputed by cross-unnesting the two pixel ranges per document.
+IMAGE_DECODE_ORACLE_SQL = """
+    WITH spec AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 16 + 4 AS w,
+             CAST(doc_id % 8 + 4 AS INT) AS h,
+             CAST(doc_id % 256 AS INT) AS seed
+      FROM documents),
+    px AS (
+      SELECT s.doc_id, (x.x + y.y + s.seed) % 256 AS v
+      FROM spec s, LATERAL unnest(range(0, s.w)) AS x(x),
+                   LATERAL unnest(range(0, s.h)) AS y(y))
+    SELECT s.doc_id,
+           CAST(s.w AS INT) AS width,
+           s.h AS height,
+           8 AS bit_depth,
+           0 AS color_type,
+           CAST(s.w * s.h AS BIGINT) AS n_pixels,
+           CAST(p.sum_v AS BIGINT) AS sum_pixels,
+           CAST(p.max_v AS INT) AS max_pixel
+    FROM spec s
+    JOIN (SELECT doc_id, SUM(v) AS sum_v, MAX(v) AS max_v
+          FROM px GROUP BY doc_id) p USING (doc_id)
+"""
+
+
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image pipeline: synthesize standards-valid grayscale
+    PNGs, decode them back through the chunk/CRC/inflate/unfilter path in
+    ``mapInPandas``, emit exact-integer pixel statistics."""
+    assets = image_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_image_decode_batch, schema=_IMAGE_SCHEMA)
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:

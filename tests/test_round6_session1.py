@@ -167,3 +167,112 @@ def test_audio_decode_oracle_parity(spark, sf_dir, oracle_con):
     df = audio_decode_features(spark, sf_dir)
     report = compare("audio_decode_features", df, oracle_con, AUDIO_DECODE_ORACLE_SQL)
     assert report.ok and report.exact_values, report.detail
+
+
+def test_png_synthesize_decode_roundtrip():
+    """The PNG path is a real codec: the synthesized file is standards-
+    valid and the decoded pixel statistics equal the closed form."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png,
+    )
+
+    w, h, seed = 13, 7, 200
+    feats = decode_png_features(synthesize_png(w, h, seed))
+    exp_pixels = [(x + y + seed) % 256 for y in range(h) for x in range(w)]
+    assert feats == {
+        "width": w,
+        "height": h,
+        "bit_depth": 8,
+        "color_type": 0,
+        "n_pixels": w * h,
+        "sum_pixels": sum(exp_pixels),
+        "max_pixel": max(exp_pixels),
+    }
+
+
+def test_png_decoder_reconstructs_all_filter_types():
+    """Spec-completeness of the unfilterer: encode the same raw image with
+    each scanline filter type (Sub/Up/Average/Paeth, per RFC 2083's
+    encode direction) and require bit-identical reconstruction."""
+    import struct
+    import zlib
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_features,
+    )
+
+    w, h = 9, 5
+    raw = [[(3 * x * x + 7 * y + 11) % 256 for x in range(w)] for y in range(h)]
+
+    def encode(ftype: int) -> bytes:
+        lines = bytearray()
+        prev = [0] * w
+        for y in range(h):
+            line = raw[y]
+            lines.append(ftype)
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                lines.append((line[i] - pred) & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    flat = [v for row in raw for v in row]
+    expected_sum, expected_max = sum(flat), max(flat)
+    for ftype in range(5):
+        feats = decode_png_features(encode(ftype))
+        assert (feats["sum_pixels"], feats["max_pixel"]) == (
+            expected_sum,
+            expected_max,
+        ), f"filter type {ftype} mis-reconstructed"
+
+
+def test_png_decoder_rejects_corrupt_crc():
+    import pytest
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png,
+    )
+
+    payload = bytearray(synthesize_png(8, 8, 1))
+    payload[20] ^= 0xFF  # flip a byte inside IHDR data -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_features(bytes(payload))
+
+
+def test_image_decode_features_end_to_end(spark, sf_dir, oracle_con):
+    """Synthesize -> mapInPandas decode over the fixture, then hash-match
+    the pre-staged round-7 oracle (which recomputes the pixel statistics
+    by cross-unnesting the pixel ranges in DuckDB)."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        IMAGE_DECODE_ORACLE_SQL,
+        image_decode_features,
+    )
+    from hadoopmapreduce_spark.oracle import compare
+
+    df = image_decode_features(spark, sf_dir)
+    report = compare("image_decode_features", df, oracle_con, IMAGE_DECODE_ORACLE_SQL)
+    assert report.ok and report.exact_values, report.detail
