@@ -276,3 +276,69 @@ def test_image_decode_features_end_to_end(spark, sf_dir, oracle_con):
     df = image_decode_features(spark, sf_dir)
     report = compare("image_decode_features", df, oracle_con, IMAGE_DECODE_ORACLE_SQL)
     assert report.ok and report.exact_values, report.detail
+
+
+def test_png_unfilter_property_random_images():
+    """Property test: for random pixel content and per-scanline-random
+    filter choices (the shape real encoders emit), encode→decode must be
+    the identity on the raw pixels."""
+    import struct
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_features,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(1, 24))
+        h = data.draw(st.integers(1, 12))
+        raw = [
+            [data.draw(st.integers(0, 255)) for _ in range(w)] for _ in range(h)
+        ]
+        ftypes = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        lines = bytearray()
+        prev = [0] * w
+        for y in range(h):
+            line, ftype = raw[y], ftypes[y]
+            lines.append(ftype)
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                lines.append((line[i] - pred) & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        png = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+        feats = decode_png_features(png)
+        flat = [v for row in raw for v in row]
+        assert feats["sum_pixels"] == sum(flat)
+        assert feats["max_pixel"] == max(flat)
+        assert feats["n_pixels"] == w * h
+
+    run()
