@@ -6,18 +6,20 @@ column plus scalar/struct metadata columns — parquet stores the blob inline
 metadata-only queries, and Arrow carries it zero-copy into Python when a
 decoder actually runs.
 
-VIDEO decode is STUBBED — ffmpeg isn't in this container; see
-``decode_image_stub`` (kept for the general-image case: PIL/libvips for
-JPEG etc. are likewise absent).  As of round 6 two modalities decode for
-REAL with stdlib-only codecs: AUDIO via ``synthesize_wav``/
-``decode_wav_features`` (actual RIFF/WAVE PCM16 through the stdlib
-``wave`` parser) and IMAGE via ``synthesize_png``/``decode_png_features``
-(a spec-faithful minimal PNG reader: chunk walk with CRC32 verification,
-zlib inflate, all five scanline filter reconstructions — grayscale
-subset).  Exact-integer features (RMS/peak, pixel sum/max) keep both
-SQL-oracle-checkable.  Also real and tested: the schema convention, the
-binary round-trip, the ``mapInPandas`` batch plumbing (Arrow-chunked
-iterator, metadata-derived features), and the frame-sampling explode.
+As of round 6 all three modalities have a REAL stdlib-only parsing path:
+AUDIO via ``synthesize_wav``/``decode_wav_features`` (actual RIFF/WAVE
+PCM16 through the stdlib ``wave`` parser), IMAGE via ``synthesize_png``/
+``decode_png_features`` (a spec-faithful minimal PNG reader: chunk walk
+with CRC32 verification, zlib inflate, all five scanline filter
+reconstructions — grayscale subset), and VIDEO via ``synthesize_mp4``/
+``parse_mp4_features`` (ISO-BMFF box-tree walk with strict size
+accounting — the metadata probe pipelines run WITHOUT frame decoding).
+Exact-integer features keep all three SQL-oracle-checkable.  What stays
+honestly env-stubbed: frame/pixel decode for compressed codecs (JPEG,
+H.264 — PIL/libvips/ffmpeg absent; see ``decode_image_stub``).  Also
+real and tested: the schema convention, the binary round-trip, the
+``mapInPandas`` batch plumbing (Arrow-chunked iterator, metadata-derived
+features), and the frame-sampling explode.
 """
 
 from __future__ import annotations
@@ -380,6 +382,187 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas``, emit exact-integer pixel statistics."""
     assets = image_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_image_decode_batch, schema=_IMAGE_SCHEMA)
+
+
+# --- real MP4 (ISO-BMFF) container parsing for the video modality -------
+#
+# Frame DECODE for video needs an H.264/AV1 codec (env-stubbed, like
+# JPEG), but the container layer — what a training-data pipeline actually
+# reads at scale to probe duration/resolution/track layout WITHOUT
+# decoding frames — is a pure box-tree format (ISO/IEC 14496-12):
+# [size:4][type:4][payload] with container boxes nesting children.  The
+# synthesizer below emits a structurally-valid minimal tree
+# (ftyp + moov(mvhd + trak(tkhd)) + mdat) and the parser walks it with
+# strict size accounting, rejecting truncated/overflowing boxes.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia"}
+MP4_TIMESCALE = 1000
+
+
+def synthesize_mp4(duration: int, width: int, height: int, n_mdat: int) -> bytes:
+    """Deterministic minimal MP4: ftyp(isom) + moov(mvhd + trak(tkhd)) +
+    mdat of ``n_mdat`` filler bytes.  Spec-layout mvhd/tkhd version-0
+    boxes (timescale/duration; width/height as 16.16 fixed point)."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags 0
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", MP4_TIMESCALE, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhh", 0, 0, 0)  # layer, alt group, volume
+        + b"\x00" * 2
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    mdat = box(b"mdat", bytes((7 * i + 3) % 256 for i in range(n_mdat)))
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end);
+    strict size accounting — truncated or overflowing boxes raise."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError("MP4: truncated box header")
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        btype = payload[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"MP4: box {btype!r} size {size} overflows parent")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def parse_mp4_features(payload: bytes) -> dict:
+    """REAL container parse: walk the box tree, extract brand, movie
+    timescale/duration (mvhd), track count, first-track resolution (tkhd
+    16.16 fixed point), and mdat payload size.  No frame decode."""
+    import struct
+
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    mdat_bytes = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal brand, timescale, duration, n_tracks, width, height, mdat_bytes
+        for btype, b0, b1 in _walk_boxes(payload, start, end):
+            if btype == b"ftyp":
+                brand = payload[b0 : b0 + 4].decode("ascii")
+            elif btype == b"mvhd":
+                timescale, duration = struct.unpack(">II", payload[b0 + 12 : b0 + 20])
+            elif btype == b"tkhd":
+                n_tracks += 1
+                if width is None:
+                    w_fx, h_fx = struct.unpack(">II", payload[b1 - 8 : b1])
+                    width, height = w_fx >> 16, h_fx >> 16
+            elif btype == b"mdat":
+                mdat_bytes += b1 - b0
+            if btype in _MP4_CONTAINERS:
+                walk(b0, b1)
+
+    walk(0, len(payload))
+    if brand is None or timescale is None:
+        raise ValueError("MP4: missing ftyp/mvhd")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration": duration,
+        "n_tracks": n_tracks,
+        "width": width or 0,
+        "height": height or 0,
+        "mdat_bytes": mdat_bytes,
+    }
+
+
+_VIDEO_SCHEMA = (
+    "doc_id bigint, brand string, timescale int, duration bigint, "
+    "n_tracks int, width int, height int, mdat_bytes bigint"
+)
+
+
+def _video_probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [parse_mp4_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structurally-valid MP4 payloads per document: duration from the
+    text's byte length, resolution tier from the doc id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(dur: pd.Series, w: pd.Series, h: pd.Series, nm: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_mp4(int(d), int(wi), int(hi), int(n))
+                for d, wi, hi, n in zip(dur, w, h, nm)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    nb = F.length(F.encode(F.col("text"), "utf-8"))
+    return d.select(
+        "doc_id",
+        (nb % 3600 + 1).cast("int").alias("dur_spec"),
+        ((F.col("doc_id") % 5 + 1) * 160).cast("int").alias("w_spec"),
+        ((F.col("doc_id") % 5 + 1) * 90).cast("int").alias("h_spec"),
+        (nb % 256).cast("int").alias("mdat_spec"),
+    ).withColumn(
+        "payload",
+        _synth(F.col("dur_spec"), F.col("w_spec"), F.col("h_spec"), F.col("mdat_spec")),
+    )
+
+
+# DuckDB twin of video_probe_features (round-7 registration, alongside the
+# audio/image oracles above).
+VIDEO_PROBE_ORACLE_SQL = f"""
+    SELECT doc_id,
+           'isom' AS brand,
+           {MP4_TIMESCALE} AS timescale,
+           CAST(octet_length(encode(text)) % 3600 + 1 AS BIGINT) AS duration,
+           1 AS n_tracks,
+           CAST((doc_id % 5 + 1) * 160 AS INT) AS width,
+           CAST((doc_id % 5 + 1) * 90 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 256 AS BIGINT) AS mdat_bytes
+    FROM documents
+"""
+
+
+def video_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video-container pipeline: synthesize valid MP4 box
+    trees, re-parse them in ``mapInPandas`` with strict size accounting,
+    emit the metadata a pipeline probes without frame decoding."""
+    assets = video_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_video_probe_batch, schema=_VIDEO_SCHEMA)
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:

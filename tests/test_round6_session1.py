@@ -342,3 +342,59 @@ def test_png_unfilter_property_random_images():
         assert feats["n_pixels"] == w * h
 
     run()
+
+
+def test_mp4_synthesize_parse_roundtrip():
+    """The MP4 path is a real container parser: spec-layout boxes round-trip
+    and the extracted metadata equals the synthesis spec."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        MP4_TIMESCALE,
+        parse_mp4_features,
+        synthesize_mp4,
+    )
+
+    feats = parse_mp4_features(synthesize_mp4(1234, 320, 180, 77))
+    assert feats == {
+        "brand": "isom",
+        "timescale": MP4_TIMESCALE,
+        "duration": 1234,
+        "n_tracks": 1,
+        "width": 320,
+        "height": 180,
+        "mdat_bytes": 77,
+    }
+
+
+def test_mp4_parser_rejects_truncation_and_overflow():
+    """Strict size accounting: a truncated file and a box whose declared
+    size overflows its parent must both raise, not mis-parse."""
+    import pytest
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_mp4_features,
+        synthesize_mp4,
+    )
+
+    good = synthesize_mp4(10, 160, 90, 5)
+    with pytest.raises(ValueError):
+        parse_mp4_features(good[:-3])  # truncated mid-box
+    evil = bytearray(good)
+    evil[0:4] = (2**31).to_bytes(4, "big")  # ftyp size overflows the file
+    with pytest.raises(ValueError, match="overflows"):
+        parse_mp4_features(bytes(evil))
+
+
+def test_video_probe_features_oracle_parity(spark, sf_dir, oracle_con):
+    from hadoopmapreduce_spark.operators.multimodal import (
+        VIDEO_PROBE_ORACLE_SQL,
+        video_probe_features,
+    )
+    from hadoopmapreduce_spark.oracle import compare
+
+    report = compare(
+        "video_probe_features",
+        video_probe_features(spark, sf_dir),
+        oracle_con,
+        VIDEO_PROBE_ORACLE_SQL,
+    )
+    assert report.ok and report.exact_values, report.detail
