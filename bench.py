@@ -86,6 +86,9 @@ def main() -> None:
         "eval_auc_rank", "eval_knn_label_noise",
         "graph_clustering_coefficient", "scan_xml_roundtrip",
         "pipeline_mixture_cap_rebalance",
+        # round-6: the bounded-top-k rewrite (VERDICT r5 ask #2) — surfaced
+        # so the driver artifact records its post-fix cost
+        "pmi_top_pairs",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",
