@@ -10,11 +10,19 @@ round-trips the reference's files like any built-in source:
 * one ``InputPartition`` per part-file → reads parallelize across the
   cluster exactly like Hadoop's file splits (a directory written by N tasks
   is read by N tasks);
-* the reader yields plain (key, value) string tuples; all typed parsing
-  stays in DataFrame expressions on top, where Catalyst can prune/push.
+* the reader yields ``pyarrow.RecordBatch`` chunks (NOT per-row tuples):
+  the Python Data Source protocol ships whatever the reader yields through
+  Arrow, and yielding pre-built batches skips the per-row pickle/convert
+  hop entirely — one Arrow buffer per ~64Ki lines instead of one Python
+  tuple per line.  All typed parsing stays in DataFrame expressions on
+  top, where Catalyst can prune/push.
+* the writer is a ``DataSourceArrowWriter``: each task receives Arrow
+  batches and renders ``key\\tvalue`` lines vectorized via
+  ``pyarrow.compute.binary_join_element_wise`` — no per-row Python in
+  either direction.
 
 This is the Spark-4-native replacement for writing a Hadoop InputFormat in
-Java — pure Python, Arrow-batched by the runtime.
+Java — pure Python, Arrow end-to-end.
 
 CONTRACT — local/shared filesystem paths only: partition planning uses
 ``os``/``glob`` on the driver and ``open()`` on the executors, so the path
@@ -35,11 +43,15 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
+
+#: rows per yielded RecordBatch — large enough to amortize Arrow framing,
+#: small enough that a batch of long lines stays well under executor memory.
+_BATCH_ROWS = 1 << 16
 
 
 class TextKVDataSource(DataSource):
@@ -87,13 +99,29 @@ class TextKVReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        keys: list[str] = []
+        values: list[str] = []
         with open(partition.value, encoding="utf-8") as fh:
             for line in fh:
                 line = line.rstrip("\n")
                 if not line:
                     continue
                 key, _tab, value = line.partition("\t")
-                yield (key, value)
+                keys.append(key)
+                values.append(value)
+                if len(keys) >= _BATCH_ROWS:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(keys, pa.string()), pa.array(values, pa.string())],
+                        names=["key", "value"],
+                    )
+                    keys, values = [], []
+        if keys:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, pa.string()), pa.array(values, pa.string())],
+                names=["key", "value"],
+            )
 
 
 @dataclass
@@ -104,9 +132,16 @@ class TextKVCommit(WriterCommitMessage):
     rows: int
 
 
-class TextKVWriter(DataSourceWriter):
+class TextKVWriter(DataSourceArrowWriter):
     """Task-staged, driver-committed text-KV sink — the Python Data Source
     writer half of the format (the reader half round-trips it).
+
+    Arrow path: as a ``DataSourceArrowWriter`` each task receives
+    ``pyarrow.RecordBatch``es, casts both columns to string (Arrow cast
+    rules; the registered queries always pass strings), renders
+    ``key\\tvalue`` vectorized via ``binary_join_element_wise`` with nulls
+    replaced by ``""`` (the same coercion the row-path used), and streams
+    one ``"\\n"``-joined block per batch — no per-row Python.
 
     Commit protocol mirrors Hadoop's ``FileOutputCommitter`` (the machinery
     under the reference's ``TextOutputFormat``, ``ClickThru.java:186-187``):
@@ -136,6 +171,8 @@ class TextKVWriter(DataSourceWriter):
 
     # executor-side
     def write(self, iterator) -> TextKVCommit:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -145,12 +182,27 @@ class TextKVWriter(DataSourceWriter):
             f"task-{ctx.partitionId():05d}-attempt-{ctx.taskAttemptId()}",
         )
         n = 0
-        with open(staged, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                key = "" if row[0] is None else str(row[0])
-                value = "" if row[1] is None else str(row[1])
-                fh.write(f"{key}\t{value}\n")
-                n += 1
+        with open(staged, "wb") as fh:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                # "key\tvalue\n" per element, all vectorized; the second
+                # join appends the newline ("x" joined with "" on "\n").
+                lines = pc.binary_join_element_wise(
+                    pc.cast(batch.column(0), pa.string()),
+                    pc.cast(batch.column(1), pa.string()),
+                    "\t",
+                    null_handling="replace",
+                    null_replacement="",
+                )
+                lines = pc.binary_join_element_wise(lines, "", "\n")
+                # Zero-copy dump: a freshly computed StringArray is
+                # offset-0/null-free, so its data buffer IS the
+                # concatenation of all elements in order.
+                assert lines.offset == 0 and lines.null_count == 0
+                n_bytes = pc.sum(pc.binary_length(lines)).as_py() or 0
+                fh.write(memoryview(lines.buffers()[2])[:n_bytes])
+                n += batch.num_rows
         return TextKVCommit(staged=staged, rows=n)
 
     # driver-side

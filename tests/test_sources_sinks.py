@@ -213,3 +213,44 @@ def test_textkv_writer_rejects_wrong_schema(spark, tmp_path):
         spark.createDataFrame([(1, 2)], "a int, b int").write.format(
             "textkv"
         ).mode("overwrite").save(str(tmp_path / "kvbad"))
+
+
+def test_textkv_arrow_path_multibyte_and_scale(spark, tmp_path):
+    """The Arrow read/write path (RecordBatch reader + zero-copy buffer
+    writer) is byte-accounting-sensitive: multibyte UTF-8 must round-trip
+    exactly (binary_length counts BYTES, not codepoints), empty string
+    keys/values survive, and a >_BATCH_ROWS partition exercises the
+    multi-batch yield in the reader."""
+    from hadoopmapreduce_spark.sources.textkv_source import (
+        _BATCH_ROWS,
+        register_textkv,
+    )
+
+    register_textkv(spark)
+    out = str(tmp_path / "kvmb")
+    rows = [("ä, ß", "côte"), ("日本語", "データ"), ("", ""), ("k", "ü\tv")]
+    df = spark.createDataFrame(rows, "key string, value string").coalesce(1)
+    df.write.format("textkv").mode("overwrite").save(out)
+    back = {
+        (r.key, r.value)
+        for r in spark.read.format("textkv").load(out).collect()
+    }
+    # ("", "") writes "\t" — a non-blank line — so it round-trips too;
+    # everything multibyte is byte-exact.
+    assert back == {("ä, ß", "côte"), ("日本語", "データ"), ("", ""), ("k", "ü\tv")}
+
+    # multi-batch reader: one partition with > _BATCH_ROWS lines
+    big = tmp_path / "kvbig"
+    big.mkdir()
+    n = _BATCH_ROWS + 17
+    with open(big / "part-00000", "w", encoding="utf-8") as fh:
+        for i in range(n):
+            fh.write(f"k{i}\t{i}\n")
+    got = spark.read.format("textkv").load(str(big))
+    from pyspark.sql import functions as F
+
+    agg = got.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("bigint")).alias("s"),
+    ).collect()[0]
+    assert agg["n"] == n and agg["s"] == n * (n - 1) // 2
