@@ -565,6 +565,136 @@ def video_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_video_probe_batch, schema=_VIDEO_SCHEMA)
 
 
+# --- real ZIP archive codec: stdlib zipfile, CRC-verified deflate --------
+#
+# Training corpora ship as archives (WARC/tar/zip of shards); the engine
+# needs an archive-manifest probe that parses the REAL container — central
+# directory walk, per-member CRC32 verification, actual DEFLATE
+# decompression of member bytes — without ever exploding the archive into
+# the shuffle.  Same staging discipline as the audio/image/video codecs
+# above: a true stdlib codec in the loop, with every emitted feature
+# independently predictable from (doc_id, text) so a DuckDB oracle can
+# adjudicate the whole pipeline.  ``ZIP_ARCHIVE_ORACLE_SQL`` below is the
+# pre-validated oracle for the round-7 registration.
+
+ZIP_BASE_MOD = 89  # member-0 filler length = octet_length(text) % 89 + 5
+
+
+def synthesize_zip(doc_id: int, base_len: int) -> bytes:
+    """Deterministic REAL ZIP: ``doc_id % 3 + 1`` members named
+    ``m{i}.txt`` with ASCII content ``doc{doc_id}:`` + ``"x" * (base_len
+    + 7*i)``, alternating DEFLATED/STORED members, epoch-fixed timestamps
+    (1980-01-01) so the payload bytes are run-independent."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    k = doc_id % 3 + 1
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(k):
+            content = f"doc{doc_id}:" + "x" * (base_len + 7 * i)
+            info = zipfile.ZipInfo(f"m{i}.txt", date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = (
+                zipfile.ZIP_DEFLATED if i % 2 == 0 else zipfile.ZIP_STORED
+            )
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
+def parse_zip_manifest(payload: bytes) -> dict:
+    """REAL archive parse: open the central directory with stdlib
+    ``zipfile``, CRC32-verify EVERY member (``testzip`` decompresses the
+    deflate streams — corrupted members raise), and emit the manifest a
+    pipeline prunes/joins on plus the first 12 chars of member 0, proof
+    the bytes went through a genuine inflate."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        bad = zf.testzip()
+        if bad is not None:
+            raise ValueError(f"ZIP: CRC mismatch in member {bad!r}")
+        infos = zf.infolist()
+        if not infos:
+            raise ValueError("ZIP: empty archive")
+        head0 = zf.read(infos[0]).decode("ascii")[:12]
+    return {
+        "n_members": len(infos),
+        "total_uncompressed": sum(i.file_size for i in infos),
+        "names": ",".join(i.filename for i in infos),
+        "head0": head0,
+    }
+
+
+_ZIP_SCHEMA = (
+    "doc_id bigint, n_members int, total_uncompressed bigint, "
+    "names string, head0 string"
+)
+
+
+def _zip_manifest_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [parse_zip_manifest(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def zip_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ZIP payloads synthesized per document (member sizes from the
+    text's byte length, member count from the doc id)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_id: pd.Series, base_len: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synthesize_zip(int(d), int(b)) for d, b in zip(doc_id, base_len)]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = F.length(F.encode(F.col("text"), "utf-8")) % ZIP_BASE_MOD + 5
+    return d.select(
+        "doc_id", base.cast("int").alias("base_spec")
+    ).withColumn("payload", _synth(F.col("doc_id"), F.col("base_spec")))
+
+
+# DuckDB twin of zip_manifest_features (round-7 registration, alongside the
+# audio/image/video oracles).  k = doc_id % 3 + 1 members; member i is
+# 'doc<id>:' plus (base + 7i) 'x's, so total = k*(prefix+base) + 7*k*(k-1)/2
+# (k*(k-1) is even — the // division is exact).
+ZIP_ARCHIVE_ORACLE_SQL = f"""
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(doc_id % 3 + 1 AS BIGINT) AS k,
+             length('doc' || CAST(doc_id AS VARCHAR) || ':')
+               + octet_length(encode(text)) % {ZIP_BASE_MOD} + 5 AS m0_len,
+             'doc' || CAST(doc_id AS VARCHAR) || ':'
+               || repeat('x', octet_length(encode(text)) % {ZIP_BASE_MOD} + 5)
+               AS content0
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS n_members,
+           CAST(k * m0_len + (7 * k * (k - 1)) // 2 AS BIGINT)
+             AS total_uncompressed,
+           CASE CAST(k AS INT) WHEN 1 THEN 'm0.txt'
+                               WHEN 2 THEN 'm0.txt,m1.txt'
+                               ELSE 'm0.txt,m1.txt,m2.txt' END AS names,
+           substr(content0, 1, 12) AS head0
+    FROM spec
+"""
+
+
+def zip_manifest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL archive pipeline: synthesize genuine ZIPs (mixed
+    DEFLATE/STORED members), re-open them in ``mapInPandas``, CRC-verify
+    every member and inflate member 0, emit the typed manifest.  The
+    archive never explodes into the shuffle — one manifest row per blob,
+    which is the 100 TB shape for archived corpora."""
+    assets = zip_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_zip_manifest_batch, schema=_ZIP_SCHEMA)
+
+
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize multimodal assets from documents: payload = utf-8 bytes of
     the text (an opaque blob as far as the pipeline is concerned), kind

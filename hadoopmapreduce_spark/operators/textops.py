@@ -1850,3 +1850,60 @@ def pipeline_mixture_cap_rebalance(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         (F.lit(1) - F.col("is_full")).alias("is_capped"),
     )
+
+
+# --------------------------------------------------------------------------
+# staged for round-7 registration: zlib compression-ratio quality signal
+# --------------------------------------------------------------------------
+#
+# The standard cheap quality/repetition filter for LLM corpora (used by the
+# Gopher/RefinedWeb-style rule batteries): near-random text compresses
+# poorly, boilerplate/templated text compresses extremely well, and both
+# tails get gated before training.  DEFLATE is not expressible in SQL, so
+# like udaf_tdigest_quantiles this is a ROWS-ONLY registration candidate —
+# its correctness evidence is the in-repo battery instead: an exact
+# recomputation test against direct zlib, a three-partitioning determinism
+# test, and a monotonicity property (repetitive < random, pinned in
+# tests/test_round6_session2.py).  Values are stable for a fixed zlib
+# build (level pinned at 6); cross-build drift is why no driver oracle.
+
+DEFLATE_LEVEL = 6
+
+
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DEFLATE ratio in ppm: ``deflate_ppm = 1e6 *
+    compressed_bytes / raw_bytes`` (integer), plus the gate flag for the
+    standard keep-band.  The only Python in the plan is one Arrow-batched
+    pandas UDF computing ``len(zlib.compress(...))`` — the ratio
+    arithmetic and gating stay JVM-side; one narrow projection, no
+    shuffle, linear at any scale."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _deflate_len(texts):
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), DEFLATE_LEVEL))
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    nb = F.length(F.encode(F.col("text"), "utf-8")).cast("bigint")
+    out = d.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        _deflate_len(F.col("text")).cast("bigint").alias("n_deflate"),
+    )
+    ratio = F.expr("(1000000 * n_deflate) div greatest(n_bytes, 1)")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_deflate",
+        ratio.alias("deflate_ppm"),
+        # keep-band: heavily repetitive (<300000 ppm) and incompressible
+        # (>=1050000 ppm — deflate overhead can exceed 1.0 on tiny docs)
+        # both gate out
+        F.when((ratio >= 300000) & (ratio < 1050000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )

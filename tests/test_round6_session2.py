@@ -1,0 +1,146 @@
+"""Round-6 second-session additions: Arrow-batched textkv data source
+(covered in test_sources_sinks.py), the staged ZIP archive codec, and the
+staged zlib compression-ratio quality signal."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_zip_synthesize_parse_roundtrip():
+    """The ZIP path is a REAL archive codec: stdlib zipfile walks the
+    central directory we wrote, CRC-verifies every member, and inflates
+    member 0 back to the specified content."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_zip_manifest,
+        synthesize_zip,
+    )
+
+    payload = synthesize_zip(5, 20)  # doc_id=5 -> 3 members
+    assert payload[:2] == b"PK"
+    m = parse_zip_manifest(payload)
+    prefix = len("doc5:")
+    assert m["n_members"] == 3
+    assert m["names"] == "m0.txt,m1.txt,m2.txt"
+    assert m["total_uncompressed"] == 3 * (prefix + 20) + 7 * 3  # +7*(0+1+2)
+    assert m["head0"] == ("doc5:" + "x" * 20)[:12]
+
+
+def test_zip_payload_bytes_deterministic():
+    """Fixed ZipInfo timestamps make the payload run-independent — the
+    same (doc_id, base_len) must produce identical bytes."""
+    from hadoopmapreduce_spark.operators.multimodal import synthesize_zip
+
+    assert synthesize_zip(42, 33) == synthesize_zip(42, 33)
+
+
+def test_zip_parser_rejects_corrupted_member():
+    """Proof the parser decompresses, not pattern-matches: corrupting
+    bytes inside a DEFLATED member's stream makes CRC verification
+    raise."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_zip_manifest,
+        synthesize_zip,
+    )
+
+    payload = bytearray(synthesize_zip(7, 40))
+    # member 0 (DEFLATED) local header starts at 0; its data begins after
+    # the 30-byte local header + name.  Flip bytes there.
+    data_off = 30 + len("m0.txt")
+    payload[data_off + 2] ^= 0xFF
+    payload[data_off + 3] ^= 0xFF
+    with pytest.raises(Exception):
+        parse_zip_manifest(bytes(payload))
+
+
+def test_zip_parser_rejects_truncated_archive():
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_zip_manifest,
+        synthesize_zip,
+    )
+
+    payload = synthesize_zip(3, 25)
+    with pytest.raises(Exception):
+        parse_zip_manifest(payload[: len(payload) // 2])
+
+
+def test_zip_manifest_features_end_to_end(spark, sf_dir, oracle_con):
+    """Synthesize -> mapInPandas parse over the fixture, then hash-match
+    the pre-staged round-7 oracle (closed-form member sizes in DuckDB)."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        ZIP_ARCHIVE_ORACLE_SQL,
+        zip_manifest_features,
+    )
+    from hadoopmapreduce_spark.oracle import compare
+
+    df = zip_manifest_features(spark, sf_dir)
+    report = compare("zip_manifest_features", df, oracle_con, ZIP_ARCHIVE_ORACLE_SQL)
+    assert report.ok and report.exact_values, report.detail
+
+
+def test_zip_mixed_compression_types():
+    """Members alternate DEFLATED/STORED — both code paths are present in
+    every multi-member archive (the parser must handle each)."""
+    import io
+    import zipfile
+
+    from hadoopmapreduce_spark.operators.multimodal import synthesize_zip
+
+    with zipfile.ZipFile(io.BytesIO(synthesize_zip(5, 10))) as zf:
+        kinds = [i.compress_type for i in zf.infolist()]
+    assert kinds == [zipfile.ZIP_DEFLATED, zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED]
+
+
+def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
+    """Every (n_bytes, n_deflate) must equal a direct driver-side zlib
+    recomputation on the same fixture rows — the exactness evidence that
+    stands in for a SQL oracle (DEFLATE is not SQL-expressible)."""
+    import zlib
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.textops import (
+        DEFLATE_LEVEL,
+        text_compression_ratio,
+    )
+
+    got = {r.doc_id: r for r in text_compression_ratio(spark, sf_dir).collect()}
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(src) > 0
+    for s in src:
+        raw = s.text.encode("utf-8")
+        r = got[s.doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.n_deflate == len(zlib.compress(raw, DEFLATE_LEVEL))
+        assert r.deflate_ppm == 1_000_000 * r.n_deflate // max(r.n_bytes, 1)
+        assert r.keep == (1 if 300_000 <= r.deflate_ppm < 1_050_000 else 0)
+
+
+def test_compression_ratio_partitioning_invariant(spark, sf_dir):
+    """The signal is per-row: 1, 3, and 16 partitions must produce the
+    identical sorted result set."""
+    from hadoopmapreduce_spark.operators.textops import text_compression_ratio
+
+    base = sorted(
+        tuple(r) for r in text_compression_ratio(spark, sf_dir).collect()
+    )
+    for n in (1, 3, 16):
+        df = text_compression_ratio(spark, sf_dir).repartition(n)
+        assert sorted(tuple(r) for r in df.collect()) == base
+
+
+def test_compression_ratio_monotone_property():
+    """Repetitive text must compress strictly better than high-entropy
+    text of the same length — the discriminating property the quality
+    gate relies on."""
+    import random
+    import zlib
+
+    from hadoopmapreduce_spark.operators.textops import DEFLATE_LEVEL
+
+    rng = random.Random(7)
+    n = 4000
+    repetitive = ("the quick brown fox " * 400)[:n].encode()
+    noisy = "".join(chr(rng.randrange(33, 127)) for _ in range(n)).encode()
+    rep_ppm = 1_000_000 * len(zlib.compress(repetitive, DEFLATE_LEVEL)) // n
+    noise_ppm = 1_000_000 * len(zlib.compress(noisy, DEFLATE_LEVEL)) // n
+    assert rep_ppm < 300_000 < noise_ppm
