@@ -420,9 +420,11 @@ def scan_textkv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     full round trip a reference user performs when job 2's output feeds a
     follow-up job.
 
-    Scale: the custom source exposes one InputPartition per part-file, so
-    the read parallelizes like TextInputFormat splits; parsing is plain
-    codegen regexp/cast on top of the (key, value) strings."""
+    Scale: the custom source exposes newline-aligned byte-range
+    InputPartitions (128 MB default, like TextInputFormat block splits —
+    a single huge part-file fans out instead of becoming one straggler);
+    parsing is plain codegen regexp/cast on top of the (key, value)
+    strings."""
     import tempfile
 
     from hadoopmapreduce_spark.sources.textkv_source import register_textkv

@@ -12,6 +12,7 @@ both engines), so everything here is oracle-checkable bit-exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1882,7 +1883,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
-    def _deflate_len(texts):
+    def _deflate_len(texts: pd.Series) -> pd.Series:
         return texts.map(
             lambda t: len(zlib.compress(t.encode("utf-8"), DEFLATE_LEVEL))
         )

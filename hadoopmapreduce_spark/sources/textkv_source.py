@@ -7,9 +7,11 @@ makes it a first-class *readable* format via the Python Data Source API
 (``pyspark.sql.datasource``), so ``spark.read.format("textkv").load(dir)``
 round-trips the reference's files like any built-in source:
 
-* one ``InputPartition`` per part-file → reads parallelize across the
-  cluster exactly like Hadoop's file splits (a directory written by N tasks
-  is read by N tasks);
+* newline-aligned byte-range ``InputPartition``s (128 MB default,
+  ``.option("split_bytes", n)`` to override) → reads parallelize across
+  the cluster exactly like Hadoop's block splits: a directory written by
+  N tasks is read by at least N tasks, and a single huge part-file fans
+  out instead of becoming one straggler;
 * the reader yields ``pyarrow.RecordBatch`` chunks (NOT per-row tuples):
   the Python Data Source protocol ships whatever the reader yields through
   Arrow, and yielding pre-built batches skips the per-row pickle/convert
@@ -76,15 +78,31 @@ class TextKVDataSource(DataSource):
         return TextKVWriter(self.options, overwrite)
 
 
+#: files larger than this split into byte ranges — Hadoop's default block
+#: split size; override per-read with .option("split_bytes", n)
+_SPLIT_BYTES = 128 << 20
+
+
 class TextKVReader(DataSourceReader):
     def __init__(self, options) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("textkv source requires a path")
         self.path = path
+        self.split_bytes = int(options.get("split_bytes", _SPLIT_BYTES))
+        if self.split_bytes < 1:
+            raise ValueError("split_bytes must be >= 1")
 
     def partitions(self) -> list[InputPartition]:
-        # File-granular splits, like TextInputFormat's per-file splits.
+        # Byte-range splits with newline alignment — the full
+        # TextInputFormat split model, not merely per-file: a single huge
+        # part-file fans out across the cluster instead of becoming one
+        # straggler task.  Alignment protocol (Hadoop LineRecordReader):
+        # a reader with start > 0 discards its first (possibly partial)
+        # line, and every reader keeps consuming lines while the line
+        # START is <= its end — so the line straddling a boundary is read
+        # exactly once, by the split it starts in.  '\n' never occurs
+        # inside a UTF-8 multibyte sequence, so byte alignment is safe.
         # Deterministic order; empty part-files are fine (yield nothing).
         if os.path.isdir(self.path):
             files = sorted(
@@ -96,16 +114,37 @@ class TextKVReader(DataSourceReader):
             files = [self.path]
         if not files:
             raise FileNotFoundError(f"no part-files under {self.path!r}")
-        return [InputPartition(f) for f in files]
+        parts: list[InputPartition] = []
+        for f in files:
+            size = os.path.getsize(f)
+            if size <= self.split_bytes:
+                parts.append(InputPartition((f, 0, size)))
+                continue
+            start = 0
+            while start < size:
+                end = min(start + self.split_bytes, size)
+                parts.append(InputPartition((f, start, end)))
+                start = end
+        return parts
 
     def read(self, partition: InputPartition):
         import pyarrow as pa
 
+        path, start, end = partition.value
         keys: list[str] = []
         values: list[str] = []
-        with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
+        with open(path, "rb") as fh:
+            fh.seek(start)
+            if start > 0:
+                fh.readline()  # owned by the previous split (see partitions)
+            while fh.tell() <= end:
+                raw = fh.readline()
+                if not raw:
+                    break
+                # split on \n only, strip a trailing \r — LineRecordReader's
+                # CRLF handling (binary seeks rule out text-mode newline
+                # translation)
+                line = raw.decode("utf-8").rstrip("\r\n")
                 if not line:
                     continue
                 key, _tab, value = line.partition("\t")

@@ -45,7 +45,7 @@ HEADLINERS = [
     ("join_partition_pruned_dynamic", "DPP: broadcast dim keys injected as a runtime partition filter on the month-partitioned fact"),
     ("window_running_distinct", "running COUNT(DISTINCT) via first-occurrence flag: two user-keyed windows, no global sort"),
     ("graph_kcore_peel_trace", "bounded-round degree peel: final census reads materialized node-sized tables, constant plan per round"),
-    ("sink_textkv_writer_roundtrip", "Python DataSource writer roundtrip: per-file read partitions over the committed part files"),
+    ("sink_textkv_writer_roundtrip", "Python DataSource writer roundtrip: byte-range read partitions over the committed part files"),
     ("fn_xxhash64_suite", "xxhash64 differential: one projection, pure codegen, no shuffle"),
     ("agg_decile_lift_table", "global decile rank via range repartition + per-partition row_number — no single-partition NTILE window"),
     ("dedup_minhash_eval", "LSH candidates (tuple-band equi-join) semi-joined against exact truth; counts only cross the final stage"),
@@ -99,7 +99,7 @@ HEADLINERS = [
     ("graph_pagerank_int", "per-iteration join+agg on the cached edge partitioning; integer mass, linear lineage via checkpointed ranks"),
     ("dedup_clusters", "star-contraction components: per-round checkpoint cuts lineage, O(log n) rounds, node-keyed exchanges only"),
     ("dedup_clusters_twostar", "alternating big-star/small-star rounds; 2-scalar convergence probe reads a count, not the cluster table"),
-    ("scan_textkv_source", "Python DataSource reader: per-file partitions stream k<TAB>v lines; parse stays in Arrow batches"),
+    ("scan_textkv_source", "Python DataSource reader: newline-aligned byte-range partitions stream k<TAB>v lines; Arrow-batched both directions"),
     ("streaming_view_purchase_join", "stream-stream interval join with watermarks both sides; state bounded by the join window"),
     ("streaming_late_data_audit", "watermark audit: on-time rows aggregate in-stream, late rows land in a side output, totals reconciled"),
     ("streaming_dim_refresh_enrich", "foreachBatch dim refresh: each micro-batch broadcast-joins the CURRENT dim snapshot"),
