@@ -23,6 +23,11 @@ round-trips the reference's files like any built-in source:
   ``pyarrow.compute.binary_join_element_wise`` — no per-row Python in
   either direction.
 
+* a STREAMING writer (``DataSourceStreamArrowWriter``) with per-epoch
+  replace-on-replay commit completes the Python Data Source matrix:
+  batch read, batch write, streaming read (``event_replay_source.py``),
+  streaming write — ``df.writeStream.format("textkv").start(dir)``.
+
 This is the Spark-4-native replacement for writing a Hadoop InputFormat in
 Java — pure Python, Arrow end-to-end.
 
@@ -47,6 +52,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -70,12 +76,20 @@ class TextKVDataSource(DataSource):
         return TextKVReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "TextKVWriter":
-        if [f.name for f in schema.fields] != ["key", "value"]:
-            raise ValueError(
-                "textkv writer requires exactly (key, value) columns, got "
-                f"{[f.name for f in schema.fields]!r}"
-            )
+        _require_kv_schema(schema)
         return TextKVWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "TextKVStreamWriter":
+        _require_kv_schema(schema)
+        return TextKVStreamWriter(self.options)
+
+
+def _require_kv_schema(schema) -> None:
+    if [f.name for f in schema.fields] != ["key", "value"]:
+        raise ValueError(
+            "textkv writer requires exactly (key, value) columns, got "
+            f"{[f.name for f in schema.fields]!r}"
+        )
 
 
 #: files larger than this split into byte ranges — Hadoop's default block
@@ -171,6 +185,45 @@ class TextKVCommit(WriterCommitMessage):
     rows: int
 
 
+def _stage_batches(staging: str, iterator) -> TextKVCommit:
+    """Executor-side shared path for BOTH writers: render each Arrow batch
+    to ``key\\tvalue\\n`` lines vectorized and stream the bytes to one
+    attempt-unique staged file under ``staging``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(
+        staging,
+        f"task-{ctx.partitionId():05d}-attempt-{ctx.taskAttemptId()}",
+    )
+    n = 0
+    with open(staged, "wb") as fh:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            # "key\tvalue\n" per element, all vectorized; the second
+            # join appends the newline ("x" joined with "" on "\n").
+            lines = pc.binary_join_element_wise(
+                pc.cast(batch.column(0), pa.string()),
+                pc.cast(batch.column(1), pa.string()),
+                "\t",
+                null_handling="replace",
+                null_replacement="",
+            )
+            lines = pc.binary_join_element_wise(lines, "", "\n")
+            # Zero-copy dump: a freshly computed StringArray is
+            # offset-0/null-free, so its data buffer IS the
+            # concatenation of all elements in order.
+            assert lines.offset == 0 and lines.null_count == 0
+            n_bytes = pc.sum(pc.binary_length(lines)).as_py() or 0
+            fh.write(memoryview(lines.buffers()[2])[:n_bytes])
+            n += batch.num_rows
+    return TextKVCommit(staged=staged, rows=n)
+
+
 class TextKVWriter(DataSourceArrowWriter):
     """Task-staged, driver-committed text-KV sink — the Python Data Source
     writer half of the format (the reader half round-trips it).
@@ -210,39 +263,7 @@ class TextKVWriter(DataSourceArrowWriter):
 
     # executor-side
     def write(self, iterator) -> TextKVCommit:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        os.makedirs(self.staging, exist_ok=True)
-        staged = os.path.join(
-            self.staging,
-            f"task-{ctx.partitionId():05d}-attempt-{ctx.taskAttemptId()}",
-        )
-        n = 0
-        with open(staged, "wb") as fh:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                # "key\tvalue\n" per element, all vectorized; the second
-                # join appends the newline ("x" joined with "" on "\n").
-                lines = pc.binary_join_element_wise(
-                    pc.cast(batch.column(0), pa.string()),
-                    pc.cast(batch.column(1), pa.string()),
-                    "\t",
-                    null_handling="replace",
-                    null_replacement="",
-                )
-                lines = pc.binary_join_element_wise(lines, "", "\n")
-                # Zero-copy dump: a freshly computed StringArray is
-                # offset-0/null-free, so its data buffer IS the
-                # concatenation of all elements in order.
-                assert lines.offset == 0 and lines.null_count == 0
-                n_bytes = pc.sum(pc.binary_length(lines)).as_py() or 0
-                fh.write(memoryview(lines.buffers()[2])[:n_bytes])
-                n += batch.num_rows
-        return TextKVCommit(staged=staged, rows=n)
+        return _stage_batches(self.staging, iterator)
 
     # driver-side
     def commit(self, messages) -> None:
@@ -262,6 +283,72 @@ class TextKVWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class TextKVStreamWriter(DataSourceStreamArrowWriter):
+    """STREAMING text-KV sink — the fourth quadrant of the Python Data
+    Source matrix for this engine (batch read/write live above; the
+    streaming READ half is ``event_replay_source.py``).  Lets any
+    Structured Streaming query terminate in the reference's line format:
+    ``df.writeStream.format("textkv").start(dir)``.
+
+    Per-epoch commit protocol (exactly-once on top of Spark's epoch
+    replay):
+
+    * tasks stage to attempt-unique files exactly like the batch writer
+      (shared ``_stage_batches``);
+    * ``commit(messages, batchId)`` first deletes any existing
+      ``part-<batchId>-*`` files — a REPLAYED epoch (restart between sink
+      commit and checkpoint write) fully replaces its own output instead
+      of duplicating it, even if the replay used a different task count —
+      then renames the staged files to ``part-<batchId:09d>-<i:05d>`` in
+      deterministic order;
+    * ``abort`` discards the staging dir; committed epochs are untouched.
+
+    Epoch part files carry the same ``part-`` prefix the batch reader
+    globs, so a finished stream's directory round-trips through
+    ``spark.read.format("textkv")`` unchanged.  Same local/shared-POSIX
+    contract as the rest of the module."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("textkv stream writer requires a path")
+        self.path = path
+        # Unlike the batch writer, the streaming runtime re-instantiates
+        # the writer (driver-side commit object vs the pickled executor
+        # copy can carry DIFFERENT uuids), so instance state is only the
+        # write-side staging target; cleanup derives from the commit
+        # messages' actual paths, never from self.staging alone.
+        self.staging = os.path.join(path, f"_stream-staging-{uuid.uuid4().hex}")
+
+    # executor-side, once per task per micro-batch
+    def write(self, iterator) -> TextKVCommit:
+        return _stage_batches(self.staging, iterator)
+
+    def _cleanup(self, messages) -> None:
+        # remove every staging dir the epoch's tasks actually used (their
+        # failed-attempt leftovers live in the same dirs) plus this
+        # instance's own target
+        parents = {
+            os.path.dirname(m.staged) for m in messages if m is not None
+        }
+        for p in parents | {self.staging}:
+            shutil.rmtree(p, ignore_errors=True)
+
+    # driver-side, once per successful micro-batch
+    def commit(self, messages, batchId: int) -> None:
+        for stale in glob.glob(os.path.join(self.path, f"part-{batchId:09d}-*")):
+            os.remove(stale)
+        staged = sorted(m.staged for m in messages if m is not None)
+        for i, src in enumerate(staged):
+            os.replace(
+                src, os.path.join(self.path, f"part-{batchId:09d}-{i:05d}")
+            )
+        self._cleanup(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
 
 
 def register_textkv(spark) -> None:

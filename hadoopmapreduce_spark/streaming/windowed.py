@@ -1045,3 +1045,70 @@ def streaming_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("decimal(28,6)").cast("double").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# staged for round-7 registration: streaming textkv SINK roundtrip
+# --------------------------------------------------------------------------
+#
+# The fourth Python Data Source quadrant (DataSourceStreamArrowWriter,
+# sources/textkv_source.py:TextKVStreamWriter) driven end-to-end: the
+# events table replays as ~4 micro-batches through the custom streaming
+# READER, terminates in the custom streaming WRITER (per-epoch
+# replace-on-replay commit), and the committed directory is read back
+# through the batch textkv reader and re-aggregated.  Values ride as
+# integer ppm so the text boundary is bit-exact in both engines.
+# Unregistered this round (adjudication-backlog freeze); the oracle below
+# is pre-validated at sf0.001 + sf0.01 in tests/test_round6_session2.py.
+
+TEXTKV_STREAM_SINK_ORACLE_SQL = """
+    SELECT event_type AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_ppm
+    FROM events GROUP BY 1
+"""
+
+
+def streaming_textkv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → custom streaming sink → batch re-read: however the replay
+    chops the table into epochs (and however epochs replay on restart —
+    the sink replaces per-epoch output idempotently), the directory's
+    contents must re-aggregate to the batch answer.  No driver collect
+    anywhere: epochs commit via task-staged rename, the final aggregate
+    is an ordinary two-phase hash agg over the re-scanned lines."""
+    from hadoopmapreduce_spark.sources.event_replay_source import (
+        EventReplayDataSource,
+    )
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    spark.dataSource.register(EventReplayDataSource)
+    register_textkv(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    src = (
+        spark.readStream.format("event_replay")
+        .option("path", path)
+        .option("chunks", "4")
+        .load()
+    )
+    kv = src.select(
+        F.col("event_type").alias("key"),
+        F.round(F.col("value") * 1000000)
+        .cast("bigint")
+        .cast("string")
+        .alias("value"),
+    )
+    outdir = work_dir("textkv_stream_sink", sf_dir, fresh=True)
+    sink = os.path.join(outdir, "out")
+    q = (
+        kv.writeStream.format("textkv")
+        .option("checkpointLocation", os.path.join(outdir, "_ckpt"))
+        .start(sink)
+    )
+    q.processAllAvailable()
+    q.stop()
+    raw = spark.read.format("textkv").load(sink)
+    return raw.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("bigint")).alias("sum_value_ppm"),
+    )

@@ -238,3 +238,124 @@ def test_textkv_split_boundary_property(spark, tmp_path):
         assert got == expected  # order within one file is preserved too
 
     run()
+
+
+def test_textkv_stream_writer_end_to_end(spark, sf_dir, tmp_path):
+    """The streaming textkv sink: replay the events table as micro-batches
+    through the custom streaming reader, terminate the stream in the
+    custom streaming writer, and the committed directory must (a) read
+    back through the BATCH textkv reader with exactly the batch-computed
+    rows and (b) carry per-epoch part files from more than one epoch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.sources.event_replay_source import (
+        EventReplayDataSource,
+    )
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    spark.dataSource.register(EventReplayDataSource)
+    register_textkv(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    out = str(tmp_path / "stream_out")
+    os.makedirs(out, exist_ok=True)
+
+    src = (
+        spark.readStream.format("event_replay")
+        .option("path", path)
+        .option("chunks", "4")
+        .load()
+    )
+    kv = src.select(
+        F.col("event_type").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    q = (
+        kv.writeStream.format("textkv")
+        .option("checkpointLocation", str(tmp_path / "_ckpt"))
+        .start(out)
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.key, r.value)
+        for r in spark.read.format("textkv").load(out).collect()
+    )
+    expected = sorted(
+        (r.key, r.value)
+        for r in spark.read.parquet(path)
+        .select(
+            F.col("event_type").alias("key"),
+            F.col("value").cast("string").alias("value"),
+        )
+        .collect()
+    )
+    assert got == expected and len(got) > 0
+
+    epochs = {
+        f.split("-")[1] for f in os.listdir(out) if f.startswith("part-")
+    }
+    assert len(epochs) > 1, f"expected multi-epoch output, got {epochs}"
+    assert not [f for f in os.listdir(out) if f.startswith("_stream-staging")]
+
+
+def test_textkv_stream_commit_replay_replaces_epoch(tmp_path):
+    """Epoch replay idempotence, driver-side unit: committing the same
+    batchId twice (second time with a different task count) must leave
+    exactly the second commit's files — no duplicates, no strays."""
+    from hadoopmapreduce_spark.sources.textkv_source import (
+        TextKVCommit,
+        TextKVStreamWriter,
+    )
+
+    out = tmp_path / "replay"
+    out.mkdir()
+    w = TextKVStreamWriter({"path": str(out)})
+
+    def stage(contents):
+        import os
+
+        os.makedirs(w.staging, exist_ok=True)
+        msgs = []
+        for i, c in enumerate(contents):
+            p = os.path.join(w.staging, f"task-{i:05d}-attempt-{i}")
+            with open(p, "w") as fh:
+                fh.write(c)
+            msgs.append(TextKVCommit(staged=p, rows=1))
+        return msgs
+
+    w.commit(stage(["a\t1\n", "b\t2\n", "c\t3\n"]), batchId=7)
+    assert sorted(f.name for f in out.iterdir()) == [
+        "part-000000007-00000",
+        "part-000000007-00001",
+        "part-000000007-00002",
+    ]
+    # replayed epoch 7 with 2 tasks replaces all 3 prior files
+    w.commit(stage(["x\t9\n", "y\t8\n"]), batchId=7)
+    names = sorted(f.name for f in out.iterdir())
+    assert names == ["part-000000007-00000", "part-000000007-00001"]
+    data = sorted((out / n).read_text() for n in names)
+    assert data == ["x\t9\n", "y\t8\n"]
+
+
+def test_streaming_textkv_sink_roundtrip_oracle(spark, sf_dir, oracle_con):
+    """The staged round-7 query: multi-epoch stream through the textkv
+    streaming sink, re-read and re-aggregated — must hash-match the plain
+    batch SQL over events (integer-ppm values make the text boundary
+    exact)."""
+    from hadoopmapreduce_spark.oracle import compare
+    from hadoopmapreduce_spark.streaming.windowed import (
+        TEXTKV_STREAM_SINK_ORACLE_SQL,
+        streaming_textkv_sink_roundtrip,
+    )
+
+    df = streaming_textkv_sink_roundtrip(spark, sf_dir)
+    report = compare(
+        "streaming_textkv_sink_roundtrip",
+        df,
+        oracle_con,
+        TEXTKV_STREAM_SINK_ORACLE_SQL,
+    )
+    assert report.ok and report.exact_values, report.detail
