@@ -106,6 +106,80 @@ class TextKVReader(DataSourceReader):
         self.split_bytes = int(options.get("split_bytes", _SPLIT_BYTES))
         if self.split_bytes < 1:
             raise ValueError("split_bytes must be >= 1")
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark 4.1 Python Data Source API): accept the
+        string predicates this source can evaluate per line — EqualTo /
+        In / StringStartsWith / StringEndsWith / StringContains on either
+        column, plus IsNotNull (trivially true here: the reader never
+        yields nulls) — and hand everything else back to Spark.  Pushed
+        filters drop lines BEFORE Arrow batch assembly, so a selective
+        scan ships only matching rows across the Python↔JVM boundary
+        instead of materializing the whole file."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            IsNotNull,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        cols = (("key",), ("value",))
+        for f in filters:
+            if isinstance(f, IsNotNull) and f.attribute in cols:
+                self._pushed.append(f)
+            elif (
+                isinstance(f, EqualTo)
+                and f.attribute in cols
+                and isinstance(f.value, str)
+            ):
+                self._pushed.append(f)
+            elif (
+                isinstance(f, In)
+                and f.attribute in cols
+                # In.value is the tuple of candidate values
+                and all(isinstance(v, str) for v in f.value)
+            ):
+                self._pushed.append(f)
+            elif (
+                isinstance(f, (StringStartsWith, StringEndsWith, StringContains))
+                and f.attribute in cols
+                and isinstance(f.value, str)
+            ):
+                self._pushed.append(f)
+            else:
+                yield f
+
+    def _compile_pushed(self):
+        """Build one (col_index, str->bool) predicate per pushed filter;
+        executor-side, once per task."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            IsNotNull,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        preds = []
+        for f in self._pushed:
+            col = 0 if f.attribute == ("key",) else 1
+            if isinstance(f, IsNotNull):
+                continue  # never null by construction
+            if isinstance(f, EqualTo):
+                preds.append((col, f.value.__eq__))
+            elif isinstance(f, In):
+                preds.append((col, frozenset(f.value).__contains__))
+            elif isinstance(f, StringStartsWith):
+                preds.append((col, lambda s, v=f.value: s.startswith(v)))
+            elif isinstance(f, StringEndsWith):
+                preds.append((col, lambda s, v=f.value: s.endswith(v)))
+            elif isinstance(f, StringContains):
+                preds.append((col, lambda s, v=f.value: v in s))
+        return preds
 
     def partitions(self) -> list[InputPartition]:
         # Byte-range splits with newline alignment — the full
@@ -145,6 +219,7 @@ class TextKVReader(DataSourceReader):
         import pyarrow as pa
 
         path, start, end = partition.value
+        preds = self._compile_pushed()
         keys: list[str] = []
         values: list[str] = []
         with open(path, "rb") as fh:
@@ -162,6 +237,10 @@ class TextKVReader(DataSourceReader):
                 if not line:
                     continue
                 key, _tab, value = line.partition("\t")
+                if preds:
+                    kv = (key, value)
+                    if not all(p(kv[c]) for c, p in preds):
+                        continue
                 keys.append(key)
                 values.append(value)
                 if len(keys) >= _BATCH_ROWS:
@@ -352,5 +431,12 @@ class TextKVStreamWriter(DataSourceStreamArrowWriter):
 
 
 def register_textkv(spark) -> None:
-    """Idempotent per-session registration of the textkv format."""
+    """Idempotent per-session registration of the textkv format.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, default false): a Python Data Source reader that implements
+    ``pushFilters`` HARD-FAILS planning while the flag is off, so the
+    registration entry point is the right place to turn it on — every
+    textkv read goes through here first."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TextKVDataSource)

@@ -359,3 +359,118 @@ def test_streaming_textkv_sink_roundtrip_oracle(spark, sf_dir, oracle_con):
         TEXTKV_STREAM_SINK_ORACLE_SQL,
     )
     assert report.ok and report.exact_values, report.detail
+
+
+def test_textkv_filter_pushdown_reader_level(tmp_path):
+    """pushFilters contract, reader-level: supported string predicates are
+    absorbed (and actually applied in read); unsupported ones come back
+    for Spark to evaluate."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        StringStartsWith,
+    )
+
+    from hadoopmapreduce_spark.sources.textkv_source import TextKVReader
+
+    d = tmp_path / "kvpush"
+    d.mkdir()
+    (d / "part-00000").write_text("apple\t1\navocado\t2\nbanana\t3\n")
+    reader = TextKVReader({"path": str(d)})
+    remaining = list(
+        reader.pushFilters(
+            [
+                StringStartsWith(("key",), "a"),
+                GreaterThan(("value",), "1"),  # range predicates stay with Spark
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in remaining] == ["GreaterThan"]
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()))
+    assert rows == [("apple", "1"), ("avocado", "2")]
+
+    # EqualTo on value, non-string literal must NOT be absorbed
+    r2 = TextKVReader({"path": str(d)})
+    rem2 = list(r2.pushFilters([EqualTo(("value",), 1)]))
+    assert [type(f).__name__ for f in rem2] == ["EqualTo"]
+
+    # In / EndsWith / Contains all absorb and apply
+    from pyspark.sql.datasource import In, StringContains, StringEndsWith
+
+    r3 = TextKVReader({"path": str(d)})
+    assert list(
+        r3.pushFilters(
+            [
+                In(("key",), ("apple", "banana")),
+                StringEndsWith(("key",), "e"),
+                StringContains(("value",), "1"),
+            ]
+        )
+    ) == []
+    rows3 = []
+    for part in r3.partitions():
+        for batch in r3.read(part):
+            rows3.extend(
+                zip(batch.column(0).to_pylist(), batch.column(1).to_pylist())
+            )
+    assert rows3 == [("apple", "1")]
+
+
+def test_textkv_filter_pushdown_through_spark(spark, tmp_path):
+    """End-to-end: a filtered read returns exactly the rows a post-scan
+    filter would, and the scan's plan carries the pushed filter (the rows
+    were dropped source-side)."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    d = tmp_path / "kvpushspark"
+    d.mkdir()
+    with open(d / "part-00000", "w") as fh:
+        for i in range(1000):
+            fh.write(f"user{i % 7}\t{i}\n")
+    df = spark.read.format("textkv").load(str(d))
+    got = sorted(
+        (r.key, r.value) for r in df.filter(F.col("key") == "user3").collect()
+    )
+    expected = sorted(
+        (f"user{i % 7}", str(i)) for i in range(1000) if i % 7 == 3
+    )
+    assert got == expected
+    # fully-absorbed predicate: the post-scan Filter node disappears from
+    # the optimized plan (the source takes responsibility for it)
+    pushed_plan = (
+        df.filter(F.col("key") == "user3")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Filter" not in pushed_plan, pushed_plan
+    # a range predicate is handed back: the Filter node must survive
+    kept_plan = (
+        df.filter(F.col("value") > "500")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Filter" in kept_plan, kept_plan
+    got_range = sorted(
+        (r.key, r.value) for r in df.filter(F.col("value") > "500").collect()
+    )
+    exp_range = sorted(
+        (f"user{i % 7}", str(i)) for i in range(1000) if str(i) > "500"
+    )
+    assert got_range == exp_range
+    # isin() plans as an In filter — absorbed and correct through Spark
+    got_in = sorted(
+        (r.key, r.value)
+        for r in df.filter(F.col("key").isin("user1", "user5")).collect()
+    )
+    exp_in = sorted(
+        (f"user{i % 7}", str(i)) for i in range(1000) if i % 7 in (1, 5)
+    )
+    assert got_in == exp_in
