@@ -102,10 +102,10 @@ class EventReplayStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(
             partition.path, columns=["event_type", "value"]
         ).slice(partition.lo, partition.hi - partition.lo)
-        for et, v in zip(
-            tbl.column("event_type").to_pylist(), tbl.column("value").to_pylist()
-        ):
-            yield (et, v)
+        # yield Arrow batches directly (same protocol as the batch textkv
+        # reader): the data is already columnar — flattening to Python
+        # tuples and back would be the only per-row work in the source
+        yield from tbl.combine_chunks().to_batches()
 
     def commit(self, end: dict) -> None:
         pass
