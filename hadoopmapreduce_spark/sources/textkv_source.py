@@ -73,7 +73,14 @@ class TextKVDataSource(DataSource):
         return "key string, value string"
 
     def reader(self, schema) -> "TextKVReader":
-        return TextKVReader(self.options)
+        # .option("pushdown", "false") opts a read out of filter pushdown
+        # entirely (returns the base reader, which does not implement
+        # pushFilters — important because a reader that implements the
+        # hook refuses to plan while the session conf that gates it is
+        # off; see register_textkv)
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return TextKVReader(self.options)
+        return TextKVPushdownReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "TextKVWriter":
         _require_kv_schema(schema)
@@ -81,7 +88,7 @@ class TextKVDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> "TextKVStreamWriter":
         _require_kv_schema(schema)
-        return TextKVStreamWriter(self.options)
+        return TextKVStreamWriter(self.options, overwrite)
 
 
 def _require_kv_schema(schema) -> None:
@@ -90,6 +97,17 @@ def _require_kv_schema(schema) -> None:
             "textkv writer requires exactly (key, value) columns, got "
             f"{[f.name for f in schema.fields]!r}"
         )
+    # atomic types only: they render via Arrow cast-to-string (SQL-style —
+    # booleans as 'true'/'false'); nested types would hit an Arrow
+    # NotImplemented mid-job, so reject them at planning time instead
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            raise ValueError(
+                f"textkv writer requires atomic column types; {f.name!r} is "
+                f"{f.dataType.simpleString()} — render it to string first"
+            )
 
 
 #: files larger than this split into byte ranges — Hadoop's default block
@@ -108,78 +126,8 @@ class TextKVReader(DataSourceReader):
             raise ValueError("split_bytes must be >= 1")
         self._pushed: list = []
 
-    def pushFilters(self, filters):
-        """Filter pushdown (Spark 4.1 Python Data Source API): accept the
-        string predicates this source can evaluate per line — EqualTo /
-        In / StringStartsWith / StringEndsWith / StringContains on either
-        column, plus IsNotNull (trivially true here: the reader never
-        yields nulls) — and hand everything else back to Spark.  Pushed
-        filters drop lines BEFORE Arrow batch assembly, so a selective
-        scan ships only matching rows across the Python↔JVM boundary
-        instead of materializing the whole file."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            In,
-            IsNotNull,
-            StringContains,
-            StringEndsWith,
-            StringStartsWith,
-        )
-
-        cols = (("key",), ("value",))
-        for f in filters:
-            if isinstance(f, IsNotNull) and f.attribute in cols:
-                self._pushed.append(f)
-            elif (
-                isinstance(f, EqualTo)
-                and f.attribute in cols
-                and isinstance(f.value, str)
-            ):
-                self._pushed.append(f)
-            elif (
-                isinstance(f, In)
-                and f.attribute in cols
-                # In.value is the tuple of candidate values
-                and all(isinstance(v, str) for v in f.value)
-            ):
-                self._pushed.append(f)
-            elif (
-                isinstance(f, (StringStartsWith, StringEndsWith, StringContains))
-                and f.attribute in cols
-                and isinstance(f.value, str)
-            ):
-                self._pushed.append(f)
-            else:
-                yield f
-
     def _compile_pushed(self):
-        """Build one (col_index, str->bool) predicate per pushed filter;
-        executor-side, once per task."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            In,
-            IsNotNull,
-            StringContains,
-            StringEndsWith,
-            StringStartsWith,
-        )
-
-        preds = []
-        for f in self._pushed:
-            col = 0 if f.attribute == ("key",) else 1
-            if isinstance(f, IsNotNull):
-                continue  # never null by construction
-            if isinstance(f, EqualTo):
-                preds.append((col, f.value.__eq__))
-            elif isinstance(f, In):
-                preds.append((col, frozenset(f.value).__contains__))
-            elif isinstance(f, StringStartsWith):
-                preds.append((col, lambda s, v=f.value: s.startswith(v)))
-            elif isinstance(f, StringEndsWith):
-                preds.append((col, lambda s, v=f.value: s.endswith(v)))
-            elif isinstance(f, StringContains):
-                preds.append((col, lambda s, v=f.value: v in s))
-        return preds
+        return []  # base reader: no pushdown (see TextKVPushdownReader)
 
     def partitions(self) -> list[InputPartition]:
         # Byte-range splits with newline alignment — the full
@@ -256,6 +204,87 @@ class TextKVReader(DataSourceReader):
             )
 
 
+class TextKVPushdownReader(TextKVReader):
+    """The default reader: everything in ``TextKVReader`` plus filter
+    pushdown.  Split off as a subclass because MERELY implementing
+    ``pushFilters`` makes planning hard-fail while the gating session
+    conf is off — ``.option("pushdown", "false")`` selects the base
+    reader as the per-read escape hatch."""
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark 4.1 Python Data Source API): accept the
+        string predicates this source can evaluate per line — EqualTo /
+        In / StringStartsWith / StringEndsWith / StringContains on either
+        column, plus IsNotNull (trivially true here: the reader never
+        yields nulls) — and hand everything else back to Spark.  Pushed
+        filters drop lines BEFORE Arrow batch assembly, so a selective
+        scan ships only matching rows across the Python↔JVM boundary
+        instead of materializing the whole file."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            IsNotNull,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        cols = (("key",), ("value",))
+        for f in filters:
+            if isinstance(f, IsNotNull) and f.attribute in cols:
+                self._pushed.append(f)
+            elif (
+                isinstance(f, EqualTo)
+                and f.attribute in cols
+                and isinstance(f.value, str)
+            ):
+                self._pushed.append(f)
+            elif (
+                isinstance(f, In)
+                and f.attribute in cols
+                # In.value is the tuple of candidate values
+                and all(isinstance(v, str) for v in f.value)
+            ):
+                self._pushed.append(f)
+            elif (
+                isinstance(f, (StringStartsWith, StringEndsWith, StringContains))
+                and f.attribute in cols
+                and isinstance(f.value, str)
+            ):
+                self._pushed.append(f)
+            else:
+                yield f
+
+    def _compile_pushed(self):
+        """Build one (col_index, str->bool) predicate per pushed filter;
+        executor-side, once per task."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            IsNotNull,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        preds = []
+        for f in self._pushed:
+            col = 0 if f.attribute == ("key",) else 1
+            if isinstance(f, IsNotNull):
+                continue  # never null by construction
+            if isinstance(f, EqualTo):
+                preds.append((col, f.value.__eq__))
+            elif isinstance(f, In):
+                preds.append((col, frozenset(f.value).__contains__))
+            elif isinstance(f, StringStartsWith):
+                preds.append((col, lambda s, v=f.value: s.startswith(v)))
+            elif isinstance(f, StringEndsWith):
+                preds.append((col, lambda s, v=f.value: s.endswith(v)))
+            elif isinstance(f, StringContains):
+                preds.append((col, lambda s, v=f.value: v in s))
+        return preds
+
+
 @dataclass
 class TextKVCommit(WriterCommitMessage):
     """One successful task's staged file (absolute path) and its row count."""
@@ -293,12 +322,22 @@ def _stage_batches(staging: str, iterator) -> TextKVCommit:
                 null_replacement="",
             )
             lines = pc.binary_join_element_wise(lines, "", "\n")
-            # Zero-copy dump: a freshly computed StringArray is
-            # offset-0/null-free, so its data buffer IS the
-            # concatenation of all elements in order.
-            assert lines.offset == 0 and lines.null_count == 0
-            n_bytes = pc.sum(pc.binary_length(lines)).as_py() or 0
-            fh.write(memoryview(lines.buffers()[2])[:n_bytes])
+            # Zero-copy dump: for a null-free StringArray the data buffer
+            # between offsets[array.offset] and offsets[array.offset+len]
+            # is exactly the concatenation of all elements in order.
+            # Hard checks (not assert — must survive python -O): nulls
+            # can't happen after null_handling="replace", but a silent
+            # wrong-bytes write would be far worse than a task failure.
+            if lines.null_count != 0:
+                raise RuntimeError("textkv render produced nulls")
+            offsets = memoryview(lines.buffers()[1])
+            lo = int.from_bytes(
+                bytes(offsets[4 * lines.offset : 4 * lines.offset + 4]),
+                "little",
+            )
+            hi_pos = 4 * (lines.offset + len(lines))
+            hi = int.from_bytes(bytes(offsets[hi_pos : hi_pos + 4]), "little")
+            fh.write(memoryview(lines.buffers()[2])[lo:hi])
             n += batch.num_rows
     return TextKVCommit(staged=staged, rows=n)
 
@@ -346,16 +385,29 @@ class TextKVWriter(DataSourceArrowWriter):
 
     # driver-side
     def commit(self, messages) -> None:
+        base = 0
         if self.overwrite:
             for f in glob.glob(os.path.join(self.path, "part-*")):
                 os.remove(f)
             success = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(success):
                 os.remove(success)
+        else:
+            # append mode: number AFTER the existing part files — renaming
+            # from part-00000 would os.replace (clobber) prior output
+            existing = [
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(self.path, "part-*"))
+            ]
+            suffixes = [
+                int(n.split("-")[1]) for n in existing
+                if n.split("-")[1].isdigit()
+            ]
+            base = max(suffixes) + 1 if suffixes else 0
         # deterministic final numbering: sort by staged name (task id order)
         staged = sorted(m.staged for m in messages if m is not None)
         for i, src in enumerate(staged):
-            os.replace(src, os.path.join(self.path, f"part-{i:05d}"))
+            os.replace(src, os.path.join(self.path, f"part-{base + i:05d}"))
         shutil.rmtree(self.staging, ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
             pass
@@ -382,18 +434,28 @@ class TextKVStreamWriter(DataSourceStreamArrowWriter):
       of duplicating it, even if the replay used a different task count —
       then renames the staged files to ``part-<batchId:09d>-<i:05d>`` in
       deterministic order;
-    * ``abort`` discards the staging dir; committed epochs are untouched.
+    * append mode accumulates epochs; TRUNCATE mode (``overwrite=True`` —
+      what Spark passes for complete-output-mode sinks) deletes ALL prior
+      part files at each commit, since every epoch is a full snapshot;
+    * ``abort`` discards staging; committed epochs are untouched.  Both
+      commit and abort also GC ``_stream-staging-*`` leftovers from
+      earlier CRASHED runs (epochs are sequential, so any staging dir
+      present at commit time is garbage).
 
     Epoch part files carry the same ``part-`` prefix the batch reader
     globs, so a finished stream's directory round-trips through
     ``spark.read.format("textkv")`` unchanged.  Same local/shared-POSIX
     contract as the rest of the module."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = False) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("textkv stream writer requires a path")
         self.path = path
+        # overwrite=True is Spark's truncate signal (complete/update-with-
+        # truncate output modes): every epoch is a full snapshot, so commit
+        # replaces the WHOLE directory, not just its own epoch's files
+        self.truncate = overwrite
         # Unlike the batch writer, the streaming runtime re-instantiates
         # the writer (driver-side commit object vs the pickled executor
         # copy can carry DIFFERENT uuids), so instance state is only the
@@ -405,29 +467,31 @@ class TextKVStreamWriter(DataSourceStreamArrowWriter):
     def write(self, iterator) -> TextKVCommit:
         return _stage_batches(self.staging, iterator)
 
-    def _cleanup(self, messages) -> None:
-        # remove every staging dir the epoch's tasks actually used (their
-        # failed-attempt leftovers live in the same dirs) plus this
-        # instance's own target
-        parents = {
-            os.path.dirname(m.staged) for m in messages if m is not None
-        }
-        for p in parents | {self.staging}:
-            shutil.rmtree(p, ignore_errors=True)
+    def _cleanup(self) -> None:
+        # Epochs execute sequentially and this runs driver-side strictly
+        # after the epoch's tasks, so every _stream-staging-* dir is either
+        # this epoch's (its committed files were already renamed away,
+        # leaving only failed-attempt strays) or a leftover from a CRASHED
+        # earlier run — both are garbage; GC them all.
+        for d in glob.glob(os.path.join(self.path, "_stream-staging-*")):
+            shutil.rmtree(d, ignore_errors=True)
 
     # driver-side, once per successful micro-batch
     def commit(self, messages, batchId: int) -> None:
-        for stale in glob.glob(os.path.join(self.path, f"part-{batchId:09d}-*")):
-            os.remove(stale)
+        doomed = (
+            "part-*" if self.truncate else f"part-{batchId:09d}-*"
+        )
         staged = sorted(m.staged for m in messages if m is not None)
+        for stale in glob.glob(os.path.join(self.path, doomed)):
+            os.remove(stale)
         for i, src in enumerate(staged):
             os.replace(
                 src, os.path.join(self.path, f"part-{batchId:09d}-{i:05d}")
             )
-        self._cleanup(messages)
+        self._cleanup()
 
     def abort(self, messages, batchId: int) -> None:
-        self._cleanup(messages)
+        self._cleanup()
 
 
 def register_textkv(spark) -> None:
@@ -437,6 +501,10 @@ def register_textkv(spark) -> None:
     conf, default false): a Python Data Source reader that implements
     ``pushFilters`` HARD-FAILS planning while the flag is off, so the
     registration entry point is the right place to turn it on — every
-    textkv read goes through here first."""
+    textkv read goes through here first.  NOTE this is session-global
+    and re-applies on every registration, overriding an explicit
+    disable; to read textkv without pushdown (and without this conf),
+    use ``.option("pushdown", "false")``, which selects a reader that
+    does not implement the hook at all."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TextKVDataSource)

@@ -116,16 +116,25 @@ def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
 
 
 def test_compression_ratio_partitioning_invariant(spark, sf_dir):
-    """The signal is per-row: 1, 3, and 16 partitions must produce the
-    identical sorted result set."""
+    """The signal is per-row: shrinking spark.sql.files.maxPartitionBytes
+    changes the SCAN partitioning (the input the zlib UDF actually sees,
+    unlike a post-hoc repartition of the output), and the sorted result
+    set must not move."""
     from hadoopmapreduce_spark.operators.textops import text_compression_ratio
 
-    base = sorted(
-        tuple(r) for r in text_compression_ratio(spark, sf_dir).collect()
-    )
-    for n in (1, 3, 16):
-        df = text_compression_ratio(spark, sf_dir).repartition(n)
-        assert sorted(tuple(r) for r in df.collect()) == base
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        base = sorted(
+            tuple(r) for r in text_compression_ratio(spark, sf_dir).collect()
+        )
+        for size in ("4096", "65536"):
+            spark.conf.set(key, size)
+            df = text_compression_ratio(spark, sf_dir)
+            assert df.rdd.getNumPartitions() >= 1
+            assert sorted(tuple(r) for r in df.collect()) == base, size
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_compression_ratio_monotone_property():
@@ -185,7 +194,7 @@ def test_textkv_byte_range_splits_exactly_once(spark, tmp_path):
     assert fanned.rdd.getNumPartitions() > 10
 
 
-def test_textkv_split_boundary_property(spark, tmp_path):
+def test_textkv_split_boundary_property(tmp_path):
     """Property: for random line lengths (including empty lines and
     multibyte chars) and a random split size, the split read equals the
     unsplit read.  Plain-Python harness over the reader itself — no Spark
@@ -371,12 +380,14 @@ def test_textkv_filter_pushdown_reader_level(tmp_path):
         StringStartsWith,
     )
 
-    from hadoopmapreduce_spark.sources.textkv_source import TextKVReader
+    from hadoopmapreduce_spark.sources.textkv_source import (
+        TextKVPushdownReader,
+    )
 
     d = tmp_path / "kvpush"
     d.mkdir()
     (d / "part-00000").write_text("apple\t1\navocado\t2\nbanana\t3\n")
-    reader = TextKVReader({"path": str(d)})
+    reader = TextKVPushdownReader({"path": str(d)})
     remaining = list(
         reader.pushFilters(
             [
@@ -393,14 +404,14 @@ def test_textkv_filter_pushdown_reader_level(tmp_path):
     assert rows == [("apple", "1"), ("avocado", "2")]
 
     # EqualTo on value, non-string literal must NOT be absorbed
-    r2 = TextKVReader({"path": str(d)})
+    r2 = TextKVPushdownReader({"path": str(d)})
     rem2 = list(r2.pushFilters([EqualTo(("value",), 1)]))
     assert [type(f).__name__ for f in rem2] == ["EqualTo"]
 
     # In / EndsWith / Contains all absorb and apply
     from pyspark.sql.datasource import In, StringContains, StringEndsWith
 
-    r3 = TextKVReader({"path": str(d)})
+    r3 = TextKVPushdownReader({"path": str(d)})
     assert list(
         r3.pushFilters(
             [
@@ -474,3 +485,126 @@ def test_textkv_filter_pushdown_through_spark(spark, tmp_path):
         (f"user{i % 7}", str(i)) for i in range(1000) if i % 7 in (1, 5)
     )
     assert got_in == exp_in
+
+
+def test_textkv_batch_append_mode_preserves_prior_output(spark, tmp_path):
+    """Append mode must number new part files AFTER the existing ones —
+    renaming from part-00000 would clobber previously committed rows."""
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    out = str(tmp_path / "kvappend")
+    first = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "key string, value string"
+    ).coalesce(1)
+    first.write.format("textkv").mode("overwrite").save(out)
+    second = spark.createDataFrame(
+        [("c", "3")], "key string, value string"
+    ).coalesce(1)
+    second.write.format("textkv").mode("append").save(out)
+    back = sorted(
+        (r.key, r.value)
+        for r in spark.read.format("textkv").load(out).collect()
+    )
+    assert back == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_textkv_writer_rejects_nested_types(spark, tmp_path):
+    """Nested (key,value) column types fail at PLANNING time with a clear
+    message instead of an Arrow cast error mid-job."""
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    df = spark.createDataFrame(
+        [("k", ["a", "b"])], "key string, value array<string>"
+    )
+    with pytest.raises(Exception, match="atomic"):
+        df.write.format("textkv").mode("overwrite").save(
+            str(tmp_path / "kvnested")
+        )
+
+
+def test_textkv_stream_truncate_mode_keeps_only_latest_snapshot(tmp_path):
+    """overwrite=True (Spark's complete-output-mode signal) makes each
+    epoch a full snapshot: commit replaces ALL prior part files."""
+    from hadoopmapreduce_spark.sources.textkv_source import (
+        TextKVCommit,
+        TextKVStreamWriter,
+    )
+
+    out = tmp_path / "trunc"
+    out.mkdir()
+    w = TextKVStreamWriter({"path": str(out)}, overwrite=True)
+
+    def stage(contents):
+        import os
+
+        os.makedirs(w.staging, exist_ok=True)
+        msgs = []
+        for i, c in enumerate(contents):
+            p = os.path.join(w.staging, f"task-{i:05d}-attempt-{i}")
+            with open(p, "w") as fh:
+                fh.write(c)
+            msgs.append(TextKVCommit(staged=p, rows=1))
+        return msgs
+
+    w.commit(stage(["a\t1\n", "b\t1\n"]), batchId=0)
+    w.commit(stage(["a\t2\n"]), batchId=1)
+    names = sorted(f.name for f in out.iterdir())
+    assert names == ["part-000000001-00000"], names
+    assert (out / names[0]).read_text() == "a\t2\n"
+
+
+def test_textkv_stream_commit_gcs_stale_staging_dirs(tmp_path):
+    """Staging dirs leaked by a CRASHED earlier run are garbage-collected
+    at the next commit (epochs are sequential, so anything present at
+    commit time is dead)."""
+    from hadoopmapreduce_spark.sources.textkv_source import (
+        TextKVCommit,
+        TextKVStreamWriter,
+    )
+
+    out = tmp_path / "gc"
+    out.mkdir()
+    stale = out / "_stream-staging-deadbeef"
+    stale.mkdir()
+    (stale / "task-00000-attempt-0").write_text("orphan\t0\n")
+    w = TextKVStreamWriter({"path": str(out)})
+    import os
+
+    os.makedirs(w.staging, exist_ok=True)
+    p = os.path.join(w.staging, "task-00000-attempt-1")
+    with open(p, "w") as fh:
+        fh.write("live\t1\n")
+    w.commit([TextKVCommit(staged=p, rows=1)], batchId=0)
+    leftovers = [f.name for f in out.iterdir() if f.name.startswith("_stream")]
+    assert leftovers == []
+    assert (out / "part-000000000-00000").read_text() == "live\t1\n"
+
+
+def test_textkv_pushdown_opt_out_option(spark, tmp_path):
+    """.option('pushdown', 'false') selects the base reader (no
+    pushFilters), so the read plans even when the gating conf is off and
+    the post-scan Filter survives in the plan."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.sources.textkv_source import register_textkv
+
+    register_textkv(spark)
+    d = tmp_path / "kvoptout"
+    d.mkdir()
+    (d / "part-00000").write_text("a\t1\nb\t2\n")
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        df = (
+            spark.read.format("textkv")
+            .option("pushdown", "false")
+            .load(str(d))
+            .filter(F.col("key") == "a")
+        )
+        assert [(r.key, r.value) for r in df.collect()] == [("a", "1")]
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Filter" in plan
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
