@@ -89,6 +89,10 @@ def main() -> None:
         # round-6: the bounded-top-k rewrite (VERDICT r5 ask #2) — surfaced
         # so the driver artifact records its post-fix cost
         "pmi_top_pairs",
+        # round-6 second session: the Arrow/byte-range/pushdown rework of
+        # the Python Data Source paths — surfaced for the same reason
+        "scan_textkv_source", "sink_textkv_writer_roundtrip",
+        "streaming_pyds_replay",
     ]
     summary = {
         "metric": "full_suite_wall_seconds",
