@@ -5,12 +5,20 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Each query is executed to completion via a count-style action (the driver
 never sees the rows; we still force full materialization of the result).
+
+Outlier self-adjudication (VERDICT r6 ask #4): any query whose in-suite
+best-of-N exceeds the PRIOR run's sidecar number by >1.3x is re-measured
+standalone — best-of-4 in a FRESH subprocess (own JVM, no suite cache
+pressure) — and both numbers land in the artifact, so in-suite noise in the
+shared-cache graph family is adjudicated by data, not NOTES.md prose.
+``python bench.py --standalone <query>`` is that subprocess entry point.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -19,11 +27,86 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hadoopmapreduce_spark import registry  # noqa: E402
 from hadoopmapreduce_spark.session import get_spark  # noqa: E402
 
+SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+
+# outlier criteria: >1.3x the prior sidecar AND slow enough that the delta
+# is not timer noise; cap the re-runs so a pathological round stays bounded
+OUTLIER_RATIO = 1.3
+OUTLIER_FLOOR_SEC = 0.75
+OUTLIER_MAX_RERUNS = 8
+
+
+def run_standalone(name: str) -> None:
+    """Subprocess mode: best-of-4 for ONE query in a fresh JVM; prints one
+    JSON line {"query": ..., "best": ...} on stdout."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark("hadoopmapreduce-spark-bench-standalone")
+    fn = registry.QUERIES[name]
+    best = None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"query": name, "best": round(best, 3)}))
+
+
+def adjudicate_outliers(
+    timings: dict[str, float], prior: dict, sf: str
+) -> dict[str, dict[str, float]]:
+    """Fresh-process re-measurement for in-suite regressions vs the prior
+    sidecar.  Returns {query: {in_suite, prior, standalone}}."""
+    if str(prior.get("sf")) != str(sf):  # different protocol — not comparable
+        return {}
+    prev: dict[str, float] = prior.get("queries") or {}
+    outliers = sorted(
+        (
+            n
+            for n, t in timings.items()
+            if t > OUTLIER_FLOOR_SEC
+            and prev.get(n, 0) > 0
+            and t > OUTLIER_RATIO * prev[n]
+        ),
+        key=lambda n: -(timings[n] / prev[n]),
+    )
+    dropped = outliers[OUTLIER_MAX_RERUNS:]
+    if dropped:
+        print(f"bench: outlier re-run cap hit; not re-run: {dropped}", file=sys.stderr)
+    result: dict[str, dict[str, float]] = {}
+    for n in outliers[:OUTLIER_MAX_RERUNS]:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--standalone", n],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            standalone = float(json.loads(line)["best"])
+        except Exception as e:
+            print(f"bench: standalone re-run of {n} failed: {e}", file=sys.stderr)
+            standalone = -1.0
+        result[n] = {
+            "in_suite": timings[n],
+            "prior": prev[n],
+            "standalone": standalone,
+        }
+    return result
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     registry.load_all()
+    # the PRIOR run's sidecar (committed from the previous round) is the
+    # outlier baseline — read it before this run overwrites the file
+    prior: dict = {}
+    if os.path.exists(SIDECAR):
+        try:
+            prior = json.load(open(SIDECAR))
+        except Exception:
+            prior = {}
     spark = get_spark("hadoopmapreduce-spark-bench")
 
     timings: dict[str, float] = {}
@@ -93,7 +176,13 @@ def main() -> None:
         # the Python Data Source paths — surfaced for the same reason
         "scan_textkv_source", "sink_textkv_writer_roundtrip",
         "streaming_pyds_replay",
+        # round-7: the real-codec quartet registrations + the hardened
+        # schema-evolution scan (the r6 red, re-checked this round)
+        "audio_decode_features", "image_decode_features",
+        "video_probe_features", "zip_manifest_features",
+        "scan_schema_evolution_union",
     ]
+    outliers = adjudicate_outliers(timings, prior, sf)
     summary = {
         "metric": "full_suite_wall_seconds",
         "value": total,
@@ -102,15 +191,16 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": n_failed,
         "cold_total": cold_total,
+        "outliers": outliers,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
-    )
-    with open(sidecar, "w") as f:
+    with open(SIDECAR, "w") as f:
         json.dump({**summary, "queries": timings, "cold": cold}, f, indent=1)
     print(json.dumps(summary))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--standalone":
+        run_standalone(sys.argv[2])
+    else:
+        main()

@@ -161,14 +161,15 @@ AUDIO_DECODE_ORACLE_SQL = f"""
 """
 
 
+@query("audio_decode_features", oracle=AUDIO_DECODE_ORACLE_SQL)
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL audio pipeline: synthesize WAV payloads, decode them
     back through the stdlib codec in ``mapInPandas``, emit typed features.
     Every decoded value is independently predictable from (doc_id, text):
     n_frames = octet_length(text) % 400 + 10, peak = rms =
     (doc_id % 7 + 1) * 1000, framerate/channels/width constants —
-    ``AUDIO_DECODE_ORACLE_SQL`` above is the validated oracle for the
-    round-7 registration of this operator."""
+    ``AUDIO_DECODE_ORACLE_SQL`` above adjudicates the whole pipeline
+    (registered round 7, after the r6 adjudication-backlog freeze)."""
     assets = audio_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_audio_decode_batch, schema=_AUDIO_SCHEMA)
 
@@ -376,10 +377,12 @@ IMAGE_DECODE_ORACLE_SQL = """
 """
 
 
+@query("image_decode_features", oracle=IMAGE_DECODE_ORACLE_SQL)
 def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL image pipeline: synthesize standards-valid grayscale
     PNGs, decode them back through the chunk/CRC/inflate/unfilter path in
-    ``mapInPandas``, emit exact-integer pixel statistics."""
+    ``mapInPandas``, emit exact-integer pixel statistics (registered
+    round 7)."""
     assets = image_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_image_decode_batch, schema=_IMAGE_SCHEMA)
 
@@ -557,10 +560,12 @@ VIDEO_PROBE_ORACLE_SQL = f"""
 """
 
 
+@query("video_probe_features", oracle=VIDEO_PROBE_ORACLE_SQL)
 def video_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL video-container pipeline: synthesize valid MP4 box
     trees, re-parse them in ``mapInPandas`` with strict size accounting,
-    emit the metadata a pipeline probes without frame decoding."""
+    emit the metadata a pipeline probes without frame decoding (registered
+    round 7)."""
     assets = video_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_video_probe_batch, schema=_VIDEO_SCHEMA)
 
@@ -685,12 +690,13 @@ ZIP_ARCHIVE_ORACLE_SQL = f"""
 """
 
 
+@query("zip_manifest_features", oracle=ZIP_ARCHIVE_ORACLE_SQL)
 def zip_manifest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL archive pipeline: synthesize genuine ZIPs (mixed
     DEFLATE/STORED members), re-open them in ``mapInPandas``, CRC-verify
     every member and inflate member 0, emit the typed manifest.  The
     archive never explodes into the shuffle — one manifest row per blob,
-    which is the 100 TB shape for archived corpora."""
+    which is the 100 TB shape for archived corpora (registered round 7)."""
     assets = zip_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_zip_manifest_batch, schema=_ZIP_SCHEMA)
 

@@ -178,10 +178,16 @@ class TextKVReader(DataSourceReader):
                 raw = fh.readline()
                 if not raw:
                     break
-                # split on \n only, strip a trailing \r — LineRecordReader's
-                # CRLF handling (binary seeks rule out text-mode newline
-                # translation)
-                line = raw.decode("utf-8").rstrip("\r\n")
+                # split on \n only, strip AT MOST ONE trailing \r —
+                # LineRecordReader's CRLF handling (binary seeks rule out
+                # text-mode newline translation).  rstrip("\r\n") would eat
+                # an unbounded run, truncating a value that legitimately
+                # ends in \r (written as v\r + \n).
+                line = raw.decode("utf-8")
+                if line.endswith("\n"):
+                    line = line[:-1]
+                if line.endswith("\r"):
+                    line = line[:-1]
                 if not line:
                     continue
                 key, _tab, value = line.partition("\t")
@@ -501,10 +507,11 @@ def register_textkv(spark) -> None:
     conf, default false): a Python Data Source reader that implements
     ``pushFilters`` HARD-FAILS planning while the flag is off, so the
     registration entry point is the right place to turn it on — every
-    textkv read goes through here first.  NOTE this is session-global
-    and re-applies on every registration, overriding an explicit
-    disable; to read textkv without pushdown (and without this conf),
-    use ``.option("pushdown", "false")``, which selects a reader that
-    does not implement the hook at all."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    textkv read goes through here first.  The conf is only set when the
+    user has not already chosen a value, so an explicit session-level
+    disable is respected (the reader then needs ``.option("pushdown",
+    "false")`` per-read, which selects a reader that does not implement
+    the hook at all)."""
+    if spark.conf.get("spark.sql.python.filterPushdown.enabled", None) is None:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TextKVDataSource)
