@@ -1403,3 +1403,113 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cc_ppm"), F.desc("tri_n"), F.asc("node"))
         .limit(20)
     )
+
+
+# --- label propagation (community detection) --------------------------------
+
+LPA_ROUNDS = 3
+
+_THRESHOLDED_EDGES_SQL = f"""
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tedges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {WCC_MIN_SUPPORT}),
+    directed AS (
+      SELECT u AS node, v AS nbr FROM tedges
+      UNION ALL SELECT v, u FROM tedges)
+"""
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round as a CTE pair: per-node neighbor-label
+    histogram, plurality pick with (count DESC, label ASC) tie-break."""
+    return f"""
+    {out} AS (
+      SELECT node, label FROM (
+        SELECT d.node, p.label,
+               ROW_NUMBER() OVER (PARTITION BY d.node
+                                  ORDER BY COUNT(*) DESC, p.label) AS rk
+        FROM directed d JOIN {prev} p ON p.node = d.nbr
+        GROUP BY d.node, p.label) t
+      WHERE rk = 1)
+    """
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_THRESHOLDED_EDGES_SQL},
+    l0 AS (SELECT DISTINCT node, node AS label FROM directed),
+    {",".join(_lpa_round_sql(f"l{r}", f"l{r + 1}") for r in range(LPA_ROUNDS))}
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{LPA_ROUNDS} GROUP BY 1
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    support-thresholded co-purchase graph (same ≥{WCC_MIN_SUPPORT}-order
+    edge rule as graph_wcc_components — the raw graph is one near-clique;
+    the thresholded one has community structure), reporting the community
+    census (label, n_members) after LPA_ROUNDS rounds.
+
+    Fully deterministic LPA: every node starts labeled with its own id;
+    each round every node adopts the PLURALITY label among its neighbors,
+    ties broken by the smallest label — so no RNG and no update-order
+    dependence (synchronous rounds, unlike the asynchronous textbook
+    variant whose output is schedule-dependent).
+
+    Distributed shape: one round = an equi-join of the directed adjacency
+    against the current label table (both keyed on node — the shuffle
+    partitioning is REUSED round to round), a (node, label) count with
+    map-side partial aggregation, and a per-node top-1 window.  Fixed
+    round count keeps lineage linear; at cluster scale each round is the
+    same two exchanges regardless of graph size.  Plurality histograms
+    never materialize beyond (node, distinct-neighbor-label) pairs —
+    bounded by the edge count, not degree².
+    """
+    from pyspark.sql import Window as W
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    tedges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= WCC_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    directed = (
+        tedges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(tedges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .cache()
+    )
+    _CACHED.append(directed)
+    labels = directed.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("lnode").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            directed.join(
+                labels.select(
+                    F.col("node").alias("pnode"), "label"
+                ),
+                F.col("pnode") == F.col("nbr"),
+            )
+            .groupBy(F.col("node").alias("lnode"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("lnode").alias("node"), "label")
+        )
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))

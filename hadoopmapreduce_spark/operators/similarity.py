@@ -506,3 +506,232 @@ def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "label", "cosine", "rk")
     )
+
+
+# --- late-interaction (multi-vector) retrieval -----------------------------
+#
+# ColBERT-style MaxSim: a document is a BAG of vectors (token/patch
+# embeddings), and the query-document score is sum over query subvectors of
+# the max cosine against any document subvector.  The fixtures carry one
+# 64-dim vector per item, so each is split into MAXSIM_SUBVECS contiguous
+# 16-dim subvectors — the Spark-side shapes (explode to subvector rows,
+# broadcast probe bag, pair scoring, per-(query,doc,qsub) max, fixed-order
+# final sum) are exactly the production multi-vector layout.
+
+MAXSIM_SUBVECS = 4
+MAXSIM_SUBDIM = EMBED_DIM // MAXSIM_SUBVECS
+
+
+def _subvectors(n: DataFrame) -> DataFrame:
+    """Explode (vec_id, v[64]) into MAXSIM_SUBVECS normalized subvector
+    rows (vec_id, s, sv, nrm).  `slice` is 1-indexed."""
+    sub = n.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(MAXSIM_SUBVECS)])
+        ).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(
+            F.col("v"), F.col("s") * MAXSIM_SUBDIM + 1, F.lit(MAXSIM_SUBDIM)
+        ).alias("sv"),
+    )
+    return sub.select(
+        "vec_id", "s", "sv", F.sqrt(_dot(F.col("sv"), F.col("sv"))).alias("nrm")
+    )
+
+
+@query(
+    "knn_maxsim_multivector",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(v, s * {MAXSIM_SUBDIM} + 1,
+                           s * {MAXSIM_SUBDIM} + {MAXSIM_SUBDIM}) AS sv
+      FROM e, LATERAL unnest([0, 1, 2, 3]) AS t(s)),
+    n AS (SELECT vec_id, s, sv, sqrt(list_dot_product(sv, sv)) AS nrm
+          FROM sub),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    permax AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.s AS qs,
+             MAX(list_dot_product(q.sv, c.sv) / (q.nrm * c.nrm)) AS m
+      FROM q JOIN n c ON q.vec_id <> c.vec_id
+      GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT query_id, neighbor_id,
+             MAX(CASE WHEN qs = 0 THEN m END)
+             + MAX(CASE WHEN qs = 1 THEN m END)
+             + MAX(CASE WHEN qs = 2 THEN m END)
+             + MAX(CASE WHEN qs = 3 THEN m END) AS maxsim
+      FROM permax GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, maxsim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, neighbor_id) AS rk
+      FROM agg) t
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim top-k (ColBERT scoring): each embedding is a
+    bag of MAXSIM_SUBVECS subvectors; score(q, d) = sum over q-subvectors
+    of the max cosine against any d-subvector.
+
+    Distributed shape: the probe bag (N_QUERIES x MAXSIM_SUBVECS rows) is
+    BROADCAST against one scan of the corpus subvector table; the pair
+    fan-out is bounded by |probes| * SUBVECS^2 per corpus vector, never
+    corpus x corpus.  The per-(query, doc, q-subvector) max collapses
+    map-side (partial agg); the final score is a FIXED-ORDER sum of the
+    four maxima (m0+m1+m2+m3 in both engines) so no float accumulation
+    order crosses the engine boundary.  At 100 TB the corpus subvector
+    table is the same explode over real token embeddings, and the same
+    LSH/IVF bucketing as :func:`ann_lsh_topk` bounds candidates before
+    the MaxSim re-rank — this operator IS that re-rank stage.
+    """
+    n = _subvectors(_embeddings(spark, sf_dir).select("vec_id", "v"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("s").alias("qs"),
+        F.col("sv").alias("qsv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qs",
+        (_dot(F.col("qsv"), F.col("sv")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos"
+        ),
+    )
+    permax = [
+        F.max(F.when(F.col("qs") == i, F.col("cos"))).alias(f"m{i}")
+        for i in range(MAXSIM_SUBVECS)
+    ]
+    agg = (
+        pairs.groupBy("query_id", "neighbor_id")
+        .agg(*permax)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                ((F.col("m0") + F.col("m1")) + F.col("m2")) + F.col("m3")
+            ).alias("maxsim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("neighbor_id"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "maxsim", "rk")
+    )
+
+
+# --- k-center greedy coreset (data selection) --------------------------------
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center in DuckDB SQL: round r computes every
+    point's min squared L2 distance to the selected set (fixed-order
+    expression vv - 2*dot + cc, exact MIN) and picks the farthest point,
+    ties to the smallest vec_id."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "nrm AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e)",
+        # seed at MIN(vec_id), not literal 0 — fixture generations differ
+        # on whether ids are 0- or 1-based
+        "sel0 AS (SELECT vec_id, v, vv FROM nrm"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM nrm))",
+    ]
+    finals = [
+        "SELECT 0 AS pick, (SELECT MIN(vec_id) FROM nrm) AS vec_id,"
+        " 0.0 AS dist2"
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""d{r} AS (
+              SELECT x.vec_id,
+                     MIN(x.vv - 2 * list_dot_product(x.v, s.v) + s.vv) AS mind
+              FROM nrm x, sel{r - 1} s
+              WHERE x.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+              GROUP BY x.vec_id)"""
+        )
+        ctes.append(
+            f"""p{r} AS (
+              SELECT vec_id, mind FROM d{r}
+              ORDER BY mind DESC, vec_id LIMIT 1)"""
+        )
+        ctes.append(
+            f"""sel{r} AS (
+              SELECT * FROM sel{r - 1}
+              UNION ALL
+              SELECT n.vec_id, n.v, n.vv FROM nrm n JOIN p{r} USING (vec_id))"""
+        )
+        finals.append(
+            f"SELECT {r} AS pick, vec_id, mind AS dist2 FROM p{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+    )
+
+
+@query("sample_coreset_kcenter", oracle=_kcenter_oracle(KCENTER_K))
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point sampling) over the
+    embedding table — the classic diversity-driven data-selection pass a
+    training pipeline runs to pick a small representative subset: start
+    from vec_id 0, then repeatedly add the point farthest (squared L2)
+    from everything already selected, ties to the smallest id.  Emits
+    (pick order, vec_id, distance-at-pick) — the distance column is the
+    2-approximation coverage radius after each pick.
+
+    Distributed shape per round: the selected set (≤ K rows) is a
+    BROADCAST cross join against one corpus scan; min-distance collapses
+    map-side; the argmax is a bounded top-1 (TakeOrderedAndProject), and
+    only that ONE row crosses to the driver — the same bounded-scalar
+    loop discipline as the IVF centroid init (`ann_ivf_topk`).  K rounds
+    = K linear scans of a CACHED projection; at 100 TB the same loop runs
+    with the selected set still tiny and the scan still the only cost.
+    Distances use the fixed-order expression vv - 2*dot(x,c) + cc so
+    both engines compute bit-identical doubles.
+    """
+    nrm = (
+        _embeddings(spark, sf_dir)
+        .select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("vv"))
+        .cache()
+    )
+    # seed at MIN(vec_id): one bounded driver scalar (fixture generations
+    # differ on 0- vs 1-based ids; the oracle seeds identically)
+    seed = int(nrm.agg(F.min("vec_id")).collect()[0][0])
+    picks: list[tuple[int, int, float]] = [(0, seed, 0.0)]
+    for r in range(1, KCENTER_K):
+        sel_ids = [p[1] for p in picks]
+        cen = nrm.filter(F.col("vec_id").isin(sel_ids)).select(
+            F.col("v").alias("cv"), F.col("vv").alias("cvv")
+        )
+        top = (
+            nrm.filter(~F.col("vec_id").isin(sel_ids))
+            .crossJoin(F.broadcast(cen))
+            .select(
+                "vec_id",
+                (
+                    F.col("vv")
+                    - F.lit(2.0) * _dot(F.col("v"), F.col("cv"))
+                    + F.col("cvv")
+                ).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((r, int(top["vec_id"]), float(top["mind"])))
+    nrm.unpersist()
+    return spark.createDataFrame(
+        picks, schema="pick int, vec_id bigint, dist2 double"
+    )

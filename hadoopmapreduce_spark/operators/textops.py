@@ -1908,3 +1908,264 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("keep"),
     )
+
+
+# --- Count-Min sketch heavy-hitter audit ------------------------------------
+
+CMS_ROWS = 4  # independent hash rows (depth d)
+CMS_WIDTH = 256  # counters per row (width w)
+CMS_TOP = 20  # audited heavy hitters
+
+
+@query(
+    "text_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents),
+    exact AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY 1
+      ORDER BY exact_n DESC, term ASC LIMIT {CMS_TOP}),
+    hashed AS (
+      SELECT t.term, r.r,
+             ('0x' || substr(md5(t.term || ':' || CAST(r.r AS VARCHAR)),
+                             1, 8))::BIGINT % {CMS_WIDTH} AS bucket
+      FROM toks t, LATERAL unnest(range(0, {CMS_ROWS})) AS r(r)),
+    counters AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hashed GROUP BY 1, 2),
+    est AS (
+      SELECT e.term, e.exact_n, MIN(c.c) AS cms_n
+      FROM exact e,
+           LATERAL unnest(range(0, {CMS_ROWS})) AS r(r)
+           JOIN counters c
+             ON c.r = r.r
+            AND c.bucket = ('0x' || substr(md5(e.term || ':'
+                             || CAST(r.r AS VARCHAR)), 1, 8))::BIGINT
+                           % {CMS_WIDTH}
+      GROUP BY 1, 2)
+    SELECT term, exact_n, cms_n, cms_n - exact_n AS overcount
+    FROM est
+    """,
+)
+def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit over the corpus term stream: build a
+    {CMS_ROWS}x{CMS_WIDTH} CMS (bucket = md5-prefix hash of term:row — the
+    engine-portable hash used across this repo), then report, for the
+    exact top-{CMS_TOP} heavy hitters, the exact count, the CMS estimate
+    (min over rows of the hashed counter — NEVER an undercount), and the
+    collision overcount.
+
+    Why this is the 100 TB shape: the sketch is {CMS_ROWS}*{CMS_WIDTH}
+    counters TOTAL regardless of corpus size — the counter build is one
+    token scan with map-side partial aggregation into a bounded table,
+    the estimate lookup is a broadcast join of candidates against those
+    counters.  The exact counts exist here as the audit referee (this
+    operator MEASURES sketch error); a production pipeline keeps only
+    the sketch.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(CMS_TOP)
+    )
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+
+    def _bucket(term_col, r_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(term_col, F.lit(":"), r_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        )
+
+    counters = (
+        toks.select("term", rows)
+        .select("r", _bucket(F.col("term"), F.col("r")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = exact.select("term", "exact_n", rows).select(
+        "term",
+        "exact_n",
+        "r",
+        _bucket(F.col("term"), F.col("r")).alias("bucket"),
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "term",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# --- PII scrub (privacy filtering for training corpora) ---------------------
+#
+# The fixture corpus is synthetic and carries no organic PII, so the
+# operator first INJECTS deterministic PII spans derived from (doc_id) —
+# the same fixture-augmentation discipline as the multimodal codec
+# payloads — and then runs the real detection + redaction pipeline over
+# the augmented text.  Both engines construct the identical augmented
+# string, so the oracle adjudicates the regex detection, the redaction
+# rewrite, and the audit rollup end to end.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+PII_SSN_RE = r"\d{3}-\d{2}-\d{4}"
+PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@query(
+    "pipeline_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' call 415-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' ssn 123-45-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  ELSE '' END AS t
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, lang, t,
+             len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+             len(regexp_extract_all(t, '{PII_SSN_RE}')) AS n_ssns,
+             len(regexp_extract_all(t, '{PII_IP_RE}')) AS n_ips,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                 '{PII_SSN_RE}', '<SSN>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS red
+      FROM aug)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_phones + n_ssns + n_ips > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ssns) AS BIGINT) AS n_ssns,
+           CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+           CAST(SUM(length(t) - length(red)) AS BIGINT) AS chars_delta
+    FROM scrubbed GROUP BY 1
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit over the (deterministically
+    augmented) corpus: regex detectors for emails, NANP-style phone
+    numbers, SSNs and IPv4 literals; redaction via chained
+    ``regexp_replace`` into typed placeholders; per-language audit
+    rollup (doc/PII counts and the redaction length delta — negative
+    when a placeholder is longer than the span it replaced).
+
+    Scale shape: detection and redaction are per-row codegen regex ops —
+    shuffle-free, embarrassingly parallel, no Python in the loop; the
+    rollup is one partial+final aggregate keyed on the (tiny) language
+    domain.  The regexes stay inside the Java-regex/RE2 COMMON SUBSET
+    (no lookaround, no backrefs) so the exact same patterns run on both
+    engines — also the portability contract a production scrubber needs
+    across scan engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("t"), PII_EMAIL_RE, "<EMAIL>"
+                ),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+            PII_SSN_RE,
+            "<SSN>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    scrubbed = aug.select(
+        "lang",
+        F.col("t"),
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(PII_SSN_RE)).alias("n_ssns"),
+        F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).alias("n_ips"),
+        red.alias("red"),
+    )
+    pii_total = (
+        F.col("n_emails") + F.col("n_phones") + F.col("n_ssns") + F.col("n_ips")
+    )
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((pii_total > 0).cast("long")).alias("docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum("n_ssns").cast("long").alias("n_ssns"),
+        F.sum("n_ips").cast("long").alias("n_ips"),
+        F.sum(F.length("t") - F.length("red")).cast("long").alias("chars_delta"),
+    )

@@ -18,6 +18,13 @@ or ``pyiceberg`` module, no delta/iceberg jar under ``pyspark/jars``, no
 ``~/.ivy2`` cache.  The environment contract for this build explicitly
 forbids ``pip install``, so the verdict's suggested ``pip install
 delta-spark`` retry is out of scope; the probe stands refreshed instead.
+
+Round-7 re-probe (2026-08-15, VERDICT r6 ask #7): still unchanged —
+``find_spec`` locates neither module, ``pyspark/jars`` has no
+delta/iceberg/hudi runtime and no ``spark-avro`` connector (only the
+avro-ipc/avro-mapred Hadoop deps), and there is no ivy cache to resolve
+packages offline.  Parquet-path MERGE/SCD2 emulation remains the
+driver-green answer for these semantics.
 """
 
 from __future__ import annotations

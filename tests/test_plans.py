@@ -866,3 +866,76 @@ def test_round6_window_cohort_plan_shapes(spark, sf_dir):
         event_top_journeys(spark, sf_dir),
     ):
         assert_not_contains(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_round7_new_operator_plan_shapes(spark, sf_dir):
+    """Round-7 registrations: MaxSim broadcasts the probe bag (never a
+    corpus-corpus cartesian); LPA's per-round plan carries node-keyed
+    exchanges only; Count-Min's counter build is a partial-agg groupBy
+    with the candidate lookup broadcast; the PII scrub keeps detection
+    and redaction in one scan with no shuffle before the lang rollup."""
+    from hadoopmapreduce_spark.operators.graph import graph_label_propagation
+    from hadoopmapreduce_spark.operators.similarity import (
+        knn_maxsim_multivector,
+    )
+    from hadoopmapreduce_spark.operators.textops import (
+        pipeline_pii_scrub,
+        text_countmin_heavy_hitters,
+    )
+
+    ms = physical_plan(knn_maxsim_multivector(spark, sf_dir))
+    assert "BroadcastHashJoin" in ms or "BroadcastNestedLoopJoin" in ms
+    assert "CartesianProduct" not in ms
+
+    lpa = physical_plan(graph_label_propagation(spark, sf_dir))
+    assert "CartesianProduct" not in lpa
+    assert "SortMergeJoin" in lpa or "ShuffledHashJoin" in lpa \
+        or "BroadcastHashJoin" in lpa
+
+    cms = physical_plan(text_countmin_heavy_hitters(spark, sf_dir))
+    assert "CartesianProduct" not in cms
+    assert "BroadcastHashJoin" in cms  # counters broadcast to candidates
+    assert "HashAggregate" in cms
+
+    pii = physical_plan(pipeline_pii_scrub(spark, sf_dir))
+    assert "Exchange" in pii  # exactly the lang-rollup exchange…
+    assert "Join" not in pii  # …and no join anywhere
+    assert pii.count("documents.parquet") == 1  # one corpus scan
+
+
+def test_kcenter_round_is_bounded_topk(spark, sf_dir):
+    """The k-center round's argmax must be TakeOrderedAndProject (bounded
+    heap), and the center set must broadcast — pin the round plan by
+    reconstructing it the way the operator builds it."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.operators.similarity import (
+        _dot,
+        _embeddings,
+    )
+
+    nrm = _embeddings(spark, sf_dir).select(
+        "vec_id", "v", _dot(F.col("v"), F.col("v")).alias("vv")
+    )
+    cen = nrm.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("cv"), F.col("vv").alias("cvv")
+    )
+    rnd = (
+        nrm.filter(~F.col("vec_id").isin([0]))
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            (
+                F.col("vv") - F.lit(2.0) * _dot(F.col("v"), F.col("cv"))
+                + F.col("cvv")
+            ).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("mind"))
+        .orderBy(F.desc("mind"), F.asc("vec_id"))
+        .limit(1)
+    )
+    assert_contains(rnd, "TakeOrderedAndProject")
+    plan = physical_plan(rnd)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
