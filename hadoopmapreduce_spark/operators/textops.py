@@ -1910,110 +1910,6 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Count-Min sketch heavy-hitter audit ------------------------------------
-
-CMS_ROWS = 4  # independent hash rows (depth d)
-CMS_WIDTH = 256  # counters per row (width w)
-CMS_TOP = 20  # audited heavy hitters
-
-
-@query(
-    "text_countmin_heavy_hitters",
-    oracle=f"""
-    WITH toks AS (
-      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term
-      FROM documents),
-    exact AS (
-      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
-      FROM toks GROUP BY 1
-      ORDER BY exact_n DESC, term ASC LIMIT {CMS_TOP}),
-    hashed AS (
-      SELECT t.term, r.r,
-             ('0x' || substr(md5(t.term || ':' || CAST(r.r AS VARCHAR)),
-                             1, 8))::BIGINT % {CMS_WIDTH} AS bucket
-      FROM toks t, LATERAL unnest(range(0, {CMS_ROWS})) AS r(r)),
-    counters AS (
-      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
-      FROM hashed GROUP BY 1, 2),
-    est AS (
-      SELECT e.term, e.exact_n, MIN(c.c) AS cms_n
-      FROM exact e,
-           LATERAL unnest(range(0, {CMS_ROWS})) AS r(r)
-           JOIN counters c
-             ON c.r = r.r
-            AND c.bucket = ('0x' || substr(md5(e.term || ':'
-                             || CAST(r.r AS VARCHAR)), 1, 8))::BIGINT
-                           % {CMS_WIDTH}
-      GROUP BY 1, 2)
-    SELECT term, exact_n, cms_n, cms_n - exact_n AS overcount
-    FROM est
-    """,
-)
-def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch audit over the corpus term stream: build a
-    {CMS_ROWS}x{CMS_WIDTH} CMS (bucket = md5-prefix hash of term:row — the
-    engine-portable hash used across this repo), then report, for the
-    exact top-{CMS_TOP} heavy hitters, the exact count, the CMS estimate
-    (min over rows of the hashed counter — NEVER an undercount), and the
-    collision overcount.
-
-    Why this is the 100 TB shape: the sketch is {CMS_ROWS}*{CMS_WIDTH}
-    counters TOTAL regardless of corpus size — the counter build is one
-    token scan with map-side partial aggregation into a bounded table,
-    the estimate lookup is a broadcast join of candidates against those
-    counters.  The exact counts exist here as the audit referee (this
-    operator MEASURES sketch error); a production pipeline keeps only
-    the sketch.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(_tokens(F.col("text"))).alias("term"))
-    exact = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("term"))
-        .limit(CMS_TOP)
-    )
-    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
-
-    def _bucket(term_col, r_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(term_col, F.lit(":"), r_col.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_WIDTH
-        )
-
-    counters = (
-        toks.select("term", rows)
-        .select("r", _bucket(F.col("term"), F.col("r")).alias("bucket"))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cand = exact.select("term", "exact_n", rows).select(
-        "term",
-        "exact_n",
-        "r",
-        _bucket(F.col("term"), F.col("r")).alias("bucket"),
-    )
-    est = (
-        cand.join(F.broadcast(counters), ["r", "bucket"])
-        .groupBy("term", "exact_n")
-        .agg(F.min("c").alias("cms_n"))
-    )
-    return est.select(
-        "term",
-        "exact_n",
-        "cms_n",
-        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
-    )
-
-
 # --- PII scrub (privacy filtering for training corpora) ---------------------
 #
 # The fixture corpus is synthetic and carries no organic PII, so the
@@ -2079,12 +1975,15 @@ PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
     """,
 )
 def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + redaction audit over the (deterministically
-    augmented) corpus: regex detectors for emails, NANP-style phone
-    numbers, SSNs and IPv4 literals; redaction via chained
-    ``regexp_replace`` into typed placeholders; per-language audit
-    rollup (doc/PII counts and the redaction length delta — negative
-    when a placeholder is longer than the span it replaced).
+    """Corpus-level PII audit ROLLUP — the governance report a scrub job
+    emits, complementing :func:`pii_redact` (which returns the per-doc
+    rewritten rows for two detector types): four detectors (emails,
+    NANP-style phone numbers, SSNs, IPv4 literals), CONDITIONAL injection
+    (doc_id mod-classes, so coverage varies per doc instead of every doc
+    carrying every type), chained ``regexp_replace`` redaction into typed
+    placeholders, and a per-language rollup: doc/PII counts, how many
+    docs carried any PII at all, and the redaction length delta
+    (negative when a placeholder is longer than the span it replaced).
 
     Scale shape: detection and redaction are per-row codegen regex ops —
     shuffle-free, embarrassingly parallel, no Python in the loop; the

@@ -30,14 +30,14 @@ ORACLES: dict[str, str] = {}
 # Round-7 pin (mechanically derived by ``scripts/repin_window.py`` from the
 # committed CORRECTNESS_r1..r6 artifacts): slots 1-30 drain the LAST of the
 # never-checked backlog (the former ADJUDICATION_DEFERRED — after this round
-# every registered query has a driver verdict); slots 31-39 are the round-7
+# every registered query has a driver verdict); slots 31-38 are the round-7
 # registrations (the real-codec quartet staged+oracle-validated in r6 per
-# VERDICT r6 ask #3, plus the five mid-round additions: MaxSim, LPA,
-# Count-Min, PII scrub, k-center coreset); slot 40 re-checks
+# VERDICT r6 ask #3, plus the four mid-round additions: MaxSim, LPA, PII
+# audit, k-center coreset); slot 39 re-checks
 # ``scan_schema_evolution_union`` — the single r6 red, now hardened to
 # integer-cents aggregation + fresh scratch (VERDICT r6 ask #1 says keep it
-# in-window despite its verdict); slots 41-50 start the oldest-green
-# re-adjudication rotation (VERDICT r4 ask #6 / r6 ask #5): the 10 oldest
+# in-window despite its verdict); slots 40-50 start the oldest-green
+# re-adjudication rotation (VERDICT r4 ask #6 / r6 ask #5): the 11 oldest
 # r1 verdicts, oldest round then name.  Queries not named here keep
 # registration order after the pinned prefix — nothing is ever dropped, so
 # verdicts union toward full coverage.
@@ -81,7 +81,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     # --- round-7 mid-round registrations (never-checked) ---
     "knn_maxsim_multivector",
     "graph_label_propagation",
-    "text_countmin_heavy_hitters",
     "pipeline_pii_scrub",
     "sample_coreset_kcenter",
     # --- the r6 red, re-checked after the integer-cents hardening ---
@@ -97,13 +96,14 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "set_except_all_counts",
     "set_except_nations",
     "set_intersect_all_counts",
+    "set_intersect_nations",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
 # OUTSIDE this round's 50-slot window.  EMPTY since round 7: the 80-query
-# round-5 backlog drained over rounds 6-7 (50 + 30), and all 9 round-7
-# registrations (codec quartet + the mid-round five) fit the same window
-# by trimming the oldest-green rotation from 15 to 10 slots — every
+# round-5 backlog drained over rounds 6-7 (50 + 30), and all 8 round-7
+# registrations (codec quartet + the mid-round four) fit the same window
+# by trimming the oldest-green rotation from 15 to 11 slots — every
 # registered query either has a driver verdict or is in the current
 # window.  New registrations land here only when a round adds more
 # queries than its window's free slots.

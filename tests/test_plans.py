@@ -871,17 +871,13 @@ def test_round6_window_cohort_plan_shapes(spark, sf_dir):
 def test_round7_new_operator_plan_shapes(spark, sf_dir):
     """Round-7 registrations: MaxSim broadcasts the probe bag (never a
     corpus-corpus cartesian); LPA's per-round plan carries node-keyed
-    exchanges only; Count-Min's counter build is a partial-agg groupBy
-    with the candidate lookup broadcast; the PII scrub keeps detection
-    and redaction in one scan with no shuffle before the lang rollup."""
+    exchanges only; the PII scrub keeps detection and redaction in one
+    scan with no shuffle before the lang rollup."""
     from hadoopmapreduce_spark.operators.graph import graph_label_propagation
     from hadoopmapreduce_spark.operators.similarity import (
         knn_maxsim_multivector,
     )
-    from hadoopmapreduce_spark.operators.textops import (
-        pipeline_pii_scrub,
-        text_countmin_heavy_hitters,
-    )
+    from hadoopmapreduce_spark.operators.textops import pipeline_pii_scrub
 
     ms = physical_plan(knn_maxsim_multivector(spark, sf_dir))
     assert "BroadcastHashJoin" in ms or "BroadcastNestedLoopJoin" in ms
@@ -891,11 +887,6 @@ def test_round7_new_operator_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in lpa
     assert "SortMergeJoin" in lpa or "ShuffledHashJoin" in lpa \
         or "BroadcastHashJoin" in lpa
-
-    cms = physical_plan(text_countmin_heavy_hitters(spark, sf_dir))
-    assert "CartesianProduct" not in cms
-    assert "BroadcastHashJoin" in cms  # counters broadcast to candidates
-    assert "HashAggregate" in cms
 
     pii = physical_plan(pipeline_pii_scrub(spark, sf_dir))
     assert "Exchange" in pii  # exactly the lang-rollup exchange…

@@ -3,9 +3,13 @@ DuckDB parity gate (which tests/test_parity.py applies to all of these).
 
 * knn_maxsim_multivector — late-interaction MaxSim re-rank
 * graph_label_propagation — deterministic synchronous LPA
-* text_countmin_heavy_hitters — CMS never undercounts
 * pipeline_pii_scrub — redaction removes every detected span
 * sample_coreset_kcenter — farthest-point coverage radius is monotone
+
+(A Count-Min token audit written this session was REMOVED before
+registration review completed: ``agg_cms_heavy_hitters`` already covers
+the CMS-audit shape — same sketch, same md5-prefix buckets, same
+exact-vs-estimate report — and a second instance would be padding.)
 """
 
 from __future__ import annotations
@@ -122,17 +126,6 @@ def test_label_propagation_census_conserves_nodes(spark, sf_dir):
         .collect()
     }
     assert all(r["label"] in node_ids for r in rows)
-
-
-def test_countmin_never_undercounts(spark, sf_dir):
-    rows = registry.QUERIES["text_countmin_heavy_hitters"](
-        spark, sf_dir
-    ).collect()
-    assert len(rows) == 20
-    for r in rows:
-        assert r["cms_n"] >= r["exact_n"], r  # CMS one-sided error
-        assert r["overcount"] == r["cms_n"] - r["exact_n"]
-        assert r["exact_n"] >= 1
 
 
 def test_pii_scrub_redaction_is_complete(spark, sf_dir):
