@@ -57,7 +57,14 @@ def adjudicate_outliers(
 ) -> dict[str, dict[str, float]]:
     """Fresh-process re-measurement for in-suite regressions vs the prior
     sidecar.  Returns {query: {in_suite, prior, standalone}}."""
-    if str(prior.get("sf")) != str(sf):  # different protocol — not comparable
+
+    def _sf_key(v):  # "1" and 1.0 are the same protocol; compare as floats
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return str(v)
+
+    if _sf_key(prior.get("sf")) != _sf_key(sf):  # different protocol
         return {}
     prev: dict[str, float] = prior.get("queries") or {}
     outliers = sorted(

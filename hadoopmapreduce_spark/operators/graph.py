@@ -663,24 +663,58 @@ def graph_basket_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WCC_MIN_SUPPORT = 2  # parts must co-occur in >= 2 orders to form an edge
 
-
-@query(
-    "graph_wcc_components",
-    oracle=f"""
-    WITH RECURSIVE items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+# The support-thresholded co-purchase graph, shared (ONE definition) by
+# graph_wcc_components and graph_label_propagation on BOTH engines:
+# ``tedges`` is the undirected (u < v) edge set, ``directed`` its
+# bidirectional (node, nbr) adjacency.
+_THRESHOLDED_EDGES_SQL = f"""
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tedges AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= {WCC_MIN_SUPPORT}),
     directed AS (
-      SELECT u AS src, v AS dst FROM edges
-      UNION ALL SELECT v, u FROM edges),
+      SELECT u AS node, v AS nbr FROM tedges
+      UNION ALL SELECT v, u FROM tedges)
+"""
+
+
+def thresholded_copurchase_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct undirected (u < v) co-purchase edges with co-occurrence
+    support >= WCC_MIN_SUPPORT — the Spark twin of the ``tedges`` CTE in
+    ``_THRESHOLDED_EDGES_SQL``.  The raw co-purchase graph is one
+    near-clique; thresholding restores real community structure, so the
+    component/community operators (WCC, LPA) both consume THIS graph."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= WCC_MIN_SUPPORT)
+        .select("u", "v")
+    )
+
+
+@query(
+    "graph_wcc_components",
+    oracle=f"""
+    WITH RECURSIVE {_THRESHOLDED_EDGES_SQL},
     reach(node, lbl) AS (
-      SELECT DISTINCT src, src FROM directed
+      SELECT DISTINCT node, node FROM directed
       UNION
-      SELECT d.dst, r.lbl FROM reach r JOIN directed d ON d.src = r.node),
+      SELECT d.nbr, r.lbl FROM reach r JOIN directed d ON d.node = r.node),
     comp AS (SELECT node, MIN(lbl) AS c FROM reach GROUP BY 1),
     sizes AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY 1)
     SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
@@ -701,22 +735,8 @@ def graph_wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint, no round-count pin to keep in sync.  Isolated parts (no
     surviving edge) are out of scope on both sides — nodes are edge
     endpoints."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= WCC_MIN_SUPPORT)
-        .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    edges = thresholded_copurchase_edges(spark, sf_dir).select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
     )
     from hadoopmapreduce_spark.operators.dedup import (
         connected_components_twostar,
@@ -1409,18 +1429,6 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LPA_ROUNDS = 3
 
-_THRESHOLDED_EDGES_SQL = f"""
-    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    tedges AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= {WCC_MIN_SUPPORT}),
-    directed AS (
-      SELECT u AS node, v AS nbr FROM tedges
-      UNION ALL SELECT v, u FROM tedges)
-"""
-
 
 def _lpa_round_sql(prev: str, out: str) -> str:
     """One synchronous LPA round as a CTE pair: per-node neighbor-label
@@ -1471,23 +1479,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    tedges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= WCC_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    tedges = thresholded_copurchase_edges(spark, sf_dir)
     directed = (
         tedges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(tedges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))

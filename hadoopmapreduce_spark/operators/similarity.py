@@ -543,16 +543,23 @@ def _subvectors(n: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "knn_maxsim_multivector",
-    oracle=f"""
+def _maxsim_oracle() -> str:
+    """Generated from MAXSIM_SUBVECS/MAXSIM_SUBDIM so the oracle can never
+    drift from the Spark side when the constants change: the subvector
+    index list and the fixed-order CASE-arm sum are both derived, exactly
+    as the Spark explode/when() arms are."""
+    idx = ", ".join(str(i) for i in range(MAXSIM_SUBVECS))
+    arms = "\n             + ".join(
+        f"MAX(CASE WHEN qs = {i} THEN m END)" for i in range(MAXSIM_SUBVECS)
+    )
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     sub AS (
       SELECT vec_id, s,
              list_slice(v, s * {MAXSIM_SUBDIM} + 1,
                            s * {MAXSIM_SUBDIM} + {MAXSIM_SUBDIM}) AS sv
-      FROM e, LATERAL unnest([0, 1, 2, 3]) AS t(s)),
+      FROM e, LATERAL unnest([{idx}]) AS t(s)),
     n AS (SELECT vec_id, s, sv, sqrt(list_dot_product(sv, sv)) AS nrm
           FROM sub),
     q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
@@ -563,18 +570,17 @@ def _subvectors(n: DataFrame) -> DataFrame:
       GROUP BY 1, 2, 3),
     agg AS (
       SELECT query_id, neighbor_id,
-             MAX(CASE WHEN qs = 0 THEN m END)
-             + MAX(CASE WHEN qs = 1 THEN m END)
-             + MAX(CASE WHEN qs = 2 THEN m END)
-             + MAX(CASE WHEN qs = 3 THEN m END) AS maxsim
+             {arms} AS maxsim
       FROM permax GROUP BY 1, 2)
     SELECT query_id, neighbor_id, maxsim, rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY maxsim DESC, neighbor_id) AS rk
       FROM agg) t
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("knn_maxsim_multivector", oracle=_maxsim_oracle())
 def knn_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction MaxSim top-k (ColBERT scoring): each embedding is a
     bag of MAXSIM_SUBVECS subvectors; score(q, d) = sum over q-subvectors
@@ -610,16 +616,19 @@ def knn_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("qs") == i, F.col("cos"))).alias(f"m{i}")
         for i in range(MAXSIM_SUBVECS)
     ]
+    import functools
+
+    # left-associated fixed-order sum m0+m1+...+m{k-1}, generated from the
+    # same constant as the oracle's CASE-arm chain (both engines fold in
+    # identical order, so no float accumulation order crosses the boundary)
+    fixed_sum = functools.reduce(
+        lambda a, b: a + b,
+        [F.col(f"m{i}") for i in range(MAXSIM_SUBVECS)],
+    )
     agg = (
         pairs.groupBy("query_id", "neighbor_id")
         .agg(*permax)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                ((F.col("m0") + F.col("m1")) + F.col("m2")) + F.col("m3")
-            ).alias("maxsim"),
-        )
+        .select("query_id", "neighbor_id", fixed_sum.alias("maxsim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("neighbor_id"))
     return (
@@ -683,9 +692,11 @@ def _kcenter_oracle(k: int) -> str:
 def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (farthest-point sampling) over the
     embedding table — the classic diversity-driven data-selection pass a
-    training pipeline runs to pick a small representative subset: start
-    from vec_id 0, then repeatedly add the point farthest (squared L2)
-    from everything already selected, ties to the smallest id.  Emits
+    training pipeline runs to pick a small representative subset: seed at
+    the smallest vec_id (MIN, not a literal — fixture generations differ
+    on 0- vs 1-based ids), then repeatedly add the point farthest
+    (squared L2) from everything already selected, ties to the smallest
+    id.  Emits
     (pick order, vec_id, distance-at-pick) — the distance column is the
     2-approximation coverage radius after each pick.
 

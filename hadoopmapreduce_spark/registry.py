@@ -85,7 +85,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "sample_coreset_kcenter",
     # --- the r6 red, re-checked after the integer-cents hardening ---
     "scan_schema_evolution_union",
-    # --- oldest-green rotation (10 oldest r1 verdicts) ---
+    # --- oldest-green rotation (11 oldest r1 verdicts) ---
     "agg_approx_quantiles",
     "agg_moments",
     "agg_salted_skew",

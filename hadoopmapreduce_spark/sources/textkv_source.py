@@ -178,11 +178,14 @@ class TextKVReader(DataSourceReader):
                 raw = fh.readline()
                 if not raw:
                     break
-                # split on \n only, strip AT MOST ONE trailing \r —
-                # LineRecordReader's CRLF handling (binary seeks rule out
-                # text-mode newline translation).  rstrip("\r\n") would eat
-                # an unbounded run, truncating a value that legitimately
-                # ends in \r (written as v\r + \n).
+                # THIS reader's line contract: records terminate on \n (or
+                # \r\n — strip AT MOST ONE \r before it); a bare \r is DATA,
+                # not a terminator.  That last point deliberately differs
+                # from Hadoop's LineReader, which also splits on lone \r —
+                # the writer only ever emits \n terminators, so \n-only
+                # framing makes write→read round-trips lossless here.
+                # rstrip("\r\n") would eat an unbounded run, truncating a
+                # value that legitimately ends in \r (written as v\r + \n).
                 line = raw.decode("utf-8")
                 if line.endswith("\n"):
                     line = line[:-1]

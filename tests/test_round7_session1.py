@@ -61,8 +61,11 @@ def test_bench_outlier_adjudication_logic():
 
 def test_textkv_strips_exactly_one_trailing_cr(spark, tmp_path):
     """A raw line ``k\\tv\\r\\r\\n`` must read back with value ``v\\r`` —
-    exactly one CR stripped before the newline, matching Hadoop's
-    LineRecordReader, not an unbounded rstrip."""
+    exactly one CR stripped before the newline, never an unbounded
+    rstrip.  (Note the reader's documented contract: records terminate
+    on \\n / \\r\\n only; a BARE \\r is data — deliberately narrower than
+    Hadoop's LineReader, which also splits on lone \\r, because this
+    format's writer only emits \\n terminators.)"""
     from hadoopmapreduce_spark.sources.textkv_source import register_textkv
 
     register_textkv(spark)
@@ -121,8 +124,12 @@ def test_schema_evolution_revenue_is_integer_cents(spark, sf_dir, oracle_con):
 
 
 def test_schema_evolution_scratch_is_fresh(spark, sf_dir):
-    """fresh=True: a stale file planted in the scratch dir must not leak
-    rows into the result (the other r6-red hypothesis)."""
+    """fresh=True must actually CLEAR pre-existing scratch state when the
+    query runs (the r6-red staleness hypothesis).  The query reads only
+    its two explicit snapshot paths — both rewritten with overwrite — so
+    the observable fresh=True guarantee is that ANY stale content in the
+    scratch root (partial writes, old snapshot layouts) is gone after a
+    run, and the result is unchanged by whatever was there before."""
     from hadoopmapreduce_spark import registry
     from hadoopmapreduce_spark.catalog import work_dir
 
@@ -132,18 +139,31 @@ def test_schema_evolution_scratch_is_fresh(spark, sf_dir):
         r["priority"]: (r["n_orders"], r["revenue_cents"])
         for r in registry.QUERIES[name](spark, sf_dir).collect()
     }
-    # plant a rogue extra snapshot where a stale run could have left one
-    tmp = work_dir("schema_evo", sf_dir)  # NOT fresh: simulates staleness
-    rogue = os.path.join(tmp, "snap=3")
-    os.makedirs(rogue, exist_ok=True)
-    spark.range(1).selectExpr(
-        "CAST(999999999 AS BIGINT) AS o_orderkey",
-        "CAST(123.45 AS DOUBLE) AS o_totalprice",
-        "'ROGUE' AS o_orderpriority",
-    ).write.mode("overwrite").parquet(rogue)
+    # plant rogue content in the scratch root (NOT fresh, simulating the
+    # leftovers of an older run with a different snapshot layout)
+    tmp = work_dir("schema_evo", sf_dir)
+    rogue_dir = os.path.join(tmp, "snap=3")
+    os.makedirs(rogue_dir, exist_ok=True)
+    rogue_file = os.path.join(tmp, "stale-partial.tmp")
+    open(rogue_file, "w").write("stale")
     again = {
         r["priority"]: (r["n_orders"], r["revenue_cents"])
         for r in registry.QUERIES[name](spark, sf_dir).collect()
     }
-    assert "ROGUE" not in again
+    # fresh=True cleared the planted state before the run…
+    assert not os.path.exists(rogue_dir)
+    assert not os.path.exists(rogue_file)
+    # …and the result is byte-identical to the unpolluted baseline
     assert again == baseline
+
+
+def test_work_dir_fresh_clears_existing_content(sf_dir):
+    """work_dir(..., fresh=True) removes everything a prior run left."""
+    from hadoopmapreduce_spark.catalog import work_dir
+
+    path = work_dir("fresh_probe", sf_dir)
+    leftover = os.path.join(path, "leftover.txt")
+    open(leftover, "w").write("x")
+    again = work_dir("fresh_probe", sf_dir, fresh=True)
+    assert again == path
+    assert os.path.isdir(path) and not os.path.exists(leftover)

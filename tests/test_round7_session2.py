@@ -86,29 +86,14 @@ def test_maxsim_dominates_single_vector_cosine(spark, sf_dir):
 
 
 def test_label_propagation_census_conserves_nodes(spark, sf_dir):
-    from hadoopmapreduce_spark.operators.graph import WCC_MIN_SUPPORT
+    # the SAME shared edge builder the operator uses — not a third copy
+    from hadoopmapreduce_spark.operators.graph import (
+        thresholded_copurchase_edges,
+    )
 
     out = registry.QUERIES["graph_label_propagation"](spark, sf_dir)
     rows = out.collect()
-    # total members == node count of the thresholded graph
-    from hadoopmapreduce_spark.catalog import load_table
-
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= WCC_MIN_SUPPORT)
-    )
+    edges = thresholded_copurchase_edges(spark, sf_dir)
     n_nodes = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -191,7 +176,12 @@ def test_kcenter_coverage_radius_monotone(spark, sf_dir):
         key=lambda r: r["pick"],
     )
     assert [r["pick"] for r in rows] == list(range(8))
-    assert rows[0]["vec_id"] == 0 and rows[0]["dist2"] == 0.0
+    # seed is MIN(vec_id) — literal 0 on the driver fixtures, but derive
+    # it so the test holds on 1-based fixture generations too
+    from hadoopmapreduce_spark.operators.similarity import _embeddings
+
+    seed = _embeddings(spark, sf_dir).agg(F.min("vec_id")).collect()[0][0]
+    assert rows[0]["vec_id"] == seed and rows[0]["dist2"] == 0.0
     ids = [r["vec_id"] for r in rows]
     assert len(set(ids)) == len(ids)  # no re-picks
     # greedy FPS: the farthest remaining distance never increases
