@@ -110,13 +110,22 @@ HEADLINERS = [
     ("scan_orc_roundtrip", "ORC write/read roundtrip: pushdown + pruned ReadSchema on the ORC scan, parquet-oracle equality"),
     ("ngram_jaccard_pairs", "DELIBERATE quadratic differential baseline for the banded path — bounded by the blocking key"),
     ("embedding_near_dup", "DELIBERATE exact all-pairs cosine baseline for the LSH path — bounded probe set"),
+    # round-7: queries that crossed the 1.5 s coverage threshold in a
+    # CPU-contended bench run — snapshotted so coverage is robust to
+    # in-suite timing noise, not just to steady-state costs
+    ("agg_moments", "exact-decimal variance/stddev/corr: one partial+final aggregate, decimal-domain sums"),
+    ("doc_containment_pairs", "checkpointed shingle table + ordered-pair join; both directions from one intersection count"),
+    ("dq_fact_detail_reconcile", "fact-side rollup vs detail-side rollup, one equi-join on the reconcile key"),
+    ("graph_basket_lift_top", "order-key self-join pair counts + min-support HAVING before any dim join; bounded top-N"),
+    ("q2_min_cost_supplier", "TPC-H Q2: correlated min-cost subquery decorrelated to a window-MIN over the pre-aggregated cost table"),
+    ("udaf_tdigest_quantiles", "applyInPandas partial t-digests per bucket, <=delta centroids cross the merge shuffle"),
     # round-7 registrations: the real-codec quartet (VERDICT r6 ask #3)
     ("audio_decode_features", "real WAV decode in mapInPandas Arrow batches — shuffle-free, embarrassingly parallel"),
     ("image_decode_features", "real PNG chunk/CRC/inflate/unfilter in mapInPandas — shuffle-free; pure-Python unfilter is the constant factor"),
     ("video_probe_features", "ISO-BMFF box walk in mapInPandas — container metadata only, no frame decode, no shuffle"),
     ("zip_manifest_features", "stdlib zipfile central-directory walk + per-member CRC verify per blob — one manifest row per archive, never exploded into the shuffle"),
-    ("agg_equidepth_histogram", "global ntile sort — exact baseline; production path is approx_percentile (docstring)"),
-    ("layout_zorder_stats", "Morton-key ntile(16) audit; production path is repartitionByRange(z) (SCALE.md)"),
+    ("agg_equidepth_histogram", "exact NTILE via distributed_ntile (range repartition + prefix offsets) — no single-partition window since r7"),
+    ("layout_zorder_stats", "Morton-key audit; buckets via distributed_ntile over zval — the range exchange IS the production Z-order shuffle"),
 ]
 
 

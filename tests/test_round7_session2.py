@@ -188,3 +188,59 @@ def test_kcenter_coverage_radius_monotone(spark, sf_dir):
     d = [r["dist2"] for r in rows[1:]]
     assert all(a >= b - 1e-9 for a, b in zip(d, d[1:])), d
     assert all(x > 0 for x in d)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """Differential: distributed_ntile must be bit-identical to
+    F.ntile over the same total order — across remainder cases
+    (n % k != 0), duplicate keys, and n < k."""
+    from pyspark.sql import Window
+
+    from hadoopmapreduce_spark.functions.ranks import distributed_ntile
+
+    cases = [
+        (103, 10),  # n % k = 3
+        (40, 8),    # n % k = 0
+        (5, 10),    # n < k
+        (64, 7),
+    ]
+    for n, k in cases:
+        # duplicate-heavy values force ties; id is the tie-break
+        df = spark.range(n).select(
+            (F.col("id") % 9).alias("val"), F.col("id").alias("tid")
+        )
+        expect = {
+            (r["val"], r["tid"]): r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("val", "tid"))
+            ).collect()
+        }
+        got = {
+            (r["val"], r["tid"]): r["bucket"]
+            for r in distributed_ntile(df, k, ["val", "tid"]).collect()
+        }
+        assert got == expect, (n, k)
+
+
+def test_perf_weak_ntile_queries_have_no_global_window(spark, sf_dir):
+    """The two former perf-weak global-NTILE queries must now plan with
+    NO single-partition window: every Exchange is a range or hash
+    exchange, never Exchange SinglePartition feeding a Window."""
+    from hadoopmapreduce_spark.operators.aggregates import (
+        agg_equidepth_histogram,
+    )
+    from hadoopmapreduce_spark.operators.layout import layout_zorder_stats
+    from hadoopmapreduce_spark.plans import physical_plan
+
+    for fn in (agg_equidepth_histogram, layout_zorder_stats):
+        plan = physical_plan(fn(spark, sf_dir))
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                # a single-partition exchange may only serve the final
+                # scalar-ish aggregate, never a Window
+                window_after = any(
+                    "Window" in l for l in lines[max(0, i - 3) : i + 4]
+                )
+                assert not window_after, f"{fn.__name__}: {line}"
+        assert "rangepartitioning" in plan.lower(), fn.__name__
