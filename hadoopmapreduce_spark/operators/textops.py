@@ -2068,3 +2068,103 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ips").cast("long").alias("n_ips"),
         F.sum(F.length("t") - F.length("red")).cast("long").alias("chars_delta"),
     )
+
+
+# --- bigram-LM surprise scoring (CCNet-style quality filtering) --------------
+
+LM_SURPRISE_TOP = 20
+
+
+@query(
+    "text_lm_surprise",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
+      FROM documents),
+    uni AS (
+      SELECT u.tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t, UNNEST(ts) AS u(tok) GROUP BY 1),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM t, UNNEST(range(1, len(ts))) AS r(i)
+      GROUP BY 1, 2),
+    occ AS (
+      SELECT t.doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM t, UNNEST(range(1, len(ts))) AS r(i)),
+    scored AS (
+      SELECT o.doc_id,
+             (length(bin(u.c)) - 1) - (length(bin(b.c_xy)) - 1) AS s
+      FROM occ o
+      JOIN uni u ON u.term = o.w1
+      JOIN big b ON b.w1 = o.w1 AND b.w2 = o.w2),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(s) AS BIGINT) AS surprise_sum,
+             CAST(SUM(s) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+               AS surprise_x1000
+      FROM scored GROUP BY 1)
+    SELECT doc_id, n_bigrams, surprise_sum, surprise_x1000
+    FROM per_doc
+    ORDER BY surprise_x1000 DESC, doc_id
+    LIMIT {LM_SURPRISE_TOP}
+    """,
+)
+def text_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-language-model surprise scoring — the CCNet-style quality
+    signal: train bigram/unigram counts ON the corpus itself, score every
+    document by how surprising its bigram sequence is under that model,
+    and surface the top-{LM_SURPRISE_TOP} most-surprising documents (the
+    ones a perplexity-filtered training mix would inspect or drop).
+
+    Surprise per bigram occurrence is the INTEGER floor-log2 likelihood
+    ratio ``floor(log2 c(w1)) - floor(log2 c(w1 w2))`` — a monotone proxy
+    for ``-log2 P(w2|w1)`` computed as ``length(bin(n)) - 1`` on exact
+    counts, so NO libm logarithm ever crosses the engine boundary (the
+    same determinism discipline as pmi_top_pairs' rational-form score).
+    Since c(w1 w2) <= c(w1), surprise is >= 0; per-doc score is the
+    integer-division mean x1000.
+
+    Distributed shape: ONE tokenize feeds the unigram aggregate, the
+    bigram aggregate, and the per-occurrence stream (all term-keyed
+    shuffles with map-side partials; Zipf skew handled by AQE); the two
+    count joins key on the same terms; the per-doc rollup keys on doc_id;
+    the final top-k is orderBy+limit (TakeOrderedAndProject — bounded
+    heaps, no global sort, no single-partition window).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    n = F.size(ts)
+    t = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 2)
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    pair_structs = F.zip_with(
+        F.slice(F.col("ts"), 1, F.size("ts") - 1),
+        F.slice(F.col("ts"), 2, F.size("ts") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = t.select(
+        "doc_id", F.explode(pair_structs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+
+    def flog2(col):
+        return F.length(F.bin(col)) - 1
+
+    scored = (
+        occ.join(uni, occ["w1"] == uni["term"])
+        .join(big, ["w1", "w2"])
+        .select(
+            "doc_id", (flog2(F.col("c")) - flog2(F.col("c_xy"))).alias("s")
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("s").cast("long").alias("surprise_sum"),
+        F.expr("CAST(sum(s) * 1000 div count(1) AS BIGINT)").alias(
+            "surprise_x1000"
+        ),
+    )
+    return per_doc.orderBy(
+        F.desc("surprise_x1000"), F.asc("doc_id")
+    ).limit(LM_SURPRISE_TOP)

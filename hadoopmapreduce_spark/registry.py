@@ -100,14 +100,18 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
-# OUTSIDE this round's 50-slot window.  EMPTY since round 7: the 80-query
-# round-5 backlog drained over rounds 6-7 (50 + 30), and all 8 round-7
-# registrations (codec quartet + the mid-round four) fit the same window
-# by trimming the oldest-green rotation from 15 to 11 slots — every
-# registered query either has a driver verdict or is in the current
-# window.  New registrations land here only when a round adds more
-# queries than its window's free slots.
-ADJUDICATION_DEFERRED: tuple[str, ...] = ()
+# OUTSIDE this round's 50-slot window.  The 80-query round-5 backlog
+# drained over rounds 6-7 (50 + 30), and the first 8 round-7
+# registrations (codec quartet + the mid-round four) fit the round-7
+# window by trimming the oldest-green rotation from 15 to 11 slots.
+# Entries below are LATE round-7 additions (the window was already
+# full), all locally oracle-verified at sf0.001+sf0.01 — they front the
+# round-8 window.
+ADJUDICATION_DEFERRED: tuple[str, ...] = (
+    "text_lm_surprise",  # bigram-LM surprise scoring (CCNet-style quality
+                         # filter); integer floor-log2 via bin() length —
+                         # no libm crosses the engine boundary
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

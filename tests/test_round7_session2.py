@@ -244,3 +244,21 @@ def test_perf_weak_ntile_queries_have_no_global_window(spark, sf_dir):
                 )
                 assert not window_after, f"{fn.__name__}: {line}"
         assert "rangepartitioning" in plan.lower(), fn.__name__
+
+
+def test_lm_surprise_invariants(spark, sf_dir):
+    """Surprise is a floor-log2 likelihood ratio on exact counts: every
+    per-doc sum is >= 0 (c_xy <= c(w1) always), the x1000 mean matches
+    the integer-division identity, and the result is the top-20 by
+    (surprise_x1000 DESC, doc_id)."""
+    rows = registry.QUERIES["text_lm_surprise"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["surprise_sum"] >= 0
+        assert r["n_bigrams"] >= 1
+        assert (
+            r["surprise_x1000"]
+            == r["surprise_sum"] * 1000 // r["n_bigrams"]
+        )
+    keys = [(-r["surprise_x1000"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
