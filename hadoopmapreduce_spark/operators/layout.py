@@ -29,7 +29,7 @@ import math
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopmapreduce_spark.catalog import load_table, work_dir

@@ -119,6 +119,9 @@ HEADLINERS = [
     ("graph_basket_lift_top", "order-key self-join pair counts + min-support HAVING before any dim join; bounded top-N"),
     ("q2_min_cost_supplier", "TPC-H Q2: correlated min-cost subquery decorrelated to a window-MIN over the pre-aggregated cost table"),
     ("udaf_tdigest_quantiles", "applyInPandas partial t-digests per bucket, <=delta centroids cross the merge shuffle"),
+    ("contamination_check", "benchmark gram set broadcast; corpus grams deduped array-side before the explode — zero extra shuffle"),
+    ("graph_degree_assortativity", "two broadcast degree joins on the shared cached edge table; exact-integer covariance identity"),
+    ("sample_coreset_kcenter", "K bounded rounds: cached corpus scan x broadcast <=K-row center set; argmax is TakeOrderedAndProject top-1"),
     # round-7 registrations: the real-codec quartet (VERDICT r6 ask #3)
     ("audio_decode_features", "real WAV decode in mapInPandas Arrow batches — shuffle-free, embarrassingly parallel"),
     ("image_decode_features", "real PNG chunk/CRC/inflate/unfilter in mapInPandas — shuffle-free; pure-Python unfilter is the constant factor"),
