@@ -1505,3 +1505,96 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("lnode").alias("node"), "label")
         )
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# --- bounded-radius harmonic centrality --------------------------------------
+
+HARMONIC_SEEDS = 4
+HARMONIC_RADIUS = 4
+
+
+def _harmonic_oracle(seeds: int, radius: int) -> str:
+    """Unrolled per-seed BFS (seed kept in the frontier key, so distances
+    are PER SEED, not min-across-sources like _bfs_oracle) + the integer
+    harmonic sum."""
+    ctes = [
+        f"""h0 AS (
+      SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+      FROM (SELECT DISTINCT src AS node FROM directed
+            ORDER BY node LIMIT {seeds}))"""
+    ]
+    for i in range(1, radius + 1):
+        ctes.append(
+            f"""h{i} AS (
+      SELECT seed, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT seed, node, dist FROM h{i - 1}
+        UNION ALL
+        SELECT p.seed, dir.dst AS node, p.dist + 1 AS dist
+        FROM directed dir JOIN h{i - 1} p ON p.node = dir.src)
+      GROUP BY 1, 2)"""
+        )
+    return f"""
+    WITH {_EDGES_SQL},
+    directed AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges),
+    {", ".join(ctes)}
+    SELECT seed,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
+    FROM h{radius} WHERE dist > 0 GROUP BY 1
+    """
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle=_harmonic_oracle(HARMONIC_SEEDS, HARMONIC_RADIUS),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius HARMONIC centrality for the {HARMONIC_SEEDS}
+    lowest-id nodes: sum over nodes within {HARMONIC_RADIUS} hops of
+    1/dist — the centrality that, unlike closeness, is well-defined on
+    disconnected graphs (unreached nodes contribute 0 instead of
+    poisoning the mean).  The radius bound is the production reality:
+    exact all-pairs centrality is O(n·m) and nobody runs it at 100 TB;
+    bounded-radius per-seed sweeps (one per candidate node) are the
+    standard estimator.
+
+    Per-seed distances (NOT the min-across-sources of
+    graph_bfs_distances): the seed rides in the frontier key, so one
+    relax-then-min round is a join + (seed, node)-keyed aggregate —
+    state is |seeds| x |reached|, bounded by construction.  The harmonic
+    sum is integer ppm (1e6 div dist; dist is a small exact integer), so
+    no float reciprocal crosses the engine boundary.  Shares the cached
+    directed-edge table with the rest of the graph family.
+    """
+    directed = directed_copurchase_edges(spark, sf_dir)
+    seeds = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(HARMONIC_SEEDS)
+    )
+    frontier = seeds.select(
+        F.col("node").alias("seed"),
+        F.col("node").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(HARMONIC_RADIUS):
+        cand = directed.join(
+            frontier, directed["src"] == frontier["node"]
+        ).select("seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        frontier = (
+            frontier.unionAll(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        frontier.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_ppm"),
+        )
+    )

@@ -111,6 +111,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "text_lm_surprise",  # bigram-LM surprise scoring (CCNet-style quality
                          # filter); integer floor-log2 via bin() length —
                          # no libm crosses the engine boundary
+    "graph_harmonic_centrality",  # bounded-radius per-seed BFS harmonic
+                                  # sums; integer ppm reciprocals
 )
 
 

@@ -262,3 +262,26 @@ def test_lm_surprise_invariants(spark, sf_dir):
         )
     keys = [(-r["surprise_x1000"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_harmonic_centrality_invariants(spark, sf_dir):
+    """Per-seed harmonic sums: exactly HARMONIC_SEEDS rows; the seed with
+    more reached nodes at the same radius can't have a lower bound than
+    n_reached * (1e6 div radius); every ppm sum <= n_reached * 1e6."""
+    from hadoopmapreduce_spark.operators.graph import (
+        HARMONIC_RADIUS,
+        HARMONIC_SEEDS,
+    )
+
+    rows = registry.QUERIES["graph_harmonic_centrality"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == HARMONIC_SEEDS
+    for r in rows:
+        assert r["n_reached"] >= 1
+        # each reached node contributes between 1e6/radius and 1e6
+        assert (
+            r["n_reached"] * (1_000_000 // HARMONIC_RADIUS)
+            <= r["harmonic_ppm"]
+            <= r["n_reached"] * 1_000_000
+        )
