@@ -1573,3 +1573,132 @@ def dedup_linkage_score_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_segment",
         "w_band",
     )
+
+
+# --- entity-resolution survivorship (golden record) --------------------------
+
+
+@query(
+    "dedup_golden_record",
+    oracle="""
+    WITH variants AS (
+      SELECT c_custkey, src_id,
+             c_custkey * 10 + src_id AS rec_ts,
+             CASE src_id WHEN 0 THEN c_name
+                         WHEN 1 THEN upper(c_name)
+                         ELSE substr(c_name, 1, 8) END AS name,
+             CASE WHEN src_id = 1 THEN NULL
+                  ELSE c_mktsegment END AS segment,
+             CAST(ROUND((c_acctbal + src_id) * 100) AS BIGINT)
+               AS acctbal_cents
+      FROM customer,
+           LATERAL unnest(range(0, c_custkey % 3 + 1)) AS s(src_id)),
+    by_name AS (
+      SELECT c_custkey, name,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY length(name) DESC, name) AS rk
+      FROM variants),
+    by_seg AS (
+      SELECT c_custkey, segment,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY rec_ts DESC) AS rk
+      FROM variants WHERE segment IS NOT NULL),
+    by_recent AS (
+      SELECT c_custkey, acctbal_cents,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY rec_ts DESC) AS rk
+      FROM variants),
+    sizes AS (
+      SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM variants GROUP BY 1)
+    SELECT s.c_custkey AS custkey,
+           s.n_sources,
+           n.name AS golden_name,
+           g.segment AS golden_segment,
+           r.acctbal_cents AS golden_acctbal_cents
+    FROM sizes s
+    JOIN by_name n ON n.c_custkey = s.c_custkey AND n.rk = 1
+    JOIN by_seg g ON g.c_custkey = s.c_custkey AND g.rk = 1
+    JOIN by_recent r ON r.c_custkey = s.c_custkey AND r.rk = 1
+    """,
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP — the golden-record merge that runs
+    AFTER matching (dedup_fuzzy_blocking finds the pairs,
+    dedup_linkage_score_fs scores them, dedup_clusters groups them):
+    collapse each entity's source records into one canonical row under
+    explicit per-field rules.  Source variants are synthesized
+    deterministically from the customer table (1-3 records per entity:
+    the original, an upper-cased re-entry missing its segment, a
+    truncated legacy import) — the same fixture-augmentation discipline
+    as the PII and codec operators, so the oracle adjudicates the rule
+    engine end to end.
+
+    Field rules (each a per-cluster window with a TOTAL tie-break, so
+    survivorship is deterministic — the production requirement that
+    separates a golden record from a max_by lottery):
+    * name — longest wins, ties to the lexicographically smallest;
+    * segment — most RECENT NON-NULL (recency window over the filtered
+      variants: absent fields never win);
+    * account balance — from the most recent record, as integer cents.
+
+    Distributed shape: one explode (bounded x3), three windows and one
+    count all keyed on the SAME cluster key — the exchange is reused;
+    nothing global anywhere.  At 100 TB the cluster key comes from the
+    upstream components table instead of c_custkey; the rule windows are
+    identical.
+    """
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    src = F.explode(
+        F.sequence(F.lit(0), (F.col("c_custkey") % 3).cast("int"))
+    ).alias("src_id")
+    v = c.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", src).select(
+        "c_custkey",
+        "src_id",
+        (F.col("c_custkey") * 10 + F.col("src_id")).alias("rec_ts"),
+        F.when(F.col("src_id") == 0, F.col("c_name"))
+        .when(F.col("src_id") == 1, F.upper(F.col("c_name")))
+        .otherwise(F.substring(F.col("c_name"), 1, 8))
+        .alias("name"),
+        F.when(F.col("src_id") == 1, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.round((F.col("c_acctbal") + F.col("src_id")) * 100)
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+    w_name = W.partitionBy("c_custkey").orderBy(
+        F.length("name").desc(), F.asc("name")
+    )
+    w_recent = W.partitionBy("c_custkey").orderBy(F.desc("rec_ts"))
+    by_name = (
+        v.withColumn("rk", F.row_number().over(w_name))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", F.col("name").alias("golden_name"))
+    )
+    by_seg = (
+        v.filter(F.col("segment").isNotNull())
+        .withColumn("rk", F.row_number().over(w_recent))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", F.col("segment").alias("golden_segment"))
+    )
+    by_recent = (
+        v.withColumn("rk", F.row_number().over(w_recent))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", F.col("acctbal_cents").alias("golden_acctbal_cents"))
+    )
+    sizes = v.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        sizes.join(by_name, "c_custkey")
+        .join(by_seg, "c_custkey")
+        .join(by_recent, "c_custkey")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "n_sources",
+            "golden_name",
+            "golden_segment",
+            "golden_acctbal_cents",
+        )
+    )

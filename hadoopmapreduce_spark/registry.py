@@ -113,6 +113,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                          # no libm crosses the engine boundary
     "graph_harmonic_centrality",  # bounded-radius per-seed BFS harmonic
                                   # sums; integer ppm reciprocals
+    "dedup_golden_record",  # ER survivorship: per-field rule windows with
+                            # total tie-breaks over synthesized variants
 )
 
 

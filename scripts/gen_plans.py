@@ -123,6 +123,7 @@ HEADLINERS = [
     ("graph_degree_assortativity", "two broadcast degree joins on the shared cached edge table; exact-integer covariance identity"),
     ("sample_coreset_kcenter", "K bounded rounds: cached corpus scan x broadcast <=K-row center set; argmax is TakeOrderedAndProject top-1"),
     ("graph_harmonic_centrality", "per-seed bounded-radius BFS: relax-then-min rounds keyed on (seed, node); per-round localCheckpoint"),
+    ("dedup_golden_record", "ER survivorship: bounded variant explode + three rule windows sharing one cluster-keyed exchange"),
     # round-7 registrations: the real-codec quartet (VERDICT r6 ask #3)
     ("audio_decode_features", "real WAV decode in mapInPandas Arrow batches — shuffle-free, embarrassingly parallel"),
     ("image_decode_features", "real PNG chunk/CRC/inflate/unfilter in mapInPandas — shuffle-free; pure-Python unfilter is the constant factor"),

@@ -285,3 +285,38 @@ def test_harmonic_centrality_invariants(spark, sf_dir):
             <= r["harmonic_ppm"]
             <= r["n_reached"] * 1_000_000
         )
+
+
+def test_golden_record_rules(spark, sf_dir):
+    """Survivorship rules hold row-by-row: one golden row per entity,
+    n_sources = custkey%3+1, segment never null (the non-null rule),
+    the truncated legacy name never survives when a longer one exists,
+    and the balance comes from the most recent variant."""
+    from hadoopmapreduce_spark.catalog import load_table
+
+    rows = {
+        r["custkey"]: r
+        for r in registry.QUERIES["dedup_golden_record"](
+            spark, sf_dir
+        ).collect()
+    }
+    base = {
+        r["c_custkey"]: r
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    assert set(rows) == set(base)
+    for k, r in rows.items():
+        n = k % 3 + 1
+        assert r["n_sources"] == n
+        assert r["golden_segment"] == base[k]["c_mktsegment"]  # non-null rule
+        # longest-name rule: the 8-char truncation never wins; with the
+        # upper-cased variant present (n >= 2) the tie breaks to the
+        # lexicographically smaller of original vs upper
+        cand = [base[k]["c_name"]]
+        if n >= 2:
+            cand.append(base[k]["c_name"].upper())
+        assert r["golden_name"] == min(cand, key=lambda s: (-len(s), s))
+        # recency rule: balance from the newest variant (src_id = n-1)
+        assert r["golden_acctbal_cents"] == round(
+            (base[k]["c_acctbal"] + (n - 1)) * 100
+        )
