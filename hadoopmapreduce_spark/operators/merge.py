@@ -262,3 +262,100 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("custkey", "name", "valid_from")
+
+
+# --- temporal fact-to-SCD2 join ----------------------------------------------
+
+TEMPORAL_EPOCH = "1990-01-01"  # v1 opens before every order
+TEMPORAL_BASE = "1995-01-01"  # change dates spread across the order range
+TEMPORAL_SPREAD_DAYS = 2400
+
+
+@query(
+    "join_temporal_scd2_fact",
+    oracle=f"""
+    WITH hist AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment, 'v1' AS version,
+             DATE '{TEMPORAL_EPOCH}' AS valid_from,
+             DATE '{TEMPORAL_BASE}'
+               + CAST(c_custkey % {TEMPORAL_SPREAD_DAYS} AS INTEGER)
+               AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED', 'v2',
+             DATE '{TEMPORAL_BASE}'
+               + CAST(c_custkey % {TEMPORAL_SPREAD_DAYS} AS INTEGER),
+             NULL
+      FROM customer),
+    joined AS (
+      SELECT h.version, h.segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN hist h
+        ON h.custkey = o.o_custkey
+       AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+       AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to))
+    SELECT version, segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM joined GROUP BY 1, 2
+    """,
+)
+def join_temporal_scd2_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact join — every order looks up the dimension version
+    that was valid AT ITS OWN event time, the per-row generalization of
+    :func:`scd2_asof_lookup` (which answers one point in time for the
+    whole query).  This is the canonical star-schema-with-history query:
+    facts never store dimension attributes; they time-travel into the
+    SCD2 table at read time.
+
+    The history is synthesized deterministically with change dates spread
+    ACROSS the fact's date range (v1 from {TEMPORAL_EPOCH}; each customer
+    upgrades at {TEMPORAL_BASE} + custkey mod {TEMPORAL_SPREAD_DAYS}
+    days), so both join branches carry real traffic.  Revenue aggregates
+    as integer cents (the scan_schema_evolution_union lesson — no
+    double→decimal cast parity exposed).
+
+    Distributed shape: an EQUI join on the dimension key with the
+    validity window as a residual range predicate — Catalyst plans the
+    hash/sort-merge join on custkey and applies the interval filter on
+    matched pairs, so there is never a nested-loop or a time-banded
+    explode; the dimension history is broadcast-sized by definition.
+    Output is the (version, segment) rollup — bounded, partial-agg
+    friendly.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    change_dt = F.date_add(
+        F.lit(TEMPORAL_BASE).cast("date"),
+        (F.col("c_custkey") % TEMPORAL_SPREAD_DAYS).cast("int"),
+    )
+    v1 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("v1").alias("version"),
+        F.lit(TEMPORAL_EPOCH).cast("date").alias("valid_from"),
+        change_dt.alias("valid_to"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("v2").alias("version"),
+        change_dt.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    hist = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    joined = o.join(
+        F.broadcast(hist),
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("odate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("odate") < F.col("valid_to"))),
+    )
+    return joined.groupBy("version", "segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

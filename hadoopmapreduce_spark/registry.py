@@ -115,6 +115,9 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
                                   # sums; integer ppm reciprocals
     "dedup_golden_record",  # ER survivorship: per-field rule windows with
                             # total tie-breaks over synthesized variants
+    "join_temporal_scd2_fact",  # per-row event-time dimension lookup:
+                                # equi-join on the key + validity-window
+                                # residual; integer-cents revenue
 )
 
 

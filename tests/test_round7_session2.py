@@ -320,3 +320,26 @@ def test_golden_record_rules(spark, sf_dir):
         assert r["golden_acctbal_cents"] == round(
             (base[k]["c_acctbal"] + (n - 1)) * 100
         )
+
+
+def test_temporal_scd2_fact_conserves_orders(spark, sf_dir):
+    """Every order matches EXACTLY ONE dimension version (the validity
+    intervals partition the timeline), so the rollup's order count and
+    cents total equal the fact table's."""
+    from hadoopmapreduce_spark.catalog import load_table
+
+    rows = registry.QUERIES["join_temporal_scd2_fact"](
+        spark, sf_dir
+    ).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    total_cents = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    ).collect()[0]["c"]
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert sum(r["revenue_cents"] for r in rows) == total_cents
+    versions = {r["version"] for r in rows}
+    assert versions == {"v1", "v2"}  # both temporal branches carry traffic
+    assert all(
+        r["segment"] == "UPGRADED" for r in rows if r["version"] == "v2"
+    )
