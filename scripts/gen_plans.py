@@ -124,6 +124,9 @@ HEADLINERS = [
     ("sample_coreset_kcenter", "K bounded rounds: cached corpus scan x broadcast <=K-row center set; argmax is TakeOrderedAndProject top-1"),
     ("graph_harmonic_centrality", "per-seed bounded-radius BFS: relax-then-min rounds keyed on (seed, node); per-round localCheckpoint"),
     ("dedup_golden_record", "ER survivorship: bounded variant explode + three rule windows sharing one cluster-keyed exchange"),
+    ("doc_repetition_signals", "Gopher repetition signals: gram ladders built array-side, one doc-keyed aggregate pass"),
+    ("join_skew_salted", "manual skew salting: build side replicated xSALT, probe salt from pmod(hash) — one hot key spreads over SALT reducers"),
+    ("streaming_session_windows", "session_window aggregation on the event replay; watermark bounds state; epoch parquet sink"),
     # round-7 registrations: the real-codec quartet (VERDICT r6 ask #3)
     ("audio_decode_features", "real WAV decode in mapInPandas Arrow batches — shuffle-free, embarrassingly parallel"),
     ("image_decode_features", "real PNG chunk/CRC/inflate/unfilter in mapInPandas — shuffle-free; pure-Python unfilter is the constant factor"),
