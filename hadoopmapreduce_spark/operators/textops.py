@@ -2133,19 +2133,26 @@ def text_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps, no global sort, no single-partition window).
     """
     docs = load_table(spark, sf_dir, "documents")
-    ts = _tokens(F.col("text"))
-    n = F.size(ts)
-    t = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 2)
-    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    # ONE tokenize, materialized: `tok_table` feeds the unigram aggregate
+    # and the bigram stream; `occ` is consumed twice (the bigram count AND
+    # the scoring join), so it is checkpointed — without these the regex
+    # tokenize+explode (the query's dominant cost) would run three times
+    tok_table = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("ts")
+    ).localCheckpoint(eager=False)
+    t = tok_table.filter(F.size("ts") >= 2)
+    toks = tok_table.select(F.explode(F.col("ts")).alias("term"))
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     pair_structs = F.zip_with(
         F.slice(F.col("ts"), 1, F.size("ts") - 1),
         F.slice(F.col("ts"), 2, F.size("ts") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    occ = t.select(
-        "doc_id", F.explode(pair_structs).alias("p")
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    occ = (
+        t.select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
     big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
 
     def flog2(col):

@@ -27,7 +27,6 @@ HEADLINERS = [
     ("vocab_coverage", "bounded top-N vocab broadcast against token stream"),
     ("graph_copurchase_triangles", "degree-oriented adjacency intersection — no wedge shuffle, no cartesian"),
     ("ts_gapfill_locf", "spine explode + LOCF window, every exchange keyed on user_id"),
-    ("layout_zorder_stats", "Morton key as pure codegen bit arithmetic"),
     ("incremental_agg_merge", "algebraic partial-state merge: partial+final hash aggregates"),
     ("graph_bfs_distances", "per-round lineage cut: final agg reads a materialized-RDD label table, not 2^rounds of recomputed joins"),
     ("ts_rollup_time_hierarchy", "ROLLUP(y,m,d): one Expand + partial/final agg — all levels in one pass"),
@@ -166,6 +165,12 @@ def check_coverage() -> None:
 def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
     registry.load_all()
+    names = [n for n, _ in HEADLINERS]
+    dups = sorted({n for n in names if names.count(n) > 1})
+    if dups:
+        # a duplicate renders the same query twice with (likely) stale
+        # prose on one copy — the r7 review found exactly this
+        raise SystemExit(f"duplicate HEADLINERS entries: {dups}")
     check_coverage()
     spark = get_spark("gen-plans", cpus=4, shuffle_partitions=8)
     out = [
