@@ -2842,3 +2842,122 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (cast({na} as decimal(38,0)) * {nb}) as long)"
         ),
     )
+
+
+# --- Neyman optimal stratified-sampling allocation ---------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM orders GROUP BY 1),
+    weighted AS (
+      SELECT stratum, n_total,
+             n_total * sqrt((s2 - s1 * s1 / n_total) / n_total) AS w
+      FROM strata),
+    shares AS (
+      SELECT stratum, n_total, w,
+             {NEYMAN_BUDGET} * w / (SELECT SUM(w) FROM weighted) AS share
+      FROM weighted),
+    floored AS (
+      SELECT stratum, n_total, w, share,
+             CAST(FLOOR(share) AS BIGINT) AS base,
+             share - FLOOR(share) AS rem
+      FROM shares),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk,
+             (SELECT {NEYMAN_BUDGET} - SUM(base) FROM floored) AS leftover
+      FROM floored)
+    SELECT stratum, n_total,
+           CAST(ROUND(w * 100) AS BIGINT) AS weight_c,
+           CAST(LEAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                      n_total) AS BIGINT) AS alloc_n,
+           CAST(LEAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                      n_total) * 1000000 // n_total AS BIGINT)
+             AS sampling_rate_ppm
+    FROM ranked
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman OPTIMAL stratified-sampling allocation: split a fixed budget
+    of {NEYMAN_BUDGET} samples across the order-priority strata
+    proportionally to N_h * S_h (stratum size x standard deviation) — the
+    textbook minimum-variance design, vs. sample_stratified's fixed
+    per-stratum rates.  High-variance strata get oversampled; the
+    allocation is integerized by LARGEST REMAINDER (the
+    fin_prorate_largest_remainder discipline: floors + ranked fractional
+    remainders, ties to the stratum name, so conservation is exact) and
+    capped at the stratum population.
+
+    Determinism across engines: per-stratum moments are EXACT decimal
+    sums cast to double once, the variance/sqrt/share arithmetic is the
+    identical fixed-order IEEE expression on identical inputs (sqrt is
+    correctly rounded per IEEE-754, so both engines agree bit-for-bit —
+    the same reasoning as the cosine operators), and the remainder
+    ranking totally orders on (remainder, stratum).
+
+    Distributed shape: ONE scan with partial+final aggregation into a
+    |strata|-row table; every window/scalar after that runs on 5 rows.
+    The subsequent take (not materialized here) would be the md5-rank
+    filter of sample_stratified with these rates broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    w_col = F.col("n_total") * F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_total"))
+        / F.col("n_total")
+    )
+    weighted = strata.select("stratum", "n_total", w_col.alias("w"))
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    shares = weighted.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_total",
+        "w",
+        (F.lit(NEYMAN_BUDGET) * F.col("w") / F.col("tw")).alias("share"),
+    )
+    floored = shares.select(
+        "stratum",
+        "n_total",
+        "w",
+        "share",
+        F.floor("share").cast("long").alias("base"),
+        (F.col("share") - F.floor("share")).alias("rem"),
+    )
+    # 5-row table: the windows below are trivially bounded
+    rk = F.row_number().over(W.orderBy(F.desc("rem"), F.asc("stratum")))
+    leftover = F.lit(NEYMAN_BUDGET) - F.sum("base").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ranked = floored.select(
+        "stratum", "n_total", "w", "base", rk.alias("rk"), leftover.alias("leftover")
+    )
+    alloc = F.least(
+        F.col("base")
+        + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0)),
+        F.col("n_total"),
+    ).cast("long")
+    return ranked.select(
+        "stratum",
+        "n_total",
+        F.round(F.col("w") * 100).cast("long").alias("weight_c"),
+        alloc.alias("alloc_n"),
+        F.expr(
+            f"CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,"
+            f" n_total) * 1000000 div n_total AS BIGINT)"
+        ).alias("sampling_rate_ppm"),
+    )

@@ -118,6 +118,9 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "join_temporal_scd2_fact",  # per-row event-time dimension lookup:
                                 # equi-join on the key + validity-window
                                 # residual; integer-cents revenue
+    "sample_neyman_allocation",  # optimal stratified budget split
+                                 # (N_h*S_h), largest-remainder integers,
+                                 # windows over the 5-row strata rollup
 )
 
 

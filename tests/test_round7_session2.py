@@ -344,3 +344,27 @@ def test_temporal_scd2_fact_conserves_orders(spark, sf_dir):
     assert all(
         r["segment"] == "UPGRADED" for r in rows if r["version"] == "v2"
     )
+
+
+def test_neyman_allocation_conserves_budget(spark, sf_dir):
+    """Largest-remainder conservation: allocations sum to the budget
+    (unless a stratum cap binds), every allocation is within [0, N_h],
+    and higher N_h*S_h never gets a smaller allocation (monotone in the
+    weight, modulo the +-1 remainder step)."""
+    from hadoopmapreduce_spark.operators.aggregates import NEYMAN_BUDGET
+
+    rows = registry.QUERIES["sample_neyman_allocation"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 5  # order priorities
+    total = sum(r["alloc_n"] for r in rows)
+    capped = any(r["alloc_n"] == r["n_total"] for r in rows)
+    assert total == NEYMAN_BUDGET or (capped and total < NEYMAN_BUDGET)
+    for r in rows:
+        assert 0 <= r["alloc_n"] <= r["n_total"]
+        assert (
+            r["sampling_rate_ppm"] == r["alloc_n"] * 1_000_000 // r["n_total"]
+        )
+    by_w = sorted(rows, key=lambda r: r["weight_c"])
+    for a, b in zip(by_w, by_w[1:]):
+        assert a["alloc_n"] <= b["alloc_n"] + 1  # weight-monotone mod the +-1
