@@ -126,6 +126,7 @@ HEADLINERS = [
     ("doc_repetition_signals", "Gopher repetition signals: gram ladders built array-side, one doc-keyed aggregate pass"),
     ("join_skew_salted", "manual skew salting: build side replicated xSALT, probe salt from pmod(hash) — one hot key spreads over SALT reducers"),
     ("streaming_session_windows", "session_window aggregation on the event replay; watermark bounds state; epoch parquet sink"),
+    ("streaming_stateful_user_totals", "applyInPandasWithState running counter; update-mode epochs reconciled by max(n) per user"),
     # round-7 registrations: the real-codec quartet (VERDICT r6 ask #3)
     ("audio_decode_features", "real WAV decode in mapInPandas Arrow batches — shuffle-free, embarrassingly parallel"),
     ("image_decode_features", "real PNG chunk/CRC/inflate/unfilter in mapInPandas — shuffle-free; pure-Python unfilter is the constant factor"),
