@@ -244,3 +244,34 @@ def test_containment_bounds_and_self_identity(spark, docs):
     assert all(0.0 < v <= 1.0 for v in got.values())
     assert got[(subset_id, superset_id)] == 1.0
     assert CONTAINMENT_THRESHOLD <= 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=120),  # n rows
+    st.integers(min_value=1, max_value=16),   # k buckets
+    st.integers(min_value=1, max_value=9),    # duplicate density modulus
+)
+def test_distributed_ntile_property(spark, n, k, mod):
+    """Property: functions.ranks.distributed_ntile is bit-identical to
+    F.ntile over the same total order for ANY (n, k, tie density) — the
+    differential the fixed-case test samples, generalized."""
+    from pyspark.sql import Window
+
+    from hadoopmapreduce_spark.functions import ranks
+
+    df = spark.range(n).select(
+        (F.col("id") % mod).alias("val"), F.col("id").alias("tid")
+    )
+    expect = {
+        (r["val"], r["tid"]): r["b"]
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("val", "tid"))
+        ).collect()
+    }
+    got = {
+        (r["val"], r["tid"]): r["bucket"]
+        for r in ranks.distributed_ntile(df, k, ["val", "tid"]).collect()
+    }
+    ranks.release_rank_caches()
+    assert got == expect, (n, k, mod)
