@@ -735,3 +735,88 @@ def ts_rolling_trend_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("slope_ppm_tenk_per_day"),
     )
+
+
+# --- time-weighted average (TWAP) --------------------------------------------
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS sec,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events),
+    seg AS (
+      SELECT user_id, day, cents,
+             COALESCE(
+               LEAD(sec) OVER (PARTITION BY user_id, day
+                               ORDER BY sec, event_id),
+               date_diff('second', TIMESTAMP '1970-01-01',
+                         CAST(day AS TIMESTAMP)) + 86400) - sec AS dur_s
+      FROM e)
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+           CAST(SUM(cents * dur_s) AS BIGINT) AS weighted_cents_s,
+           CAST(SUM(cents * dur_s) * 1000000 // SUM(dur_s) AS BIGINT)
+             AS twap_micro
+    FROM seg GROUP BY 1
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over the IRREGULAR event stream — the
+    aggregate that makes irregular samples comparable: each observation
+    holds until the user's next event that day (the last one holds to
+    midnight), so a value that persisted 6 hours counts 6 hours, not one
+    sample.  The plain AVG over irregular events is biased toward chatty
+    periods; TWAP is what monitoring/financial rollups actually report.
+
+    Exactness: values quantize to integer cents BEFORE weighting, hold
+    durations are integer seconds (both engines truncate the timestamp
+    to whole seconds identically), the weighted sum is pure int64
+    (bounded: cents x 86400 per segment), and the day-level TWAP is an
+    integer micro-units division — nothing but exact integers crosses
+    the engine boundary.  Division contract: Spark's ``div`` truncates
+    while DuckDB's ``//`` floors, which agree ONLY for non-negative
+    operands — holds here because event values are non-negative in every
+    fixture generation (asserted in tests); a signed-value deployment
+    would switch both sides to an explicit pmod-based floor division.
+
+    Distributed shape: ONE user+day-keyed LEAD window (the same exchange
+    class as sessionize), then a partial+final aggregate onto the day
+    grain.  No spine explode (that's ts_gapfill_locf's job) — TWAP
+    weights the raw events directly, so the shuffle volume is the event
+    count, independent of the grid resolution.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.col("ts")).alias("day"),
+        F.col("ts").cast("bigint").alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("sec", "event_id")
+    day_end = F.col("day").cast("timestamp").cast("bigint") + 86400
+    seg = e.select(
+        "user_id",
+        "day",
+        "cents",
+        (
+            F.coalesce(F.lead("sec").over(w), day_end) - F.col("sec")
+        ).alias("dur_s"),
+    )
+    return seg.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("dur_s").cast("long").alias("total_dur_s"),
+        F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias(
+            "weighted_cents_s"
+        ),
+        F.expr(
+            "CAST(sum(cents * dur_s) * 1000000 div sum(dur_s) AS BIGINT)"
+        ).alias("twap_micro"),
+    )

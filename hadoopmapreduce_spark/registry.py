@@ -121,6 +121,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "sample_neyman_allocation",  # optimal stratified budget split
                                  # (N_h*S_h), largest-remainder integers,
                                  # windows over the 5-row strata rollup
+    "ts_time_weighted_avg",  # TWAP over the irregular event stream: one
+                             # user+day LEAD window, all-integer weighting
 )
 
 

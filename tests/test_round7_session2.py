@@ -368,3 +368,41 @@ def test_neyman_allocation_conserves_budget(spark, sf_dir):
     by_w = sorted(rows, key=lambda r: r["weight_c"])
     for a, b in zip(by_w, by_w[1:]):
         assert a["alloc_n"] <= b["alloc_n"] + 1  # weight-monotone mod the +-1
+
+
+def test_twap_duration_conservation(spark, sf_dir):
+    """Every user-day's hold durations tile the interval from the user's
+    first event to midnight exactly once, so total_dur_s equals
+    sum over user-days of (day_end - first_event_sec); and the division
+    contract precondition holds (values non-negative)."""
+    from hadoopmapreduce_spark.catalog import load_table
+
+    rows = registry.QUERIES["ts_time_weighted_avg"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("ts").cast("bigint").alias("sec"),
+        "value",
+    )
+    assert e.filter(F.col("value") < 0).count() == 0  # div contract
+    expect = (
+        e.groupBy("user_id", "day")
+        .agg(F.min("sec").alias("first_sec"))
+        .select(
+            "day",
+            (
+                F.col("day").cast("timestamp").cast("bigint")
+                + 86400
+                - F.col("first_sec")
+            ).alias("span"),
+        )
+        .groupBy("day")
+        .agg(F.sum("span").alias("total"))
+        .collect()
+    )
+    expect = {r["day"]: r["total"] for r in expect}
+    for r in rows:
+        assert r["total_dur_s"] == expect[r["day"]], r["day"]
+        assert r["twap_micro"] == (
+            r["weighted_cents_s"] * 1_000_000 // r["total_dur_s"]
+        )
