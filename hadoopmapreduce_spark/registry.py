@@ -27,103 +27,80 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round-7 pin (mechanically derived by ``scripts/repin_window.py`` from the
-# committed CORRECTNESS_r1..r6 artifacts): slots 1-30 drain the LAST of the
-# never-checked backlog (the former ADJUDICATION_DEFERRED — after this round
-# every registered query has a driver verdict); slots 31-38 are the round-7
-# registrations (the real-codec quartet staged+oracle-validated in r6 per
-# VERDICT r6 ask #3, plus the four mid-round additions: MaxSim, LPA, PII
-# audit, k-center coreset); slot 39 re-checks
-# ``scan_schema_evolution_union`` — the single r6 red, now hardened to
-# integer-cents aggregation + fresh scratch (VERDICT r6 ask #1 says keep it
-# in-window despite its verdict); slots 40-50 start the oldest-green
-# re-adjudication rotation (VERDICT r4 ask #6 / r6 ask #5): the 11 oldest
-# r1 verdicts, oldest round then name.  Queries not named here keep
-# registration order after the pinned prefix — nothing is ever dropped, so
-# verdicts union toward full coverage.
+# Round-8 pin (mechanically derived by ``scripts/repin_window.py`` from the
+# committed CORRECTNESS_r1..r7 artifacts): slots 1-6 drain the round-7
+# ADJUDICATION_DEFERRED tail (the last never-checked queries — once green,
+# driver coverage is 100% of the registry); slots 7-50 are the oldest-green
+# re-adjudication rotation (VERDICT r7 ask #2): the 9 remaining r1 verdicts,
+# then the oldest r2 cohort (TPC-H suite, join family, agg family) —
+# adjudicated 6 rounds ago while sources/ctr kept moving.  Mid-round round-8
+# registrations may trim the rotation tail to fit in-window (round-7
+# precedent); anything that does not fit goes to ADJUDICATION_DEFERRED.
+# Queries not named here keep registration order after the pinned prefix —
+# nothing is ever dropped, so verdicts union toward full coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # --- never-checked backlog (last 30) ---
-    "dq_chisq_drift",
-    "dedup_linkage_score_fs",
-    "agg_collation_ci_groups",
-    "fin_lifo_periodic_match",
-    "dedup_chunk_rewrite",
-    "text_bpe_apply_tokenize",
-    "agg_time_decay_revenue",
-    "sample_poisson_bootstrap",
-    "udf_arrow_token_stats",
-    "eval_lang_confusion",
-    "dq_ks_drift",
-    "scan_orc_roundtrip",
-    "graph_modularity_brand",
-    "graph_random_walks",
-    "maintenance_targeted_delete",
-    "eval_auc_rank",
-    "eval_gains_deciles",
-    "eval_knn_label_noise",
-    "eval_ndcg_label_match",
-    "eval_calibration_bins",
-    "graph_clustering_coefficient",
-    "scan_xml_roundtrip",
-    "maintenance_snapshot_expire",
-    "pipeline_mixture_cap_rebalance",
-    "eval_pr_threshold_sweep",
-    "event_attribution_time_decay",
-    "ts_rolling_trend_28d",
-    "sql_shared_grouping_sets",
-    "sql_shared_lateral",
-    "streaming_pyds_replay",
-    # --- round-7 registrations: real-codec quartet (never-checked) ---
-    "audio_decode_features",
-    "image_decode_features",
-    "video_probe_features",
-    "zip_manifest_features",
-    # --- round-7 mid-round registrations (never-checked) ---
-    "knn_maxsim_multivector",
-    "graph_label_propagation",
-    "pipeline_pii_scrub",
-    "sample_coreset_kcenter",
-    # --- the r6 red, re-checked after the integer-cents hardening ---
-    "scan_schema_evolution_union",
-    # --- oldest-green rotation (11 oldest r1 verdicts) ---
-    "agg_approx_quantiles",
-    "agg_moments",
-    "agg_salted_skew",
-    "agg_unpivot",
-    "fn_date_suite",
-    "fn_string_suite",
-    "profile_orders",
-    "set_except_all_counts",
-    "set_except_nations",
-    "set_intersect_all_counts",
-    "set_intersect_nations",
+    # --- never-checked (late round-7 registrations, locally oracle-exact) ---
+    "text_lm_surprise",
+    "graph_harmonic_centrality",
+    "dedup_golden_record",
+    "join_temporal_scd2_fact",
+    "sample_neyman_allocation",
+    "ts_time_weighted_avg",
+    # --- oldest-green rotation: the 9 remaining r1 verdicts ---
+    "set_union_all_counts",
+    "sort_multi_key",
+    "sort_topk_orders",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_parts",
+    "window_running_sum",
+    "window_topk_per_group",
+    "window_value_functions",
+    # --- oldest-green rotation: the oldest r2 cohort (round then name) ---
+    "agg_approx_count_distinct",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_histogram_totalprice",
+    "agg_pivot_status",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats_acctbal",
+    "dedup_latest_event_per_user",
+    "encode_decode_kv_roundtrip",
+    "join_anti_orderless_customers",
+    "join_broadcast_dim_chain",
+    "join_cross_region_flags",
+    "join_full_outer_nation_presence",
+    "join_inner_segment_revenue",
+    "join_left_customer_orders",
+    "join_range_price_bands",
+    "join_semi_urgent_customers",
+    "join_skew_salted",
+    "project_fields",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_part_promotion",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
-# OUTSIDE this round's 50-slot window.  The 80-query round-5 backlog
-# drained over rounds 6-7 (50 + 30), and the first 8 round-7
-# registrations (codec quartet + the mid-round four) fit the round-7
-# window by trimming the oldest-green rotation from 15 to 11 slots.
-# Entries below are LATE round-7 additions (the window was already
-# full), all locally oracle-verified at sf0.001+sf0.01 — they front the
-# round-8 window.
-ADJUDICATION_DEFERRED: tuple[str, ...] = (
-    "text_lm_surprise",  # bigram-LM surprise scoring (CCNet-style quality
-                         # filter); integer floor-log2 via bin() length —
-                         # no libm crosses the engine boundary
-    "graph_harmonic_centrality",  # bounded-radius per-seed BFS harmonic
-                                  # sums; integer ppm reciprocals
-    "dedup_golden_record",  # ER survivorship: per-field rule windows with
-                            # total tie-breaks over synthesized variants
-    "join_temporal_scd2_fact",  # per-row event-time dimension lookup:
-                                # equi-join on the key + validity-window
-                                # residual; integer-cents revenue
-    "sample_neyman_allocation",  # optimal stratified budget split
-                                 # (N_h*S_h), largest-remainder integers,
-                                 # windows over the 5-row strata rollup
-    "ts_time_weighted_avg",  # TWAP over the irregular event stream: one
-                             # user+day LEAD window, all-integer weighting
-)
+# OUTSIDE this round's 50-slot window.  Empty at round-8 start: the r7
+# window drained the 30-query backlog and the 6 late-r7 registrations
+# now front the window above.  Mid-round round-8 registrations that do
+# not fit the window land here (tests/test_parity.py enforces every
+# never-checked query is in exactly one of the two lists).
+ADJUDICATION_DEFERRED: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
