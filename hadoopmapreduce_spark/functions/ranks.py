@@ -28,9 +28,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# caches for the range-partitioned tables: the prefix-count action and the
-# returned plan both read them; cached so the shuffle runs once per plan
+# references to the localCheckpointed range-partitioned tables: the
+# prefix-count action and the returned plan both read them.  Eager
+# localCheckpoint (not cache()) because correctness DEPENDS on both reads
+# seeing the same partitioning: a cache-evicted block would silently
+# recompute with a fresh range-boundary sample and fresh
+# spark_partition_id assignment, so the collected prefix-offset map would
+# no longer match row placement — silently wrong global ranks.  A
+# localCheckpoint severs lineage, so a lost block fails LOUDLY instead.
+# release_rank_caches() drops the references after the consuming plan has
+# been fully executed (ContextCleaner reclaims the blocks once the RDD is
+# unreferenced).
 _CACHED: list[DataFrame] = []
+
+# working columns appended (and dropped) by distributed_ntile; inputs must
+# not already use these names or they would be silently clobbered
+_RESERVED = ("_pid", "_lr", "_rank")
 
 
 def distributed_ntile(
@@ -44,6 +57,12 @@ def distributed_ntile(
     Driver-side state: one bounded collect of per-partition counts
     (≤ shuffle-partition rows) — the same bounded-scalar discipline as
     the IVF init and k-center loops."""
+    clash = [c for c in _RESERVED if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"distributed_ntile reserves working columns {_RESERVED}; "
+            f"input already has {clash} — rename them first"
+        )
     sess = df.sparkSession
     n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]
@@ -54,7 +73,7 @@ def distributed_ntile(
             "_lr",
             F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     _CACHED.append(ranged)
     counts = {
@@ -92,6 +111,12 @@ def distributed_ntile(
 
 
 def release_rank_caches() -> None:
-    """Unpersist every range-partitioned table cached by distributed_ntile."""
+    """Drop every range-partitioned table checkpointed by distributed_ntile.
+
+    Must run only after the returned plans have been fully executed: the
+    lineage is severed, so a released table cannot be recomputed (by
+    design — see _CACHED).  ``unpersist`` is a defensive no-op for
+    localCheckpointed data; the reference drop is what lets the
+    ContextCleaner reclaim the blocks."""
     while _CACHED:
-        _CACHED.pop().unpersist()
+        _CACHED.pop().unpersist(blocking=False)

@@ -178,14 +178,17 @@ class TextKVReader(DataSourceReader):
                 raw = fh.readline()
                 if not raw:
                     break
-                # THIS reader's line contract: records terminate on \n (or
-                # \r\n — strip AT MOST ONE \r before it); a bare \r is DATA,
-                # not a terminator.  That last point deliberately differs
-                # from Hadoop's LineReader, which also splits on lone \r —
-                # the writer only ever emits \n terminators, so \n-only
-                # framing makes write→read round-trips lossless here.
-                # rstrip("\r\n") would eat an unbounded run, truncating a
-                # value that legitimately ends in \r (written as v\r + \n).
+                # THIS reader's line contract: CRLF framing — records
+                # terminate on \n or \r\n (strip AT MOST ONE \r before the
+                # \n, LineRecordReader parity); a bare \r is DATA, not a
+                # terminator (that point deliberately differs from Hadoop's
+                # LineReader, which also splits on lone \r).  Because a
+                # trailing "v\r"+"\n" is indistinguishable from "v"+CRLF,
+                # the WRITER rejects values ending in \r (and embedded \n)
+                # at _stage_batches — round-trips are lossless by contract,
+                # not by framing.  rstrip("\r\n") would still be wrong: it
+                # eats an unbounded run, truncating foreign files whose
+                # values legitimately end in \r\r.
                 line = raw.decode("utf-8")
                 if line.endswith("\n"):
                     line = line[:-1]
@@ -330,6 +333,24 @@ def _stage_batches(staging: str, iterator) -> TextKVCommit:
                 null_handling="replace",
                 null_replacement="",
             )
+            # Round-trip guard: the reader frames on \n with CRLF
+            # tolerance (one \r stripped before the \n), so two rendered
+            # shapes cannot survive a write→read cycle — an embedded \n
+            # anywhere (splits into extra records) and a line ending in \r
+            # (reads back with the \r eaten).  Reject them loudly here
+            # instead of writing bytes that silently read back different.
+            # Both checks are vectorized Arrow kernels over the batch.
+            if pc.any(pc.match_substring(lines, "\n")).as_py():
+                raise ValueError(
+                    "textkv writer: key/value contains '\\n', which breaks "
+                    "line framing — render newlines out first"
+                )
+            if pc.any(pc.ends_with(lines, "\r")).as_py():
+                raise ValueError(
+                    "textkv writer: value ends with '\\r', which the "
+                    "CRLF-tolerant reader would strip on read-back — "
+                    "escape or trim trailing carriage returns first"
+                )
             lines = pc.binary_join_element_wise(lines, "", "\n")
             # Zero-copy dump: for a null-free StringArray the data buffer
             # between offsets[array.offset] and offsets[array.offset+len]

@@ -241,10 +241,22 @@ def test_perf_weak_ntile_queries_have_no_global_window(spark, sf_dir):
     from hadoopmapreduce_spark.operators.layout import layout_zorder_stats
     from hadoopmapreduce_spark.plans import physical_plan
 
-    for fn in (agg_equidepth_histogram, layout_zorder_stats):
-        plan = physical_plan(fn(spark, sf_dir))
-        assert "Exchange SinglePartition" not in plan, fn.__name__
-        assert "rangepartitioning" in plan.lower(), fn.__name__
+    from hadoopmapreduce_spark.functions import ranks
+
+    try:
+        for fn in (agg_equidepth_histogram, layout_zorder_stats):
+            plan = physical_plan(fn(spark, sf_dir))
+            assert "Exchange SinglePartition" not in plan, fn.__name__
+            # since the ADVICE-r7 hardening the range exchange runs inside
+            # distributed_ntile's EAGER localCheckpoint (lineage severed so
+            # eviction can't silently re-sample); the returned plan scans
+            # the checkpointed RDD instead of re-shuffling
+            assert (
+                "rangepartitioning" in plan.lower()
+                or "existingrdd" in plan.lower()
+            ), (fn.__name__, plan)
+    finally:
+        ranks.release_rank_caches()
 
 
 def test_lm_surprise_invariants(spark, sf_dir):
