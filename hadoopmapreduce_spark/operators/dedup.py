@@ -1702,3 +1702,184 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_acctbal_cents",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup with a per-cluster bounded quadratic
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35  # fixture cosine tail: 71 within-cluster pairs >= tau
+                     # at sf0.01 -- enough drops to be a real signal
+_Q30 = 1073741824  # 2**30: binary-grid quantizer (exact in IEEE doubles)
+
+
+@query(
+    "dedup_semantic_clustered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT label, r.dim,
+                 CAST(round(v[r.dim] * {_Q30}) AS BIGINT) AS q
+          FROM e, UNNEST(range(1, len(v) + 1)) AS r(dim)),
+    cent AS (
+      SELECT label AS c_label,
+             list(CAST(sq AS DOUBLE) / CAST(cn * {_Q30} AS DOUBLE)
+                  ORDER BY dim) AS cv
+      FROM (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq,
+                   COUNT(*) AS cn
+            FROM x GROUP BY 1, 2)
+      GROUP BY label),
+    cn AS (SELECT c_label, cv,
+                  sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    assign AS (
+      SELECT vec_id, v, nrm, c_label AS cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC,
+                        c_label) AS rk
+      FROM n CROSS JOIN cn),
+    a AS (SELECT vec_id, v, nrm, cluster FROM assign WHERE rk = 1),
+    dups AS (
+      SELECT b.vec_id, COUNT(*) AS n_earlier
+      FROM a x JOIN a b
+        ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+      WHERE list_dot_product(x.v, b.v) / (x.nrm * b.nrm) >= {SEMDEDUP_TAU}
+      GROUP BY 1)
+    SELECT a.vec_id,
+           CAST(a.cluster AS INT) AS cluster,
+           CAST(COALESCE(d.n_earlier, 0) AS BIGINT) AS n_earlier_dups,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with a
+    coarse quantizer, then drop near-duplicates WITHIN each cluster — the
+    production embedding-dedup shape, because it bounds the quadratic to
+    cluster size instead of the corpus.
+
+    Three stages, each the scalable formulation:
+
+    1. **Quantizer** — per-label exact mean embeddings on the 2^30 binary
+       grid (``embedding_label_centroids``' engine-portable trick: the
+       power-of-two scaling is exact in IEEE doubles, int64 sums are
+       exact, so both engines reconstruct bit-identical centroid
+       doubles).  Labels seed the quantizer so the clustering is
+       DERANDOMIZED and SQL-expressible; at 100 TB the IVF mini-KMeans of
+       ``ann_ivf_topk`` replaces this stage (same downstream shape) and K
+       scales ~N/target so per-cluster size stays constant.
+    2. **Assignment** — one corpus scan against the broadcast K-row
+       centroid table; argmax cosine with a (cosine DESC, label) total
+       tie-break.  No shuffle beyond the K-row broadcast.
+    3. **Within-cluster dedup** — one exchange on the cluster key, then a
+       per-cluster ``applyInPandas`` kernel: Gram matrix accumulated
+       DIMENSION-MAJOR (``G += outer(V[:,k], V[:,k])``) so every pairwise
+       dot product sums in the same element order as DuckDB's
+       ``list_dot_product`` (bit-exact, the ``embedding_near_dup``
+       precedent); a member is dropped when an EARLIER member (vec_id
+       order) of its cluster has cosine >= tau — the keep-first
+       survivorship rule, deterministic and EXISTS-expressible.
+
+    Kernel state is m^2 doubles for cluster size m — bounded by the
+    quantizer granularity by construction, the whole point of SemDeDup.
+    Cross-cluster duplicates are deliberately out of scope (the paper's
+    accepted recall trade); ``embedding_near_dup`` is the global exact
+    referee.
+
+    Returns one row per vector: (vec_id, cluster, n_earlier_dups, kept).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    # -- stage 1: binary-grid exact per-label centroids ---------------------
+    exploded = e.select("label", F.posexplode("v").alias("dim0", "val"))
+    q = F.round(F.col("val") * _Q30).cast("long")
+    cent = (
+        exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum(q).alias("sq"), F.count(F.lit(1)).alias("cn"))
+        .select(
+            "label",
+            "dim",
+            (
+                F.col("sq").cast("double")
+                / (F.col("cn") * _Q30).cast("double")
+            ).alias("cval"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            "cv",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("cnrm"),
+        )
+    )
+
+    # -- stage 2: nearest-centroid assignment (broadcast K rows) ------------
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        e.withColumn("nrm", nrm)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos", dot / (F.col("nrm") * F.col("cnrm")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster"), "v")
+    )
+
+    # -- stage 3: per-cluster keep-first dedup kernel ------------------------
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy())  # (m, d)
+        m, d = V.shape
+        G = np.zeros((m, m))
+        for k in range(d):  # dimension-major: list_dot_product's sum order
+            G += np.outer(V[:, k], V[:, k])
+        nrm = np.sqrt(np.diag(G))
+        cos = G / np.outer(nrm, nrm)
+        earlier = np.triu(cos >= SEMDEDUP_TAU, k=1)  # [i, j]: i before j
+        n_earlier = earlier.sum(axis=0).astype("int64")
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "n_earlier_dups": n_earlier,
+                "kept": (n_earlier == 0).astype("int32"),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        kernel,
+        schema="vec_id long, cluster int, n_earlier_dups long, kept int",
+    )

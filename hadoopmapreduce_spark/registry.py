@@ -46,6 +46,9 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "join_temporal_scd2_fact",
     "sample_neyman_allocation",
     "ts_time_weighted_avg",
+    # --- round-8 registrations (never-checked; rotation tail trimmed to
+    # fit, round-7 precedent) ---
+    "dedup_semantic_clustered",
     # --- oldest-green rotation: the 9 remaining r1 verdicts ---
     "set_union_all_counts",
     "sort_multi_key",
@@ -91,7 +94,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "q20_part_promotion",
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
-    "q3_shipping_priority",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
