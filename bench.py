@@ -211,9 +211,12 @@ def main() -> None:
         "audio_decode_features", "image_decode_features",
         "video_probe_features", "zip_manifest_features",
         "scan_schema_evolution_union",
-        # round-8: SemDeDup composite + the six late-r7 registrations the
-        # r8 window adjudicates
-        "dedup_semantic_clustered", "text_lm_surprise",
+        # round-8: the five new operators + the six late-r7 registrations
+        # the r8 window adjudicates
+        "dedup_semantic_clustered", "ts_survival_km",
+        "agg_kmv_set_intersect", "event_match_recognize_funnel",
+        "incremental_join_maintenance", "mm_image_resize_nn",
+        "text_lm_surprise",
         "graph_harmonic_centrality", "dedup_golden_record",
         "join_temporal_scd2_fact", "sample_neyman_allocation",
         "ts_time_weighted_avg",

@@ -2961,3 +2961,234 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" n_total) * 1000000 div n_total AS BIGINT)"
         ).alias("sampling_rate_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) sketch set algebra: distinct-count union AND intersection
+# --------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size; estimator error ~ 1/sqrt(K-2) ≈ 13%
+
+
+@query(
+    "agg_kmv_set_intersect",
+    oracle=f"""
+    WITH ids AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in_b
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1),
+    h AS (SELECT in_a, in_b,
+                 ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS hv
+          FROM ids),
+    ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+                  CAST(SUM(in_b) AS BIGINT) AS exact_b,
+                  CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersect
+           FROM h),
+    ka AS (SELECT MAX(hv) AS ha, COUNT(*) AS ca
+           FROM (SELECT hv FROM h WHERE in_a = 1 ORDER BY hv LIMIT {KMV_K})),
+    kb AS (SELECT MAX(hv) AS hb, COUNT(*) AS cb
+           FROM (SELECT hv FROM h WHERE in_b = 1 ORDER BY hv LIMIT {KMV_K})),
+    ku AS (SELECT MAX(hv) AS hu, COUNT(*) AS cu,
+                  CAST(SUM(in_a * in_b) AS BIGINT) AS kmv_matches
+           FROM (SELECT hv, in_a, in_b FROM h ORDER BY hv LIMIT {KMV_K})),
+    est AS (
+      SELECT ex.*, ku.kmv_matches,
+        CASE WHEN ka.ca < {KMV_K} THEN CAST(ka.ca AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / CAST(ka.ha AS DOUBLE)
+        END AS est_a,
+        CASE WHEN kb.cb < {KMV_K} THEN CAST(kb.cb AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / CAST(kb.hb AS DOUBLE)
+        END AS est_b,
+        CASE WHEN ku.cu < {KMV_K} THEN CAST(ku.cu AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / CAST(ku.hu AS DOUBLE)
+        END AS est_union,
+        ku.cu AS cu
+      FROM ex CROSS JOIN ka CROSS JOIN kb CROSS JOIN ku)
+    SELECT CAST({KMV_K} AS INT) AS k,
+           exact_a, exact_b, exact_intersect,
+           est_a, est_b, est_union, kmv_matches,
+           CASE WHEN cu < {KMV_K} THEN CAST(kmv_matches AS DOUBLE)
+                ELSE (CAST(kmv_matches AS DOUBLE) * est_union) / {KMV_K}.0
+           END AS est_intersect
+    FROM est
+    """,
+)
+def agg_kmv_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / K-Minimum-Values) sketch set algebra: estimate the
+    distinct-count of two sets, their UNION, and — the operation HLL
+    cannot do — their INTERSECTION, from three {KMV_K}-row sketches, with
+    the exact answers alongside for audit.  Sets: customers ordering in
+    1995 (A) vs 1996 (B).
+
+    The sketch of a set is its {KMV_K} smallest values under the
+    md5-prefix hash (the repo's engine-portable 60-bit hash).  With h_K
+    the K-th minimum on the [0, 2^60) line, N_hat = (K-1)*2^60/h_K; the
+    union sketch is the bottom-K of the merged hash stream (mergeable —
+    the property that makes this a DISTRIBUTED sketch), and the
+    intersection estimate is the Jaccard-style match fraction inside the
+    union sketch scaled by the union estimate (Beyer et al., SIGMOD'07).
+    Sets smaller than K are carried exactly — the estimator branch is
+    taken only when the sketch is full, identically in both engines.
+
+    Determinism: hashes are exact integers; every estimate divides the
+    SAME exact-integer-derived doubles (63*2^60 is mantissa-exact) in the
+    same order, so results are bit-identical across engines — no RNG,
+    unlike sampling-based sketch libraries.
+
+    Scale shape: one groupBy(custkey) membership aggregate, then three
+    ORDER BY hash LIMIT K passes — Spark plans TakeOrderedAndProject
+    (per-partition bounded top-K, K-row driver merge), never a global
+    sort.  Sketch state is K rows regardless of N; at 100 TB the same
+    three sketches stream map-side and merge associatively."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    ids = (
+        o.filter(F.col("y").isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("y") == 1995, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("y") == 1996, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    h = ids.select("in_a", "in_b", hv.alias("hv"))
+
+    ex = h.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersect"),
+    )
+    ka = (
+        h.filter(F.col("in_a") == 1)
+        .orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").alias("ha"), F.count(F.lit(1)).alias("ca"))
+    )
+    kb = (
+        h.filter(F.col("in_b") == 1)
+        .orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").alias("hb"), F.count(F.lit(1)).alias("cb"))
+    )
+    ku = (
+        h.orderBy("hv")
+        .limit(KMV_K)
+        .agg(
+            F.max("hv").alias("hu"),
+            F.count(F.lit(1)).alias("cu"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("kmv_matches"),
+        )
+    )
+
+    num = F.lit(63.0) * F.lit(1152921504606846976.0)
+
+    def est(cnt, hk):
+        return F.when(
+            F.col(cnt) < KMV_K, F.col(cnt).cast("double")
+        ).otherwise(num / F.col(hk).cast("double"))
+
+    return (
+        ex.crossJoin(ka)
+        .crossJoin(kb)
+        .crossJoin(ku)
+        .select(
+            F.lit(KMV_K).cast("int").alias("k"),
+            "exact_a",
+            "exact_b",
+            "exact_intersect",
+            est("ca", "ha").alias("est_a"),
+            est("cb", "hb").alias("est_b"),
+            est("cu", "hu").alias("est_union"),
+            "kmv_matches",
+            F.when(
+                F.col("cu") < KMV_K, F.col("kmv_matches").cast("double")
+            )
+            .otherwise(
+                (F.col("kmv_matches").cast("double") * est("cu", "hu"))
+                / F.lit(float(KMV_K))
+            )
+            .alias("est_intersect"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental JOIN-view maintenance (the bilinear delta rule)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the bilinear delta rule
+    (DBToaster / differential-dataflow style).  For V = A |><| B with
+    arrivals dA and dB:
+
+        V_new = A_old |><| B_old           (yesterday's materialized state)
+              U A_old |><| dB  U  dA |><| B_old  U  dA |><| dB
+
+    Here A = orders (delta: orders placed on/after 1997-01-01) and B =
+    customer (delta: a deterministic tenth of customers, standing in for
+    the day's upserted dimension rows).  The maintained view is rolled up
+    to (segment, count, integer-cents revenue) and the oracle recomputes
+    the same aggregate from the full join — proving delta-rule ==
+    recompute, the companion to ``incremental_agg_merge`` (which covers
+    the aggregate-only case; this covers the join).
+
+    Scale shape: the three delta terms each scan ONE delta against the
+    other side's (broadcastable or bucketed) relation — O(|delta|) work
+    per refresh, never O(history); the A_old |><| B_old term is the
+    previously materialized state, recomputed in-plan here only because
+    the fixture has no cross-run storage (documented, same posture as
+    incremental_agg_merge).  NULL join keys can't drop rows silently:
+    custkey is non-null in both fixtures and an inner join discards them
+    identically in both engines anyway."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", cents.alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    # NULL routing (incremental_agg_merge's lesson): a bare >=/< pair drops
+    # NULL dates from BOTH partitions; unknown-date rows belong to the
+    # immutable history, never the refresh delta
+    a_is_old = (F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull()
+    b_is_delta = F.col("c_custkey") % 10 == 0
+
+    a_old, a_new = orders.filter(a_is_old), orders.filter(~a_is_old)
+    b_old, b_new = cust.filter(~b_is_delta), cust.filter(b_is_delta)
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            "c_mktsegment", "cents"
+        )
+
+    v = (
+        term(a_old, b_old)       # materialized state
+        .unionByName(term(a_old, b_new))   # A_old |><| dB
+        .unionByName(term(a_new, b_old))   # dA |><| B_old
+        .unionByName(term(a_new, b_new))   # dA |><| dB
+    )
+    return v.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )

@@ -259,10 +259,11 @@ def _png_unfilter(data: bytes, width: int, height: int) -> bytearray:
     return out
 
 
-def decode_png_features(payload: bytes) -> dict:
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, int, bytearray]:
     """REAL image decode for the grayscale-PNG subset: signature check,
     chunk walk with CRC32 verification, IDAT inflate, scanline
-    unfiltering, exact-integer pixel statistics."""
+    unfiltering.  Returns (width, height, bit_depth, color_type, pixels)
+    — the shared decode path behind the stats and resize operators."""
     import struct
     import zlib
 
@@ -297,6 +298,12 @@ def decode_png_features(payload: bytes) -> dict:
             "minimal decoder: 8-bit non-interlaced grayscale only"
         )
     pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height)
+    return width, height, bit_depth, color_type, pixels
+
+
+def decode_png_features(payload: bytes) -> dict:
+    """Exact-integer pixel statistics over :func:`decode_png_pixels`."""
+    width, height, bit_depth, color_type, pixels = decode_png_pixels(payload)
     return {
         "width": width,
         "height": height,
@@ -1138,3 +1145,101 @@ def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_md5"),
         )
     )
+
+
+# --- image RESIZE: the decode -> transform -> feature chain ---------------
+
+THUMB_T = 4  # thumbnail side; every synthesized asset is >= 4x4
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "thumb_sum bigint, thumb_wsum bigint, thumb_max int"
+)
+
+
+def resize_nn(pixels, width: int, height: int, t: int) -> list[int]:
+    """Nearest-neighbor downsample of a row-major grayscale buffer to
+    t x t: out(i, j) = in((i*H) div t, (j*W) div t) — the standard NN
+    index map, all integer, so every engine agrees on the exact sample."""
+    return [
+        pixels[(i * height // t) * width + (j * width // t)]
+        for i in range(t)
+        for j in range(t)
+    ]
+
+
+def _image_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _bd, _ct, px = decode_png_pixels(payload)
+            th = resize_nn(px, w, h, THUMB_T)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "width": w,
+                    "height": h,
+                    "thumb_sum": sum(th),
+                    # position-weighted checksum pins WHERE each sample
+                    # landed, not just the aggregate — a transposed or
+                    # off-by-one resize fails this even when sums match
+                    "thumb_wsum": sum(
+                        v * (k + 1) for k, v in enumerate(th)
+                    ),
+                    "thumb_max": max(th),
+                }
+            )
+        yield pd.DataFrame(rows)
+        rows = []
+
+
+IMAGE_RESIZE_ORACLE_SQL = f"""
+    WITH spec AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 16 + 4 AS w,
+             CAST(doc_id % 8 + 4 AS INT) AS h,
+             CAST(doc_id % 256 AS INT) AS seed
+      FROM documents),
+    tx AS (
+      SELECT s.doc_id,
+             i.i * {THUMB_T} + j.j + 1 AS k,
+             ((j.j * s.w) // {THUMB_T} + (i.i * s.h) // {THUMB_T} + s.seed)
+               % 256 AS v
+      FROM spec s,
+           LATERAL unnest(range(0, {THUMB_T})) AS i(i),
+           LATERAL unnest(range(0, {THUMB_T})) AS j(j))
+    SELECT s.doc_id,
+           CAST(s.w AS INT) AS width,
+           s.h AS height,
+           CAST(t.sum_v AS BIGINT) AS thumb_sum,
+           CAST(t.wsum_v AS BIGINT) AS thumb_wsum,
+           CAST(t.max_v AS INT) AS thumb_max
+    FROM spec s
+    JOIN (SELECT doc_id, SUM(v) AS sum_v, SUM(v * k) AS wsum_v,
+                 MAX(v) AS max_v
+          FROM tx GROUP BY doc_id) t USING (doc_id)
+"""
+
+
+@query("mm_image_resize_nn", oracle=IMAGE_RESIZE_ORACLE_SQL)
+def mm_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE stage of the multimodal pipeline: decode the real PNG
+    payloads (chunk walk + CRC + inflate + unfilter, the
+    ``decode_png_pixels`` path shared with image_decode_features), then
+    nearest-neighbor-downsample each image to a THUMB_T x THUMB_T (4x4)
+    thumbnail and emit exact-integer thumbnail features — the decode -> TRANSFORM ->
+    feature chain a vision training-data pipeline runs per image, with
+    the transform itself verified (the position-weighted checksum is
+    sensitive to which source pixel each thumbnail cell sampled).
+
+    The oracle never decodes: the synthesized asset's pixel law
+    pixel(x, y) = (x + y + seed) % 256 composes with the NN index map
+    (x = j*W div T, y = i*H div T) into closed-form SQL — cross-engine
+    verification of a binary-payload transform via its analytic twin.
+
+    Scale: decode+resize is shuffle-free mapInPandas (embarrassingly
+    parallel, Arrow batches, payload column pruned to the one scan); a
+    real resize (bilinear over RGB) swaps the kernel body, not the plan.
+    """
+    assets = image_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_image_resize_batch, schema=_RESIZE_SCHEMA)

@@ -820,3 +820,148 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(cents * dur_s) * 1000000 div sum(dur_s) AS BIGINT)"
         ).alias("twap_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival (time-to-first-purchase)
+# --------------------------------------------------------------------------
+
+KM_BUCKET_US = 28_800_000_000  # 8-hour analysis buckets
+KM_HORIZON_US = 345_600_000_000  # 96-hour observation window
+KM_CENSOR_BUCKET = KM_HORIZON_US // KM_BUCKET_US  # = 12, beyond any death
+
+_KM_RECURSION = """
+    WITH RECURSIVE km (rk, t, n, d, s) AS (
+      SELECT rk, t, n, d, (1000000000 * (n - d)) DIV n
+      FROM km_steps WHERE rk = 1
+      UNION ALL
+      SELECT s2.rk, s2.t, s2.n, s2.d, (km.s * (s2.n - s2.d)) DIV s2.n
+      FROM km JOIN km_steps s2 ON s2.rk = km.rk + 1
+    )
+    SELECT CAST(t AS INT) AS t_bucket,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(s AS BIGINT) AS survival_x1e9
+    FROM km
+"""
+
+
+@query(
+    "ts_survival_km",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t0
+          GROUP BY 1),
+    life AS (
+      SELECT v.user_id,
+             CASE WHEN p.tp IS NOT NULL
+                       AND p.tp - v.t0 < {KM_HORIZON_US}
+                  THEN (p.tp - v.t0) // {KM_BUCKET_US}
+                  ELSE {KM_CENSOR_BUCKET} END AS t,
+             CASE WHEN p.tp IS NOT NULL
+                       AND p.tp - v.t0 < {KM_HORIZON_US}
+                  THEN 1 ELSE 0 END AS death
+      FROM v LEFT JOIN p ON v.user_id = p.user_id),
+    counts AS (SELECT t, COUNT(*) AS c, SUM(death) AS d
+               FROM life GROUP BY 1),
+    risk AS (SELECT t, d,
+                    SUM(c) OVER (ORDER BY t DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS n
+             FROM counts),
+    steps AS (SELECT t, d, n, ROW_NUMBER() OVER (ORDER BY t) AS rk
+              FROM risk WHERE d > 0),
+    km (rk, t, n, d, s) AS (
+      SELECT rk, t, n, d, (1000000000 * (n - d)) // n
+      FROM steps WHERE rk = 1
+      UNION ALL
+      SELECT s2.rk, s2.t, s2.n, s2.d, (km.s * (s2.n - s2.d)) // s2.n
+      FROM km JOIN steps s2 ON s2.rk = km.rk + 1
+    )
+    SELECT CAST(t AS INT) AS t_bucket,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(s AS BIGINT) AS survival_x1e9
+    FROM km
+    """,
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over time-to-first-purchase: for
+    each user, duration runs from their first ``view`` to their first
+    subsequent ``purchase`` (an "event"/death), right-censored at a
+    96-hour observation horizon; durations are 8-hour analysis buckets.
+    S(t) = prod over death steps t_i <= t of (n_i - d_i)/n_i with n_i =
+    subjects still at risk (duration >= t_i; censored subjects stay at
+    risk through the censor bucket, which sits beyond every death
+    bucket by construction).
+
+    Engine determinism: the product is NON-ASSOCIATIVE once integerized,
+    so it is computed stepwise — S_k = floor(S_{{k-1}} * (n_k - d_k) / n_k)
+    on a 1e9 scale — via a RECURSIVE CTE that walks the death steps in
+    order (Spark 4 WITH RECURSIVE; DuckDB mirrors the walk exactly).
+    All inputs are exact integers (epoch-microsecond floor-division
+    buckets, counts), so both engines produce bit-identical rows; no
+    libm (exp/log) crosses the boundary.
+
+    Scale shape: the heavy work — per-user first-view/first-purchase
+    aggregates and the at-risk counts — is ordinary distributed
+    groupBy/shuffle on user_id and the bucket grain.  The recursion runs
+    over the DEATH-STEP table only (<= {KM_CENSOR_BUCKET} rows, a bounded
+    aggregate), each iteration a one-row join: driver-light model state,
+    exactly like the bounded prefix collects elsewhere.  The one
+    unpartitioned window (at-risk reverse cumsum) also runs on those
+    <= {KM_CENSOR_BUCKET}+1 rows.  Integer headroom: S <= 1e9 and
+    S*(n-d) must fit int64, so the scheme holds to ~9e9 subjects; past
+    that, pre-reduce (n-d)/n by gcd or bucket coarser."""
+    us = F.unix_micros
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us(F.col("ts"))).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us(F.col("ts")).alias("tp_us"))
+        .join(v, "user_id")
+        .filter(F.col("tp_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp_us").alias("tp"))
+    )
+    observed = F.col("tp").isNotNull() & (
+        F.col("tp") - F.col("t0") < KM_HORIZON_US
+    )
+    life = v.join(p, "user_id", "left").select(
+        F.when(
+            observed,
+            F.expr(f"(tp - t0) div {KM_BUCKET_US}"),
+        )
+        .otherwise(F.lit(KM_CENSOR_BUCKET))
+        .alias("t"),
+        F.when(observed, F.lit(1)).otherwise(F.lit(0)).alias("death"),
+    )
+    counts = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("death").alias("d")
+    )
+    # at-risk reverse cumsum over <= KM_CENSOR_BUCKET+1 aggregate rows —
+    # the bounded-aggregate exception to the no-global-window rule
+    w_risk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = (
+        counts.withColumn("n", F.sum("c").over(w_risk))
+        .filter(F.col("d") > 0)
+        .withColumn("rk", F.row_number().over(Window.orderBy("t")))
+        .select("rk", "t", "n", "d")
+    )
+    # materialize the <= KM_CENSOR_BUCKET-row step table BEFORE the
+    # recursion: a temp view is a logical plan, so each of the ~12
+    # recursion steps would otherwise re-run the whole life-table DAG
+    # (12x the events scan); the eager localCheckpoint makes every
+    # iteration a one-row join against a tiny resident LogicalRDD
+    steps.localCheckpoint(eager=True).createOrReplaceTempView("km_steps")
+    return spark.sql(_KM_RECURSION)

@@ -1320,3 +1320,97 @@ def event_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("long").alias("micro_credit"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style pattern matching (CEP) over the event stream
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_match_recognize_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    carried AS (
+      SELECT user_id, event_type, rn,
+             LAST_VALUE(CASE WHEN event_type <> 'click'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_nonclick_type,
+             LAST_VALUE(CASE WHEN event_type <> 'click'
+                             THEN rn END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_nonclick_rn
+      FROM seq),
+    matches AS (
+      SELECT user_id,
+             CAST(rn - prev_nonclick_rn - 1 AS BIGINT) AS n_clicks
+      FROM carried
+      WHERE event_type = 'purchase' AND prev_nonclick_type = 'view')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MAX(n_clicks) AS BIGINT) AS max_clicks_in_match,
+           CAST(SUM(n_clicks) AS BIGINT) AS total_clicks_matched
+    FROM matches GROUP BY 1
+    """,
+)
+def event_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event pattern matching — the CEP
+    operator Spark SQL lacks (Flink/Snowflake ``MATCH_RECOGNIZE``,
+    pattern ``V C* P``) — composed from window functions: find every
+    CONTIGUOUS run ``view click* purchase`` in each user's event
+    sequence (no other event type may interrupt the run).
+
+    The trick that avoids a per-row state machine: carry, for every
+    event, the type and position of the most recent NON-click event
+    strictly before it (one ``last(..., ignorenulls=True)`` window).  A
+    ``purchase`` whose carried type is ``view`` closes a match, and the
+    click count of the match is the position gap minus one — clicks are
+    the only thing that can sit between the carried view and the
+    purchase, by construction.  This evaluates the Kleene star with ONE
+    window pass instead of an iterative join, and generalizes to any
+    pattern of the form ``A B* C`` by substituting the type predicates.
+
+    Total order: (ts, event_id) — same tie-break discipline as
+    sessionize.  Scale: one user-keyed exchange shared by the
+    row_number and both carry windows; per-user state in the window
+    frame is O(1) (last non-click seen).  Output is a per-user rollup,
+    so nothing downstream touches raw events again."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nonclick = F.when(F.col("event_type") != "click", F.col("event_type"))
+    nonclick_rn = F.when(F.col("event_type") != "click", F.col("rn"))
+    carried = seq.select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.last(nonclick, ignorenulls=True).over(w_prev).alias("pt"),
+        F.last(nonclick_rn, ignorenulls=True).over(w_prev).alias("pr"),
+    )
+    matches = carried.filter(
+        (F.col("event_type") == "purchase") & (F.col("pt") == "view")
+    ).select(
+        "user_id",
+        (F.col("rn") - F.col("pr") - 1).cast("long").alias("n_clicks"),
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("n_clicks").alias("max_clicks_in_match"),
+        F.sum("n_clicks").alias("total_clicks_matched"),
+    )

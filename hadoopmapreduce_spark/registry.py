@@ -30,12 +30,15 @@ ORACLES: dict[str, str] = {}
 # Round-8 pin (mechanically derived by ``scripts/repin_window.py`` from the
 # committed CORRECTNESS_r1..r7 artifacts): slots 1-6 drain the round-7
 # ADJUDICATION_DEFERRED tail (the last never-checked queries — once green,
-# driver coverage is 100% of the registry); slots 7-50 are the oldest-green
-# re-adjudication rotation (VERDICT r7 ask #2): the 9 remaining r1 verdicts,
-# then the oldest r2 cohort (TPC-H suite, join family, agg family) —
-# adjudicated 6 rounds ago while sources/ctr kept moving.  Mid-round round-8
-# registrations may trim the rotation tail to fit in-window (round-7
-# precedent); anything that does not fit goes to ADJUDICATION_DEFERRED.
+# driver coverage is 100% of the registry); slots 7-11 are the round-8
+# registrations (SemDeDup, Kaplan-Meier, KMV sketch set algebra,
+# MATCH_RECOGNIZE funnel, join-view IVM — never-checked, so they outrank
+# rotation); slots 12-50 are the oldest-green re-adjudication rotation
+# (VERDICT r7 ask #2): the 9 remaining r1 verdicts, then the oldest r2
+# cohort (TPC-H suite, join family, agg family) — adjudicated 6 rounds ago
+# while sources/ctr kept moving.  The rotation tail was trimmed by 5 to fit
+# the registrations (round-7 precedent); anything that does not fit goes to
+# ADJUDICATION_DEFERRED.
 # Queries not named here keep registration order after the pinned prefix —
 # nothing is ever dropped, so verdicts union toward full coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
@@ -49,6 +52,11 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     # --- round-8 registrations (never-checked; rotation tail trimmed to
     # fit, round-7 precedent) ---
     "dedup_semantic_clustered",
+    "ts_survival_km",
+    "agg_kmv_set_intersect",
+    "event_match_recognize_funnel",
+    "incremental_join_maintenance",
+    "mm_image_resize_nn",
     # --- oldest-green rotation: the 9 remaining r1 verdicts ---
     "set_union_all_counts",
     "sort_multi_key",
@@ -89,11 +97,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q16_supplier_relationship",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_part_promotion",
-    "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit

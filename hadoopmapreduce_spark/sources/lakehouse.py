@@ -25,6 +25,12 @@ delta/iceberg/hudi runtime and no ``spark-avro`` connector (only the
 avro-ipc/avro-mapred Hadoop deps), and there is no ivy cache to resolve
 packages offline.  Parquet-path MERGE/SCD2 emulation remains the
 driver-green answer for these semantics.
+
+Round-8 re-probe (2026-08-15, VERDICT r7 ask #7): still unchanged —
+``find_spec`` finds neither ``delta`` nor ``pyiceberg``, and
+``pyspark/jars`` carries no delta/iceberg/hudi runtime and no
+``spark-avro`` connector.  No registration work is possible until the
+image changes.
 """
 
 from __future__ import annotations

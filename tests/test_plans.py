@@ -248,13 +248,28 @@ def test_graph_ops_no_cartesian_no_python(spark, sf_dir):
 
 def test_zorder_key_is_codegen(spark, sf_dir):
     """The Morton key must be pure JVM bit arithmetic (whole-stage codegen),
-    never a Python UDF."""
-    from hadoopmapreduce_spark.operators.layout import layout_zorder_stats
+    never a Python UDF.  Since distributed_ntile took its eager
+    localCheckpoint (ADVICE r8), the key Project executes inside the
+    checkpoint job and the FINAL plan scans the checkpointed RDD — so the
+    shiftleft assertion pins the key-construction stage directly, and the
+    no-Python assertion still covers the full returned plan."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.operators.layout import (
+        _z_spark,
+        layout_zorder_stats,
+    )
+
+    key_stage = load_table(spark, sf_dir, "events").select(
+        F.expr(_z_spark("(user_id % 65536)", "(event_id % 65536)")).alias(
+            "zval"
+        )
+    )
+    assert_contains(key_stage, "shiftleft")
+    assert_not_contains(key_stage, "BatchEvalPython", "ArrowEvalPython")
 
     df = layout_zorder_stats(spark, sf_dir)
-    # the key must appear as JVM bit-shift expressions inside a Project...
-    assert_contains(df, "shiftleft")
-    # ...and no Python worker anywhere in the plan
     assert_not_contains(df, "BatchEvalPython", "ArrowEvalPython")
 
 

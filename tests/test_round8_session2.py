@@ -1,0 +1,231 @@
+"""Round-8 session-2 behavior tests for the new operators:
+
+* ``ts_survival_km`` — Kaplan-Meier estimator invariants (monotone
+  survival, at-risk monotonicity, recursion identity) plus a hand-checked
+  tiny differential against a pure-Python KM on the same life table.
+* ``agg_kmv_set_intersect`` — exact columns are truly exact; the KMV
+  estimates land within the sketch's theoretical error envelope.
+* ``event_match_recognize_funnel`` — the window-composed CEP matcher
+  agrees with a brute-force Python scan of each user's event sequence.
+* ``incremental_join_maintenance`` — the two delta predicates PARTITION
+  their tables (no row lost or double-counted by the bilinear rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoopmapreduce_spark import registry
+from hadoopmapreduce_spark.catalog import load_table
+
+registry.load_all()
+
+
+def test_survival_km_invariants(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.timeseries import KM_CENSOR_BUCKET
+
+    rows = (
+        registry.QUERIES["ts_survival_km"](spark, sf_dir)
+        .orderBy("t_bucket")
+        .collect()
+    )
+    assert 1 <= len(rows) <= KM_CENSOR_BUCKET
+    prev_s, prev_n = 10**9, None
+    for r in rows:
+        assert 0 <= r["t_bucket"] < KM_CENSOR_BUCKET  # deaths never at censor
+        assert 1 <= r["d_events"] <= r["n_at_risk"]
+        assert 0 <= r["survival_x1e9"] <= prev_s  # survival is monotone
+        # the recursion identity: s_k = floor(s_{k-1} * (n-d) / n)
+        assert (
+            r["survival_x1e9"]
+            == prev_s * (r["n_at_risk"] - r["d_events"]) // r["n_at_risk"]
+        )
+        if prev_n is not None:
+            assert r["n_at_risk"] < prev_n  # at-risk strictly shrinks
+        prev_s, prev_n = r["survival_x1e9"], r["n_at_risk"]
+
+
+def test_survival_km_matches_python_reference(spark, sf_dir):
+    """Rebuild the life table with plain DataFrame ops and run a
+    pure-Python KM over it — the estimator itself, refereed."""
+    from hadoopmapreduce_spark.operators.timeseries import (
+        KM_BUCKET_US,
+        KM_CENSOR_BUCKET,
+        KM_HORIZON_US,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us("ts")).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us("ts").alias("tp"))
+        .join(v, "user_id")
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    life = []
+    for r in v.join(p, "user_id", "left").collect():
+        if r["tp"] is not None and r["tp"] - r["t0"] < KM_HORIZON_US:
+            life.append(((r["tp"] - r["t0"]) // KM_BUCKET_US, 1))
+        else:
+            life.append((KM_CENSOR_BUCKET, 0))
+    expect = []
+    s = 10**9
+    for t in sorted({t for t, d in life if d}):
+        n = sum(1 for tt, _ in life if tt >= t)
+        d = sum(1 for tt, dd in life if tt == t and dd)
+        s = s * (n - d) // n
+        expect.append((t, n, d, s))
+    got = [
+        (r["t_bucket"], r["n_at_risk"], r["d_events"], r["survival_x1e9"])
+        for r in registry.QUERIES["ts_survival_km"](spark, sf_dir)
+        .orderBy("t_bucket")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_kmv_exact_columns_and_error_envelope(spark, sf_dir):
+    from hadoopmapreduce_spark.operators.aggregates import KMV_K
+
+    row = registry.QUERIES["agg_kmv_set_intersect"](spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    a = {r[0] for r in o.filter(F.col("y") == 1995).select("o_custkey").distinct().collect()}
+    b = {r[0] for r in o.filter(F.col("y") == 1996).select("o_custkey").distinct().collect()}
+    assert row["exact_a"] == len(a)
+    assert row["exact_b"] == len(b)
+    assert row["exact_intersect"] == len(a & b)
+    assert row["k"] == KMV_K
+    # KMV relative error ~ 1/sqrt(K-2) ≈ 13%; allow 5 sigma for the
+    # fixed fixture (deterministic, so this is a one-time check, not flaky)
+    for est, exact in (
+        (row["est_a"], len(a)),
+        (row["est_b"], len(b)),
+        (row["est_union"], len(a | b)),
+    ):
+        if exact >= KMV_K:
+            assert abs(est - exact) / exact < 5 / (KMV_K - 2) ** 0.5
+        else:
+            assert est == float(exact)
+    assert 0 <= row["kmv_matches"] <= KMV_K
+    assert row["est_intersect"] >= 0.0
+
+
+def test_match_recognize_agrees_with_bruteforce(spark, sf_dir):
+    """Replay each user's (ts, event_id)-ordered sequence in Python with
+    the obvious state machine for ``view click* purchase`` and compare."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    seqs: dict[int, list[tuple]] = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    expect: dict[int, tuple[int, int, int]] = {}
+    for uid, rows in seqs.items():
+        rows.sort()
+        matches = []
+        last_nonclick, clicks_since = None, 0
+        for _, _, et in rows:
+            if et == "purchase" and last_nonclick == "view":
+                matches.append(clicks_since)
+            if et == "click":
+                clicks_since += 1
+            else:
+                last_nonclick, clicks_since = et, 0
+        if matches:
+            expect[uid] = (len(matches), max(matches), sum(matches))
+    got = {
+        r["user_id"]: (
+            r["n_matches"],
+            r["max_clicks_in_match"],
+            r["total_clicks_matched"],
+        )
+        for r in registry.QUERIES["event_match_recognize_funnel"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_ivm_deltas_partition_their_tables(spark, sf_dir):
+    """The bilinear rule is only sound if (old, delta) PARTITION each
+    input — no overlap, no gap (the NULL-routing lesson of
+    incremental_agg_merge, re-pinned for the join case)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    a_delta = F.col("o_orderdate") >= cutoff
+    b_delta = F.col("c_custkey") % 10 == 0
+    n_o = orders.count()
+    assert (
+        orders.filter(a_delta).count() + orders.filter(~a_delta).count()
+        == n_o
+    )
+    n_c = cust.count()
+    assert cust.filter(b_delta).count() + cust.filter(~b_delta).count() == n_c
+    # and every base row lands in exactly one of the four join terms:
+    # total row count of the maintained view == plain join count
+    v_rows = (
+        registry.QUERIES["incremental_join_maintenance"](spark, sf_dir)
+        .agg(F.sum("n_orders"))
+        .collect()[0][0]
+    )
+    plain = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).count()
+    assert v_rows == plain
+
+
+def test_resize_nn_exact_on_handmade_image(spark):
+    """decode->resize on a hand-built PNG: pixel law (x+y+seed)%256, so
+    the 4x4 NN thumbnail is computable by hand — pins the index map
+    (row-major, y=(i*H)//T, x=(j*W)//T) against transposition and
+    off-by-one regressions."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        THUMB_T,
+        decode_png_pixels,
+        resize_nn,
+        synthesize_png,
+    )
+
+    w, h, seed = 10, 6, 7
+    payload = synthesize_png(w, h, seed)
+    gw, gh, bd, ct, px = decode_png_pixels(payload)
+    assert (gw, gh, bd, ct) == (w, h, 8, 0)
+    got = resize_nn(px, w, h, THUMB_T)
+    expect = [
+        ((j * w) // THUMB_T + (i * h) // THUMB_T + seed) % 256
+        for i in range(THUMB_T)
+        for j in range(THUMB_T)
+    ]
+    assert got == expect
+
+
+def test_resize_query_consistent_with_decode_stats(spark, sf_dir):
+    """The resize and stats queries decode the SAME assets: widths and
+    heights must agree row-for-row, and every thumbnail aggregate must be
+    bounded by the full-image counterparts."""
+    stats = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["image_decode_features"](
+            spark, sf_dir
+        ).collect()
+    }
+    for r in registry.QUERIES["mm_image_resize_nn"](spark, sf_dir).collect():
+        s = stats[r["doc_id"]]
+        assert (r["width"], r["height"]) == (s["width"], s["height"])
+        assert r["thumb_max"] <= s["max_pixel"]
+        assert r["thumb_sum"] <= s["sum_pixels"] or s["n_pixels"] < 16
