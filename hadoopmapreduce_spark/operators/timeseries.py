@@ -944,10 +944,21 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(observed, F.lit(1)).otherwise(F.lit(0)).alias("death"),
     )
+    return km_curve(life)
+
+
+def km_curve(life: DataFrame) -> DataFrame:
+    """Kaplan-Meier estimator over any life table (columns ``t`` integer
+    duration, ``death`` 0/1): returns one row per death step —
+    (t_bucket, n_at_risk, d_events, survival_x1e9).  Property-tested
+    against a pure-Python KM on hypothesis-generated tables
+    (tests/test_properties.py); ``ts_survival_km`` wires the events
+    fixture in front of it."""
+    spark = life.sparkSession
     counts = life.groupBy("t").agg(
         F.count(F.lit(1)).alias("c"), F.sum("death").alias("d")
     )
-    # at-risk reverse cumsum over <= KM_CENSOR_BUCKET+1 aggregate rows —
+    # at-risk reverse cumsum over the bounded per-duration aggregate —
     # the bounded-aggregate exception to the no-global-window rule
     w_risk = Window.orderBy(F.desc("t")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -958,10 +969,10 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(Window.orderBy("t")))
         .select("rk", "t", "n", "d")
     )
-    # materialize the <= KM_CENSOR_BUCKET-row step table BEFORE the
-    # recursion: a temp view is a logical plan, so each of the ~12
-    # recursion steps would otherwise re-run the whole life-table DAG
-    # (12x the events scan); the eager localCheckpoint makes every
-    # iteration a one-row join against a tiny resident LogicalRDD
+    # materialize the bounded step table BEFORE the recursion: a temp
+    # view is a logical plan, so each recursion step would otherwise
+    # re-run the whole life-table DAG (steps x the input scan); the eager
+    # localCheckpoint makes every iteration a one-row join against a
+    # tiny resident LogicalRDD
     steps.localCheckpoint(eager=True).createOrReplaceTempView("km_steps")
     return spark.sql(_KM_RECURSION)

@@ -1382,7 +1382,16 @@ def event_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number and both carry windows; per-user state in the window
     frame is O(1) (last non-click seen).  Output is a per-user rollup,
     so nothing downstream touches raw events again."""
-    seq = load_table(spark, sf_dir, "events").select(
+    return match_funnel_runs(load_table(spark, sf_dir, "events"))
+
+
+def match_funnel_runs(events: DataFrame) -> DataFrame:
+    """The ``A B* C`` matcher over any (user_id, event_type, ts, event_id)
+    relation — see :func:`event_match_recognize_funnel` for the pattern
+    semantics.  Property-tested against a brute-force Python state
+    machine on hypothesis-generated sequences
+    (tests/test_properties.py)."""
+    seq = events.select(
         "user_id",
         "event_type",
         F.row_number()

@@ -275,3 +275,75 @@ def test_distributed_ntile_property(spark, n, k, mod):
     }
     ranks.release_rank_caches()
     assert got == expect, (n, k, mod)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # life table: (duration bucket, death flag)
+        st.tuples(st.integers(min_value=0, max_value=12),
+                  st.integers(min_value=0, max_value=1)),
+        min_size=1, max_size=60,
+    )
+)
+def test_km_curve_property(spark, life):
+    """Property: functions km_curve == pure-Python Kaplan-Meier (integer
+    stepwise floor product) for ANY life table — the fixed-fixture
+    differential of test_round8_session2, generalized."""
+    from hadoopmapreduce_spark.operators.timeseries import km_curve
+
+    df = spark.createDataFrame(life, "t int, death int")
+    got = [
+        (r["t_bucket"], r["n_at_risk"], r["d_events"], r["survival_x1e9"])
+        for r in km_curve(df).orderBy("t_bucket").collect()
+    ]
+    expect, s = [], 10**9
+    for t in sorted({t for t, d in life if d}):
+        n = sum(1 for tt, _ in life if tt >= t)
+        d = sum(1 for tt, dd in life if tt == t and dd)
+        s = s * (n - d) // n
+        expect.append((t, n, d, s))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # flat event log: (user, type code) in arrival order
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.sampled_from(["view", "click", "purchase", "error"])),
+        min_size=1, max_size=80,
+    )
+)
+def test_match_recognize_property(spark, log):
+    """Property: the window-composed 'view click* purchase' matcher ==
+    a brute-force per-user state machine for ANY event sequence."""
+    from hadoopmapreduce_spark.operators.windows import match_funnel_runs
+
+    rows = [
+        (uid, et, i, i)  # ts == event_id == arrival index: total order
+        for i, (uid, et) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts int, event_id int"
+    )
+    got = {
+        r["user_id"]: (
+            r["n_matches"], r["max_clicks_in_match"], r["total_clicks_matched"]
+        )
+        for r in match_funnel_runs(df).collect()
+    }
+    expect = {}
+    by_user: dict[int, list[str]] = {}
+    for uid, et in log:
+        by_user.setdefault(uid, []).append(et)
+    for uid, seq in by_user.items():
+        matches, last_nonclick, clicks = [], None, 0
+        for et in seq:
+            if et == "purchase" and last_nonclick == "view":
+                matches.append(clicks)
+            if et == "click":
+                clicks += 1
+            else:
+                last_nonclick, clicks = et, 0
+        if matches:
+            expect[uid] = (len(matches), max(matches), sum(matches))
+    assert got == expect
