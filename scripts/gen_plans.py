@@ -88,6 +88,17 @@ HEADLINERS = [
     ("maintenance_snapshot_expire", "retention expiry: the returned plan reads only the retained latest snapshot"),
     ("pipeline_mixture_cap_rebalance", "water-filling mixture: every window over the language-sized rollup, one corpus shuffle"),
     ("eval_pr_threshold_sweep", "operating-point sweep: constant threshold table broadcast against the bounded score-class rollup"),
+    # round-8 additions
+    ("dedup_semantic_clustered", "SemDeDup: broadcast K-row centroid argmax, one cluster-keyed exchange into the per-cluster Gram kernel"),
+    ("ts_survival_km", "KM: user-keyed life-table aggregates; recursion scans the checkpointed <=12-row step table, one-row join per step"),
+    ("agg_kmv_set_intersect", "KMV sketches: three TakeOrderedAndProject bottom-K passes off one membership aggregate — no global sort"),
+    ("event_match_recognize_funnel", "CEP A B* C: one user-keyed exchange shared by row_number and both carry windows"),
+    ("incremental_join_maintenance", "bilinear delta rule: four join terms, customer side broadcast in each, one final segment aggregate"),
+    ("mm_image_resize_nn", "decode+resize: one pruned scan into mapInPandas — shuffle-free"),
+    # round-8: crossed the 1.5 s coverage threshold in the r8 bench run
+    ("knn_maxsim_multivector", "MaxSim re-rank: broadcast probe sub-vector bag, map-side per-(q,d,qsub) max, fixed-order sum — pair fan-out linear in corpus"),
+    ("maintenance_compact_roundtrip", "small-file compaction: coalesce rewrite (narrow, no shuffle); returned plan scans the compacted files"),
+    ("q18_large_volume_customers", "TPC-H Q18: semi-join on the HAVING subquery before the 3-way join; bounded top-100"),
     ("event_attribution_time_decay", "recency-weighted credits: user-keyed equi-join + three purchase-keyed windows, integer-shift weights"),
     ("ts_rolling_trend_28d", "rolling OLS: five RANGE-frame moments sharing one type-keyed sort over the daily rollup"),
     ("sql_shared_grouping_sets", "explicit GROUPING SETS: one Expand into a single partial+final aggregate, one fact scan"),
