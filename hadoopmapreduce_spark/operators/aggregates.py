@@ -3059,8 +3059,16 @@ def agg_kmv_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    h = ids.select("in_a", "in_b", hv.alias("hv"))
+    return kmv_set_stats(ids.select("in_a", "in_b", hv.alias("hv")))
 
+
+def kmv_set_stats(h: DataFrame) -> DataFrame:
+    """KMV estimator core over any (in_a 0/1, in_b 0/1, hv bigint)
+    relation of DISTINCT elements: bottom-K sketches for A, B, and the
+    union, exact audit sums, and the intersection estimate.
+    Property-tested against a pure-Python KMV on hypothesis-generated
+    sets (tests/test_properties.py); ``agg_kmv_set_intersect`` wires the
+    orders fixture + md5-prefix hash in front of it."""
     ex = h.agg(
         F.sum("in_a").alias("exact_a"),
         F.sum("in_b").alias("exact_b"),
@@ -3177,18 +3185,38 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_old, a_new = orders.filter(a_is_old), orders.filter(~a_is_old)
     b_old, b_new = cust.filter(~b_is_delta), cust.filter(b_is_delta)
 
-    def term(a: DataFrame, b: DataFrame) -> DataFrame:
-        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
-            "c_mktsegment", "cents"
-        )
-
-    v = (
-        term(a_old, b_old)       # materialized state
-        .unionByName(term(a_old, b_new))   # A_old |><| dB
-        .unionByName(term(a_new, b_old))   # dA |><| B_old
-        .unionByName(term(a_new, b_new))   # dA |><| dB
+    v = bilinear_join_view(
+        a_old, a_new, b_old, b_new,
+        on=(F.col("o_custkey") == F.col("c_custkey")),
+        cols=["c_mktsegment", "cents"],
     )
     return v.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("revenue_cents"),
+    )
+
+
+def bilinear_join_view(
+    a_old: DataFrame,
+    a_new: DataFrame,
+    b_old: DataFrame,
+    b_new: DataFrame,
+    on,
+    cols: list[str],
+) -> DataFrame:
+    """The bilinear delta rule itself: (A_old U dA) |><| (B_old U dB)
+    expanded into four join terms and unioned.  Sound ONLY when
+    (a_old, a_new) and (b_old, b_new) each PARTITION their input.
+    Property-tested against the plain join on hypothesis-generated
+    tables with arbitrary partition predicates
+    (tests/test_properties.py)."""
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, on).select(*cols)
+
+    return (
+        term(a_old, b_old)                 # materialized state
+        .unionByName(term(a_old, b_new))   # A_old |><| dB
+        .unionByName(term(a_new, b_old))   # dA |><| B_old
+        .unionByName(term(a_new, b_new))   # dA |><| dB
     )

@@ -347,3 +347,93 @@ def test_match_recognize_property(spark, log):
         if matches:
             expect[uid] = (len(matches), max(matches), sum(matches))
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**15), min_size=1, max_size=200),
+    st.sets(st.integers(min_value=0, max_value=10**15), min_size=1, max_size=200),
+)
+def test_kmv_set_stats_property(spark, ha, hb):
+    """Property: the KMV core == a pure-Python bottom-k sketch estimator
+    for ANY pair of distinct-hash sets (hashes generated directly — the
+    estimator doesn't care they're md5-derived).  Doubles compare
+    EXACTLY: both sides divide the same mantissa-exact operands."""
+    from hadoopmapreduce_spark.operators.aggregates import (
+        KMV_K,
+        kmv_set_stats,
+    )
+
+    universe = sorted(ha | hb)
+    rows = [(int(h in ha), int(h in hb), h) for h in universe]
+    df = spark.createDataFrame(rows, "in_a int, in_b int, hv long")
+    got = kmv_set_stats(df).collect()[0].asDict()
+
+    def est(hashes):
+        hs = sorted(hashes)[:KMV_K]
+        if len(hs) < KMV_K:
+            return float(len(hs))
+        return 63.0 * 1152921504606846976.0 / float(hs[-1])
+
+    union_k = universe[:KMV_K]
+    matches = sum(1 for h in union_k if h in ha and h in hb)
+    est_union = est(universe)
+    expect = {
+        "k": KMV_K,
+        "exact_a": len(ha),
+        "exact_b": len(hb),
+        "exact_intersect": len(ha & hb),
+        "est_a": est(ha),
+        "est_b": est(hb),
+        "est_union": est_union,
+        "kmv_matches": matches,
+        "est_intersect": (
+            float(matches)
+            if len(universe) < KMV_K
+            else (float(matches) * est_union) / KMV_K
+        ),
+    }
+    assert got == expect, (got, expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)),
+             min_size=0, max_size=40),  # A rows: (key, payload)
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)),
+             min_size=0, max_size=40),  # B rows
+    st.integers(0, 9),   # A partition cutoff (payload-based)
+    st.integers(0, 9),   # B partition modulus pivot
+)
+def test_bilinear_join_view_property(spark, a_rows, b_rows, a_cut, b_piv):
+    """Property: the bilinear delta rule == the plain join, as a
+    MULTISET, for ANY tables and ANY partition predicates — the algebra
+    incremental_join_maintenance relies on, generalized."""
+    from collections import Counter
+
+    from hadoopmapreduce_spark.operators.aggregates import bilinear_join_view
+
+    a = spark.createDataFrame(
+        [(k, p) for k, p in a_rows] or [(None, None)],
+        "ak int, ap int",
+    ).filter(F.col("ak").isNotNull())
+    b = spark.createDataFrame(
+        [(k, p) for k, p in b_rows] or [(None, None)],
+        "bk int, bp int",
+    ).filter(F.col("bk").isNotNull())
+    a_pred = F.col("ap") < a_cut * 10
+    b_pred = F.col("bp") % 10 <= b_piv
+    v = bilinear_join_view(
+        a.filter(a_pred), a.filter(~a_pred),
+        b.filter(b_pred), b.filter(~b_pred),
+        on=(F.col("ak") == F.col("bk")),
+        cols=["ak", "ap", "bp"],
+    )
+    got = Counter((r["ak"], r["ap"], r["bp"]) for r in v.collect())
+    expect = Counter(
+        (ka, pa, pb)
+        for ka, pa in a_rows
+        for kb, pb in b_rows
+        if ka == kb
+    )
+    assert got == expect
