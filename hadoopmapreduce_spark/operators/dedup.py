@@ -1859,27 +1859,38 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- stage 3: per-cluster keep-first dedup kernel ------------------------
-    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        V = np.stack(pdf["v"].to_numpy())  # (m, d)
-        m, d = V.shape
-        G = np.zeros((m, m))
-        for k in range(d):  # dimension-major: list_dot_product's sum order
-            G += np.outer(V[:, k], V[:, k])
-        nrm = np.sqrt(np.diag(G))
-        cos = G / np.outer(nrm, nrm)
-        earlier = np.triu(cos >= SEMDEDUP_TAU, k=1)  # [i, j]: i before j
-        n_earlier = earlier.sum(axis=0).astype("int64")
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"],
-                "cluster": pdf["cluster"],
-                "n_earlier_dups": n_earlier,
-                "kept": (n_earlier == 0).astype("int32"),
-            }
-        )
-
     return assigned.groupBy("cluster").applyInPandas(
-        kernel,
+        semdedup_kernel,
         schema="vec_id long, cluster int, n_earlier_dups long, kept int",
+    )
+
+
+def semdedup_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-cluster keep-first dedup over (vec_id, cluster, v double[]):
+    Gram matrix accumulated DIMENSION-MAJOR so every pairwise dot product
+    sums in list_dot_product's element order (bit-exact vs the SQL
+    oracle); a member is dropped when an earlier member (vec_id order) of
+    its cluster has cosine >= SEMDEDUP_TAU.  Module-level so both
+    applyInPandas and the hypothesis property test
+    (tests/test_properties.py) can drive it."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(pdf["v"].to_numpy())  # (m, d)
+    m, d = V.shape
+    G = np.zeros((m, m))
+    for k in range(d):  # dimension-major: list_dot_product's sum order
+        G += np.outer(V[:, k], V[:, k])
+    nrm = np.sqrt(np.diag(G))
+    cos = G / np.outer(nrm, nrm)
+    earlier = np.triu(cos >= SEMDEDUP_TAU, k=1)  # [i, j]: i before j
+    n_earlier = earlier.sum(axis=0).astype("int64")
+    return pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"],
+            "cluster": pdf["cluster"],
+            "n_earlier_dups": n_earlier,
+            "kept": (n_earlier == 0).astype("int32"),
+        }
     )

@@ -437,3 +437,59 @@ def test_bilinear_join_view_property(spark, a_rows, b_rows, a_cut, b_piv):
         if ka == kb
     )
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # one cluster's members: small-int vectors, fixed dim 4
+        st.tuples(st.integers(0, 7), st.integers(0, 7),
+                  st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=25,
+    )
+)
+def test_semdedup_kernel_property(vecs):
+    """Property: the numpy Gram kernel == a pure-Python keep-first scan
+    with the SAME dimension-major double accumulation, for ANY cluster
+    content (exact float equality — both sides run identical IEEE op
+    sequences).  Zero vectors are excluded: cosine is undefined there and
+    the quantizer upstream can never emit one (norms are > 0 by the
+    argmax-assignment construction)."""
+    import math
+
+    import pandas as pd
+
+    from hadoopmapreduce_spark.operators.dedup import (
+        SEMDEDUP_TAU,
+        semdedup_kernel,
+    )
+
+    vecs = [v for v in vecs if any(v)] or [(1, 0, 0, 0)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "cluster": [0] * len(vecs),
+            "v": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    got = {
+        int(r.vec_id): (int(r.n_earlier_dups), int(r.kept))
+        for r in semdedup_kernel(pdf).itertuples()
+    }
+
+    def dot(u, w):  # dimension-major, same add order as the kernel
+        acc = 0.0
+        for x, y in zip(u, w):
+            acc += x * y
+        return acc
+
+    expect = {}
+    fv = [[float(x) for x in v] for v in vecs]
+    for j, vj in enumerate(fv):
+        n = 0
+        for i in range(j):
+            vi = fv[i]
+            cos = dot(vi, vj) / (math.sqrt(dot(vi, vi)) * math.sqrt(dot(vj, vj)))
+            if cos >= SEMDEDUP_TAU:
+                n += 1
+        expect[j] = (n, int(n == 0))
+    assert got == expect
