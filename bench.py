@@ -229,6 +229,7 @@ def main() -> None:
         "dedup_semantic_clustered", "ts_survival_km",
         "agg_kmv_set_intersect", "event_match_recognize_funnel",
         "incremental_join_maintenance", "mm_image_resize_nn",
+        "image_jpeg_probe_features",
         "text_lm_surprise",
         "graph_harmonic_centrality", "dedup_golden_record",
         "join_temporal_scd2_fact", "sample_neyman_allocation",

@@ -1243,3 +1243,190 @@ def mm_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assets = image_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_image_resize_batch, schema=_RESIZE_SCHEMA)
+
+
+# --- real JPEG structural probe (marker segments + byte-stuffing) ---------
+#
+# Pixel decode for JPEG needs an entropy codec (env-stubbed, see
+# ``decode_image_stub``), but the MARKER layer — what a pipeline reads to
+# probe dimensions/components without decoding — is a pure segment format
+# (ITU-T T.81 B.1): 0xFF-prefixed markers with big-endian lengths, and an
+# entropy-coded scan in which literal 0xFF data bytes are STUFFED as
+# 0xFF 0x00.  The synthesizer emits a structurally-valid minimal stream
+# (SOI + APP0/JFIF + DQT + SOF0 + DHT + SOS + stuffed scan + EOI) and the
+# prober walks it with strict length accounting and real unstuffing.
+
+JPEG_SOI, JPEG_EOI, JPEG_SOS, JPEG_SOF0 = 0xD8, 0xD9, 0xDA, 0xC0
+
+
+def synthesize_jpeg(width: int, height: int, n_entropy: int, seed: int) -> bytes:
+    """Deterministic minimal JPEG: scan filler byte i is (7*i + seed) % 256,
+    stuffed on write whenever it lands on 0xFF — so the prober's unstuff
+    path is exercised for real on the docs whose law crosses 255."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00" + bytes((1, 2, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)))
+    dqt = seg(0xDB, bytes((0,)) + bytes((i % 255 + 1) for i in range(64)))
+    sof0 = seg(
+        JPEG_SOF0,
+        bytes((8,))  # precision
+        + struct.pack(">HH", height, width)
+        + bytes((3,))  # components
+        + bytes((1, 0x22, 0)) + bytes((2, 0x11, 0)) + bytes((3, 0x11, 0)),
+    )
+    dht = seg(0xC4, bytes((0,)) + bytes(16) + b"")
+    sos = seg(JPEG_SOS, bytes((3,)) + bytes((1, 0)) + bytes((2, 0x11)) + bytes((3, 0x11)) + bytes((0, 63, 0)))
+    scan = bytearray()
+    for i in range(n_entropy):
+        b = (7 * i + seed) % 256
+        scan.append(b)
+        if b == 0xFF:
+            scan.append(0x00)  # byte stuffing (T.81 B.1.1.5)
+    return bytes((0xFF, JPEG_SOI)) + app0 + dqt + sof0 + dht + sos + bytes(scan) + bytes((0xFF, JPEG_EOI))
+
+
+def probe_jpeg_features(payload: bytes) -> dict:
+    """REAL marker-layer parse: strict segment walk (lengths must fit),
+    SOF0 dimensions/components, DQT census, then the entropy-coded scan
+    with genuine unstuffing (0xFF 0x00 -> one literal 0xFF data byte)
+    until EOI.  No entropy decode — the documented env-gated boundary."""
+    import struct
+
+    if payload[:2] != bytes((0xFF, JPEG_SOI)):
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    width = height = n_components = None
+    n_quant_tables = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated marker header")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + seg_len > len(payload):
+            raise ValueError(f"JPEG: segment {marker:#x} truncated")
+        if marker == JPEG_SOS:
+            pos += 2 + seg_len
+            break
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == JPEG_SOF0:
+            _prec, height, width, n_components = struct.unpack(">BHHB", body[:6])
+        elif marker == 0xDB:
+            n_quant_tables += 1
+        pos += 2 + seg_len
+    n_raw = n_stuffed = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("JPEG: scan truncated before EOI")
+        b = payload[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(payload):
+                raise ValueError("JPEG: scan truncated before EOI")
+            nxt = payload[pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                n_raw += 1
+                n_stuffed += 1
+                pos += 2
+                continue
+            if nxt == JPEG_EOI:
+                break
+            raise ValueError(f"JPEG: unexpected marker {nxt:#x} in scan")
+        n_raw += 1
+        pos += 1
+    if width is None:
+        raise ValueError("JPEG: no SOF0 frame header")
+    return {
+        "width": width,
+        "height": height,
+        "n_components": n_components,
+        "n_quant_tables": n_quant_tables,
+        "n_entropy_raw": n_raw,
+        "n_stuffed": n_stuffed,
+    }
+
+
+_JPEG_SCHEMA = (
+    "doc_id bigint, width int, height int, n_components int, "
+    "n_quant_tables int, n_entropy_raw bigint, n_stuffed bigint"
+)
+
+
+def _jpeg_probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [probe_jpeg_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG payloads per document: dimensions from the text length /
+    doc id, scan length and stuffing seed from the doc id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(w: pd.Series, h: pd.Series, n: pd.Series, s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_jpeg(int(wi), int(hi), int(ni), int(si))
+                for wi, hi, ni, si in zip(w, h, n, s)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.length(F.encode(F.col("text"), "utf-8")) % 24 + 8).cast("int").alias("w_spec"),
+        (F.col("doc_id") % 12 + 8).cast("int").alias("h_spec"),
+        (F.col("doc_id") % 64 + 300).cast("int").alias("n_spec"),
+        (F.col("doc_id") % 256).cast("int").alias("s_spec"),
+    ).withColumn(
+        "payload",
+        _synth(F.col("w_spec"), F.col("h_spec"), F.col("n_spec"), F.col("s_spec")),
+    )
+
+
+JPEG_PROBE_ORACLE_SQL = """
+    WITH spec AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 24 + 8 AS w,
+             CAST(doc_id % 12 + 8 AS INT) AS h,
+             CAST(doc_id % 64 + 300 AS INT) AS n,
+             CAST(doc_id % 256 AS INT) AS s
+      FROM documents),
+    stuffed AS (
+      SELECT sp.doc_id, COUNT(*) FILTER ((7 * i.i + sp.s) % 256 = 255) AS ns
+      FROM spec sp, LATERAL unnest(range(0, sp.n)) AS i(i)
+      GROUP BY sp.doc_id)
+    SELECT sp.doc_id,
+           CAST(sp.w AS INT) AS width,
+           sp.h AS height,
+           3 AS n_components,
+           1 AS n_quant_tables,
+           CAST(sp.n AS BIGINT) AS n_entropy_raw,
+           CAST(st.ns AS BIGINT) AS n_stuffed
+    FROM spec sp JOIN stuffed st USING (doc_id)
+"""
+
+
+@query("image_jpeg_probe_features", oracle=JPEG_PROBE_ORACLE_SQL)
+def image_jpeg_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG structural probe, completing the codec-family coverage next to
+    PNG (full decode), WAV, ISO-BMFF, and ZIP: synthesize standards-shaped
+    JPEG streams, then parse the marker layer back — strict segment
+    length accounting, SOF0 dimensions/components, DQT census, and the
+    entropy-coded scan walked with REAL byte-unstuffing (0xFF 0x00 pairs;
+    the synthesis law guarantees some documents cross 0xFF, so the
+    unstuff path runs, and n_stuffed is oracle-checked per document).
+    Entropy DECODE stays env-gated (``decode_image_stub``) — this is the
+    metadata layer a 100 TB pipeline actually reads.
+
+    Scale: shuffle-free mapInPandas over Arrow batches, payload pruned to
+    the one scan — the same embarrassingly-parallel posture as the other
+    codec probes."""
+    assets = jpeg_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_jpeg_probe_batch, schema=_JPEG_SCHEMA)

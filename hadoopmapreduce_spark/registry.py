@@ -57,6 +57,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "event_match_recognize_funnel",
     "incremental_join_maintenance",
     "mm_image_resize_nn",
+    "image_jpeg_probe_features",
     # --- oldest-green rotation: the 9 remaining r1 verdicts ---
     "set_union_all_counts",
     "sort_multi_key",
@@ -96,7 +97,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_relationship",
-    "q17_small_quantity_revenue",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit

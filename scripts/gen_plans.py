@@ -95,6 +95,7 @@ HEADLINERS = [
     ("event_match_recognize_funnel", "CEP A B* C: one user-keyed exchange shared by row_number and both carry windows"),
     ("incremental_join_maintenance", "bilinear delta rule: four join terms, customer side broadcast in each, one final segment aggregate"),
     ("mm_image_resize_nn", "decode+resize: one pruned scan into mapInPandas — shuffle-free"),
+    ("image_jpeg_probe_features", "JPEG marker walk + scan unstuffing: one pruned scan into mapInPandas — shuffle-free"),
     # round-8: crossed the 1.5 s coverage threshold in the r8 bench run
     ("knn_maxsim_multivector", "MaxSim re-rank: broadcast probe sub-vector bag, map-side per-(q,d,qsub) max, fixed-order sum — pair fan-out linear in corpus"),
     ("maintenance_compact_roundtrip", "small-file compaction: coalesce rewrite (narrow, no shuffle); returned plan scans the compacted files"),

@@ -229,3 +229,34 @@ def test_resize_query_consistent_with_decode_stats(spark, sf_dir):
         assert (r["width"], r["height"]) == (s["width"], s["height"])
         assert r["thumb_max"] <= s["max_pixel"]
         assert r["thumb_sum"] <= s["sum_pixels"] or s["n_pixels"] < 16
+
+
+def test_jpeg_probe_rejects_malformed_streams(spark):
+    """The marker walker must fail loudly on structural damage — the
+    strict-accounting contract shared with the MP4 box walker."""
+    import pytest as _pytest
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        probe_jpeg_features,
+        synthesize_jpeg,
+    )
+
+    good = synthesize_jpeg(16, 12, 40, 9)
+    feats = probe_jpeg_features(good)
+    assert (feats["width"], feats["height"]) == (16, 12)
+    assert feats["n_entropy_raw"] == 40
+    with _pytest.raises(ValueError, match="SOI"):
+        probe_jpeg_features(b"\x00\x00" + good[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        probe_jpeg_features(good[:20])
+    # a bare marker inside the scan (not stuffed, not EOI) is corruption
+    bad = bytearray(good)
+    bad[-3] = 0xFF
+    bad[-2] = 0xC4
+    with _pytest.raises(ValueError, match="unexpected marker"):
+        probe_jpeg_features(bytes(bad) + b"\xff\xd9")
+    # stuffing round-trip: every synthesized 0xFF is accounted raw
+    s = synthesize_jpeg(8, 8, 256, 0)  # step-7 law over 256 bytes
+    f = probe_jpeg_features(s)
+    assert f["n_entropy_raw"] == 256
+    assert f["n_stuffed"] >= 1
