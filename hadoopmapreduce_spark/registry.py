@@ -30,14 +30,15 @@ ORACLES: dict[str, str] = {}
 # Round-8 pin (mechanically derived by ``scripts/repin_window.py`` from the
 # committed CORRECTNESS_r1..r7 artifacts): slots 1-6 drain the round-7
 # ADJUDICATION_DEFERRED tail (the last never-checked queries — once green,
-# driver coverage is 100% of the registry); slots 7-11 are the round-8
+# driver coverage is 100% of the registry); slots 7-13 are the round-8
 # registrations (SemDeDup, Kaplan-Meier, KMV sketch set algebra,
-# MATCH_RECOGNIZE funnel, join-view IVM — never-checked, so they outrank
-# rotation); slots 12-50 are the oldest-green re-adjudication rotation
-# (VERDICT r7 ask #2): the 9 remaining r1 verdicts, then the oldest r2
-# cohort (TPC-H suite, join family, agg family) — adjudicated 6 rounds ago
-# while sources/ctr kept moving.  The rotation tail was trimmed by 5 to fit
-# the registrations (round-7 precedent); anything that does not fit goes to
+# MATCH_RECOGNIZE funnel, join-view IVM, NN image resize, JPEG structural
+# probe — never-checked, so they outrank rotation); slots 14-50 are the
+# oldest-green re-adjudication rotation (VERDICT r7 ask #2): the 9
+# remaining r1 verdicts, then the oldest r2 cohort (TPC-H suite, join
+# family, agg family) — adjudicated 6 rounds ago while sources/ctr kept
+# moving.  The rotation tail was trimmed by 7 to fit the registrations
+# (round-7 precedent); anything that does not fit goes to
 # ADJUDICATION_DEFERRED.
 # Queries not named here keep registration order after the pinned prefix —
 # nothing is ever dropped, so verdicts union toward full coverage.
