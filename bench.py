@@ -31,25 +31,39 @@ from hadoopmapreduce_spark.session import get_spark  # noqa: E402
 
 
 def _drain_caches() -> None:
-    """Release the rank/graph cache registries at query-FAMILY boundaries.
+    """Release the rank AND graph cache registries (family boundaries).
 
-    Both modules accumulate resident cached/checkpointed tables per call
-    (distributed_ntile's range-partitioned projections, graph's oriented
+    Both modules accumulate resident tables per call (distributed_ntile's
+    checkpointed range-partitioned projections, graph's cached oriented
     edge tables); left undrained across the 300-query suite they build
     storage pressure that evicts the hot fixture mid-bench — the exact
     failure mode the release hooks exist to prevent (graph.py docstring).
-    Draining per FAMILY (the suite runs queries sorted by name, so
-    families are contiguous) rather than per query keeps the legitimate
-    intra-family reuse — Spark's CacheManager dedupes by logical plan, so
-    the graph cohort shares one resident edge table, which is how every
-    prior round's committed numbers were measured — while still bounding
-    resident entries to one family's worth.  Safe because each timed
-    query has been fully materialized by the noop write before the drain
-    runs."""
+    The two registries differ in reuse (ADVICE r8): graph caches go
+    through ``cache()``, which Spark's CacheManager dedupes by logical
+    plan, so the graph cohort legitimately shares ONE resident edge table
+    across queries — drained per FAMILY (the suite runs queries sorted by
+    name, so families are contiguous), which is how every prior round's
+    committed numbers were measured.  distributed_ntile uses eager
+    ``localCheckpoint``, which is NOT deduped — every run of every ntile
+    query materializes a fresh resident copy with zero cross-run reuse —
+    so rank caches are additionally drained per QUERY (``_drain_ranks``),
+    bounding them to one query's runs with nothing lost.  Safe because
+    each timed query has been fully materialized by the noop write before
+    any drain runs."""
     ranks.release_rank_caches()
     graph.release_graph_caches()
 
+
+def _drain_ranks() -> None:
+    """Per-query rank-cache drain — see _drain_caches for why ranks (no
+    cross-run reuse) drain more aggressively than graph (deduped)."""
+    ranks.release_rank_caches()
+
 SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+
+# 1-min loadavg above which a starting bench run is considered contaminated
+# (VERDICT r8 ask #5); override for CI boxes with a different idle floor
+LOAD_GATE_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
 
 # outlier criteria: >1.3x the prior sidecar AND slow enough that the delta
 # is not timer noise; cap the re-runs so a pathological round stays bounded
@@ -145,6 +159,22 @@ def main() -> None:
     # before and after makes a contaminated run self-evident in the
     # artifact without prose.
     load_before = [round(v, 2) for v in os.getloadavg()]
+    # ambient-load GATE (VERDICT r8 ask #5): r8's driver artifact ran at
+    # loadavg ~4 and the round's only >0.3s "regression" dissolved under
+    # the fresh-process outlier re-measurement.  A run started above the
+    # threshold is self-flagging (load_gate="contaminated" in the artifact
+    # and a stderr warning); under --strict it refuses to run at all so a
+    # committed sidecar can never silently carry contaminated numbers.
+    load_gate = "ok" if load_before[0] <= LOAD_GATE_MAX else "contaminated"
+    if load_gate != "ok":
+        msg = (
+            f"bench: loadavg {load_before[0]} exceeds gate "
+            f"{LOAD_GATE_MAX} — timings will reflect ambient load"
+        )
+        if "--strict" in sys.argv:
+            print(f"{msg}; refusing under --strict", file=sys.stderr)
+            sys.exit(2)
+        print(f"{msg}; annotating artifact", file=sys.stderr)
     spark = get_spark("hadoopmapreduce-spark-bench")
 
     timings: dict[str, float] = {}
@@ -177,6 +207,7 @@ def main() -> None:
                 cold[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        _drain_ranks()  # checkpointed ntile tables get no cross-run reuse
     _drain_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -247,6 +278,7 @@ def main() -> None:
         "outliers": outliers,
         "loadavg_before": load_before,
         "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+        "load_gate": load_gate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     with open(SIDECAR, "w") as f:

@@ -41,6 +41,16 @@ from pyspark.sql import functions as F
 # unreferenced).
 _CACHED: list[DataFrame] = []
 
+# the PRE-checkpoint plan of the most recent distributed_ntile call,
+# retained for plan introspection only: the checkpointed table's plan is a
+# lineage-severed LogicalRDD, so the key-construction Project (e.g. the
+# Z-order shiftleft arithmetic) executes inside the checkpoint job and is
+# invisible in any downstream .explain().  tests/test_plans.py pins
+# positive codegen properties of that hidden stage through this reference
+# (ADVICE r8).  Never executed a second time — introspection reads the
+# plan string, not the data.
+LAST_PRECHECKPOINT: DataFrame | None = None
+
 # working columns appended (and dropped) by distributed_ntile; inputs must
 # not already use these names or they would be silently clobbered
 _RESERVED = ("_pid", "_lr", "_rank")
@@ -66,15 +76,17 @@ def distributed_ntile(
     sess = df.sparkSession
     n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]
-    ranged = (
+    pre = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn(
             "_lr",
             F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
         )
-        .localCheckpoint(eager=True)
     )
+    global LAST_PRECHECKPOINT
+    LAST_PRECHECKPOINT = pre
+    ranged = pre.localCheckpoint(eager=True)
     _CACHED.append(ranged)
     counts = {
         r["_pid"]: r["c"]

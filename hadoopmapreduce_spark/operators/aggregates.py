@@ -2968,6 +2968,12 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 KMV_K = 64  # sketch size; estimator error ~ 1/sqrt(K-2) ≈ 13%
+# the md5-prefix hash below is 15 hex chars = 60 bits, so hv is uniform on
+# [0, 2^60); the (K-1)th-order-statistic estimator numerator (K-1)·2^60 is
+# derived from these two constants EVERYWHERE (operator, oracle f-string,
+# property test) so a KMV_K change cannot silently skew one of the three
+# (ADVICE r8)
+KMV_HASH_SPACE = 2**60
 
 
 @query(
@@ -2997,13 +3003,13 @@ KMV_K = 64  # sketch size; estimator error ~ 1/sqrt(K-2) ≈ 13%
     est AS (
       SELECT ex.*, ku.kmv_matches,
         CASE WHEN ka.ca < {KMV_K} THEN CAST(ka.ca AS DOUBLE)
-             ELSE 63.0 * 1152921504606846976.0 / CAST(ka.ha AS DOUBLE)
+             ELSE {KMV_K - 1}.0 * {KMV_HASH_SPACE}.0 / CAST(ka.ha AS DOUBLE)
         END AS est_a,
         CASE WHEN kb.cb < {KMV_K} THEN CAST(kb.cb AS DOUBLE)
-             ELSE 63.0 * 1152921504606846976.0 / CAST(kb.hb AS DOUBLE)
+             ELSE {KMV_K - 1}.0 * {KMV_HASH_SPACE}.0 / CAST(kb.hb AS DOUBLE)
         END AS est_b,
         CASE WHEN ku.cu < {KMV_K} THEN CAST(ku.cu AS DOUBLE)
-             ELSE 63.0 * 1152921504606846976.0 / CAST(ku.hu AS DOUBLE)
+             ELSE {KMV_K - 1}.0 * {KMV_HASH_SPACE}.0 / CAST(ku.hu AS DOUBLE)
         END AS est_union,
         ku.cu AS cu
       FROM ex CROSS JOIN ka CROSS JOIN kb CROSS JOIN ku)
@@ -3096,7 +3102,7 @@ def kmv_set_stats(h: DataFrame) -> DataFrame:
         )
     )
 
-    num = F.lit(63.0) * F.lit(1152921504606846976.0)
+    num = F.lit(float(KMV_K - 1)) * F.lit(float(KMV_HASH_SPACE))
 
     def est(cnt, hk):
         return F.when(

@@ -18,6 +18,8 @@ Scale notes
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -833,10 +835,10 @@ KM_CENSOR_BUCKET = KM_HORIZON_US // KM_BUCKET_US  # = 12, beyond any death
 _KM_RECURSION = """
     WITH RECURSIVE km (rk, t, n, d, s) AS (
       SELECT rk, t, n, d, (1000000000 * (n - d)) DIV n
-      FROM km_steps WHERE rk = 1
+      FROM {steps} WHERE rk = 1
       UNION ALL
       SELECT s2.rk, s2.t, s2.n, s2.d, (km.s * (s2.n - s2.d)) DIV s2.n
-      FROM km JOIN km_steps s2 ON s2.rk = km.rk + 1
+      FROM km JOIN {steps} s2 ON s2.rk = km.rk + 1
     )
     SELECT CAST(t AS INT) AS t_bucket,
            CAST(n AS BIGINT) AS n_at_risk,
@@ -844,6 +846,11 @@ _KM_RECURSION = """
            CAST(s AS BIGINT) AS survival_x1e9
     FROM km
 """
+
+# per-call unique temp-view suffix: spark.sql() analyzes eagerly, but two
+# km_curve() calls building plans concurrently on a shared session could
+# still race createOrReplaceTempView under a FIXED name (ADVICE r8)
+_KM_VIEW_SEQ = itertools.count()
 
 
 @query(
@@ -974,5 +981,6 @@ def km_curve(life: DataFrame) -> DataFrame:
     # re-run the whole life-table DAG (steps x the input scan); the eager
     # localCheckpoint makes every iteration a one-row join against a
     # tiny resident LogicalRDD
-    steps.localCheckpoint(eager=True).createOrReplaceTempView("km_steps")
-    return spark.sql(_KM_RECURSION)
+    view = f"km_steps_{next(_KM_VIEW_SEQ)}"
+    steps.localCheckpoint(eager=True).createOrReplaceTempView(view)
+    return spark.sql(_KM_RECURSION.format(steps=view))

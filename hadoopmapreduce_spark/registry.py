@@ -27,84 +27,84 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round-8 pin (mechanically derived by ``scripts/repin_window.py`` from the
-# committed CORRECTNESS_r1..r7 artifacts): slots 1-6 drain the round-7
-# ADJUDICATION_DEFERRED tail (the last never-checked queries — once green,
-# driver coverage is 100% of the registry); slots 7-13 are the round-8
-# registrations (SemDeDup, Kaplan-Meier, KMV sketch set algebra,
-# MATCH_RECOGNIZE funnel, join-view IVM, NN image resize, JPEG structural
-# probe — never-checked, so they outrank rotation); slots 14-50 are the
-# oldest-green re-adjudication rotation (VERDICT r7 ask #2): the 9
-# remaining r1 verdicts, then the oldest r2 cohort (TPC-H suite, join
-# family, agg family) — adjudicated 6 rounds ago while sources/ctr kept
-# moving.  The rotation tail was trimmed by 7 to fit the registrations
-# (round-7 precedent); anything that does not fit goes to
-# ADJUDICATION_DEFERRED.
+# Round-9 pin (derived from the committed CORRECTNESS_r1..r8 artifacts,
+# hand-ordered per VERDICT r8 ask #1's reworked-code-first priority):
+# slots 1-6 are the round-9 registrations (never-checked, so they outrank
+# rotation; names pinned ahead of registration — ``ordered_queries`` skips
+# any not yet registered); slots 7-12 are the streaming family whose r3
+# verdicts predate the r6-r7 Arrow rework of the sources under them
+# (VERDICT r7 ask #6 / r8 ask #1a); slots 13-16 the [REF] fidelity rows
+# (r2 verdicts; ctr.py/textkv_source.py changed through the r8 CRLF
+# contract); slots 17-27 the r3 dedup/similarity cohort; slots 28-41 the
+# r2 remainder (TPC-H q2-q9/q17-q21 + recursive_date_spine); slots 42-50
+# the oldest-r3-by-name fill.  After this window goes green, 61 stale
+# verdicts drop to 17 (all r3) — the r10 rotation drains them.
 # Queries not named here keep registration order after the pinned prefix —
 # nothing is ever dropped, so verdicts union toward full coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # --- never-checked (late round-7 registrations, locally oracle-exact) ---
-    "text_lm_surprise",
-    "graph_harmonic_centrality",
-    "dedup_golden_record",
-    "join_temporal_scd2_fact",
-    "sample_neyman_allocation",
-    "ts_time_weighted_avg",
-    # --- round-8 registrations (never-checked; rotation tail trimmed to
-    # fit, round-7 precedent) ---
-    "dedup_semantic_clustered",
-    "ts_survival_km",
-    "agg_kmv_set_intersect",
-    "event_match_recognize_funnel",
-    "incremental_join_maintenance",
-    "mm_image_resize_nn",
-    "image_jpeg_probe_features",
-    # --- oldest-green rotation: the 9 remaining r1 verdicts ---
-    "set_union_all_counts",
-    "sort_multi_key",
-    "sort_topk_orders",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_parts",
-    "window_running_sum",
-    "window_topk_per_group",
-    "window_value_functions",
-    # --- oldest-green rotation: the oldest r2 cohort (round then name) ---
-    "agg_approx_count_distinct",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_histogram_totalprice",
-    "agg_pivot_status",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_stats_acctbal",
-    "dedup_latest_event_per_user",
-    "encode_decode_kv_roundtrip",
-    "join_anti_orderless_customers",
-    "join_broadcast_dim_chain",
-    "join_cross_region_flags",
-    "join_full_outer_nation_presence",
-    "join_inner_segment_revenue",
-    "join_left_customer_orders",
-    "join_range_price_bands",
-    "join_semi_urgent_customers",
-    "join_skew_salted",
-    "project_fields",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_relationship",
+    # --- round-9 registrations (never-checked once they land) ---
+    "dedup_semantic_eval",
+    "ann_pq_topk",
+    "text_c4_line_filter",
+    "image_tiff_exif_probe",
+    "streaming_dedup_within_watermark",
+    "ts_acf_lags",
+    # --- streaming family: r3 verdicts, sources Arrow-reworked r6-r7 ---
+    "streaming_windowed_counts",
+    "streaming_sliding_counts",
+    "streaming_session_windows",
+    "streaming_distinct_users",
+    "streaming_view_purchase_join",
+    "streaming_stateful_user_totals",
+    # --- [REF] fidelity rows: r2 verdicts, code moved through r8 ---
+    "scan_jsonlines",
+    "scan_textkv_source",
+    "sink_textkv",
+    "tag_by_schema_sniff",
+    # --- r3 dedup/similarity cohort ---
+    "minhash_lsh_dedup",
+    "knn_cosine_topk",
+    "exact_dedup",
+    "exact_dedup_normalized",
+    "embedding_near_dup",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # --- r2 remainder: TPC-H suite + recursive date spine ---
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_part_promotion",
+    "q21_suppliers_kept_waiting",
+    "recursive_date_spine",
+    # --- oldest-r3-by-name fill ---
+    "agg_hll_sketch_union",
+    "agg_median_exact",
+    "contamination_check",
+    "corpus_summary",
+    "doc_chunk_windows",
+    "doc_fingerprint",
+    "doc_repetition_signals",
+    "fn_math_suite",
+    "join_asof_purchase_view",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
-# OUTSIDE this round's 50-slot window.  Empty at round-8 start: the r7
-# window drained the 30-query backlog and the 6 late-r7 registrations
-# now front the window above.  Mid-round round-8 registrations that do
-# not fit the window land here (tests/test_parity.py enforces every
+# OUTSIDE this round's 50-slot window.  Empty at round-9 start: the r8
+# window reached 100% driver coverage of the registry, so the r9 window
+# is registrations + pure rotation.  Mid-round round-9 registrations that
+# do not fit the window land here (tests/test_parity.py enforces every
 # never-checked query is in exactly one of the two lists).
 ADJUDICATION_DEFERRED: tuple[str, ...] = ()
 

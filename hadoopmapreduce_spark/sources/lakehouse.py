@@ -31,6 +31,12 @@ Round-8 re-probe (2026-08-15, VERDICT r7 ask #7): still unchanged —
 ``pyspark/jars`` carries no delta/iceberg/hudi runtime and no
 ``spark-avro`` connector.  No registration work is possible until the
 image changes.
+
+Round-9 re-probe (2026-08-15, VERDICT r8 ask #7): still unchanged —
+``pyspark/jars`` lists only the avro-ipc/avro-mapred/avro Hadoop deps
+(no ``spark-avro`` DataSource), no delta/iceberg/hudi runtime, and
+``google.protobuf`` still fails to import (ModuleNotFoundError), so the
+``transformWithStateInPandas`` env-gate also stands.
 """
 
 from __future__ import annotations

@@ -89,7 +89,7 @@ HEADLINERS = [
     ("pipeline_mixture_cap_rebalance", "water-filling mixture: every window over the language-sized rollup, one corpus shuffle"),
     ("eval_pr_threshold_sweep", "operating-point sweep: constant threshold table broadcast against the bounded score-class rollup"),
     # round-8 additions
-    ("dedup_semantic_clustered", "SemDeDup: broadcast K-row centroid argmax, one cluster-keyed exchange into the per-cluster Gram kernel"),
+    ("dedup_semantic_clustered", "SemDeDup: in-row argmax over a 1-row broadcast centroid array (zero corpus-side shuffle), one cluster-keyed exchange into the per-cluster Gram kernel"),
     ("ts_survival_km", "KM: user-keyed life-table aggregates; recursion scans the checkpointed <=12-row step table, one-row join per step"),
     ("agg_kmv_set_intersect", "KMV sketches: three TakeOrderedAndProject bottom-K passes off one membership aggregate — no global sort"),
     ("event_match_recognize_funnel", "CEP A B* C: one user-keyed exchange shared by row_number and both carry windows"),

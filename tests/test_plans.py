@@ -249,13 +249,17 @@ def test_graph_ops_no_cartesian_no_python(spark, sf_dir):
 def test_zorder_key_is_codegen(spark, sf_dir):
     """The Morton key must be pure JVM bit arithmetic (whole-stage codegen),
     never a Python UDF.  Since distributed_ntile took its eager
-    localCheckpoint (ADVICE r8), the key Project executes inside the
-    checkpoint job and the FINAL plan scans the checkpointed RDD — so the
-    shiftleft assertion pins the key-construction stage directly, and the
-    no-Python assertion still covers the full returned plan."""
+    localCheckpoint (ADVICE r7), the key Project executes inside the
+    checkpoint job and the FINAL plan scans a lineage-severed LogicalRDD —
+    a Python-UDF key hidden in that job would be invisible to any
+    assertion on the returned plan (ADVICE r8).  So this test pins the
+    OPERATOR'S OWN hidden stage through ranks.LAST_PRECHECKPOINT (the
+    retained pre-checkpoint plan): shiftleft present, no Python workers —
+    plus the generator-level and final-plan checks."""
     from pyspark.sql import functions as F
 
     from hadoopmapreduce_spark.catalog import load_table
+    from hadoopmapreduce_spark.functions import ranks
     from hadoopmapreduce_spark.operators.layout import (
         _z_spark,
         layout_zorder_stats,
@@ -271,6 +275,31 @@ def test_zorder_key_is_codegen(spark, sf_dir):
 
     df = layout_zorder_stats(spark, sf_dir)
     assert_not_contains(df, "BatchEvalPython", "ArrowEvalPython")
+    # the stage that actually BUILT the checkpointed ntile input: the
+    # Z-order key Project must be codegen bit arithmetic there, where it
+    # really executes
+    pre = ranks.LAST_PRECHECKPOINT
+    assert pre is not None, "layout_zorder_stats did not call distributed_ntile"
+    assert_contains(pre, "shiftleft")
+    assert_not_contains(pre, "BatchEvalPython", "ArrowEvalPython")
+    ranks.release_rank_caches()
+
+
+def test_semdedup_assignment_is_shuffle_free(spark, sf_dir):
+    """VERDICT r8 ask #3: the SemDeDup nearest-centroid assignment must be
+    an in-row argmax over a 1-row broadcast centroid array — zero shuffle
+    and zero window on the corpus side.  The r8 version shuffled a
+    row_number window partitioned by vec_id; this pin makes that shape a
+    regression.  The only exchanges allowed are the centroid aggregation
+    (broadcast subtree) and the stage-3 cluster-keyed exchange into the
+    Gram kernel."""
+    from hadoopmapreduce_spark.operators.dedup import dedup_semantic_clustered
+
+    plan = physical_plan(dedup_semantic_clustered(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "Window" not in plan, plan  # no window argmax anywhere
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row broadcast
+    assert "hashpartitioning(cluster" in plan, plan  # stage-3 exchange
 
 
 def test_gapfill_shuffles_only_on_user(spark, sf_dir):

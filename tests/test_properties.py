@@ -360,6 +360,7 @@ def test_kmv_set_stats_property(spark, ha, hb):
     estimator doesn't care they're md5-derived).  Doubles compare
     EXACTLY: both sides divide the same mantissa-exact operands."""
     from hadoopmapreduce_spark.operators.aggregates import (
+        KMV_HASH_SPACE,
         KMV_K,
         kmv_set_stats,
     )
@@ -373,7 +374,7 @@ def test_kmv_set_stats_property(spark, ha, hb):
         hs = sorted(hashes)[:KMV_K]
         if len(hs) < KMV_K:
             return float(len(hs))
-        return 63.0 * 1152921504606846976.0 / float(hs[-1])
+        return float(KMV_K - 1) * float(KMV_HASH_SPACE) / float(hs[-1])
 
     union_k = universe[:KMV_K]
     matches = sum(1 for h in union_k if h in ha and h in hb)

@@ -163,19 +163,41 @@ def test_match_recognize_agrees_with_bruteforce(spark, sf_dir):
 def test_ivm_deltas_partition_their_tables(spark, sf_dir):
     """The bilinear rule is only sound if (old, delta) PARTITION each
     input — no overlap, no gap (the NULL-routing lesson of
-    incremental_agg_merge, re-pinned for the join case)."""
+    incremental_agg_merge, re-pinned for the join case).  Uses the
+    OPERATOR'S OWN predicate shape — a_is_old = (date < cutoff) | isNull,
+    delta = ~a_is_old (ADVICE r8: a bare >= delta predicate would never
+    exercise the NULL routing the docstring cites), and a synthetic
+    NULL-date row proving NULLs land in exactly the old partition."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    a_delta = F.col("o_orderdate") >= cutoff
+    a_is_old = (
+        F.col("o_orderdate") < cutoff
+    ) | F.col("o_orderdate").isNull()
     b_delta = F.col("c_custkey") % 10 == 0
     n_o = orders.count()
     assert (
-        orders.filter(a_delta).count() + orders.filter(~a_delta).count()
+        orders.filter(~a_is_old).count() + orders.filter(a_is_old).count()
         == n_o
     )
     n_c = cust.count()
     assert cust.filter(b_delta).count() + cust.filter(~b_delta).count() == n_c
+    # synthetic NULL-date rows: the fixture has none, so build a frame
+    # where the partition invariant would break under the bare >=/< pair
+    nullable = spark.createDataFrame(
+        [("1996-06-01 00:00:00",), ("1997-06-01 00:00:00",), (None,)],
+        "o_orderdate string",
+    ).select(F.col("o_orderdate").cast("timestamp"))
+    syn_old = (F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull()
+    assert nullable.filter(syn_old).count() == 2  # pre-cutoff + NULL
+    assert nullable.filter(~syn_old).count() == 1  # delta
+    # the bare pair the operator deliberately does NOT use drops the NULL
+    bare = F.col("o_orderdate") < cutoff
+    assert (
+        nullable.filter(bare).count()
+        + nullable.filter(F.col("o_orderdate") >= cutoff).count()
+        == 2  # one row lost — the gap the isNull routing closes
+    )
     # and every base row lands in exactly one of the four join terms:
     # total row count of the maintained view == plain join count
     v_rows = (
