@@ -66,3 +66,48 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # vectors bound what clustering can do, but wiring regressions (empty
     # lists, bad assignment) drop this to ~0
     assert mean_recall >= 0.25, f"mean IVF recall {mean_recall:.2f}: {recalls}"
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """PQ(8 subspaces × 40 derandomized codewords) + cosine-normalized ADC
+    + shortlist-100 measures mean recall@5 of 0.84 at sf0.001 and 0.86 at
+    sf0.01 vs the exact scorer; 0.7 is a real quality gate (the ip-scored
+    10-codeword first draft sat at 0.54 and would fail it)."""
+    from hadoopmapreduce_spark.operators.similarity import (
+        TOP_K,
+        ann_pq_topk,
+        knn_cosine_topk,
+    )
+
+    exact = knn_cosine_topk(spark, sf_dir).collect()
+    approx = ann_pq_topk(spark, sf_dir).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / TOP_K
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.7, f"mean PQ recall {mean_recall:.2f}: {recalls}"
+
+
+def test_pq_results_are_true_cosines(spark, sf_dir):
+    """Every PQ hit carries the exact cosine (re-rank is exact; only the
+    ADC shortlist is approximate) — same contract as ann_lsh_topk."""
+    from hadoopmapreduce_spark.operators.similarity import (
+        ann_pq_topk,
+        knn_cosine_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_cosine_topk(spark, sf_dir).collect()
+    }
+    for r in ann_pq_topk(spark, sf_dir).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:  # shared hits must match to the last bit
+            assert r["cosine"] == exact[key], key
