@@ -1430,3 +1430,283 @@ def image_jpeg_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec probes."""
     assets = jpeg_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_jpeg_probe_batch, schema=_JPEG_SCHEMA)
+
+
+# --- real TIFF/EXIF-style IFD parsing for the image metadata modality ----
+#
+# TIFF (ISO 12639 / TIFF 6.0) is the format whose structural challenge is
+# BYTE ORDER: the header's II/MM flag governs every integer in the file,
+# including the packing of values INLINE in the 4-byte slot of each
+# 12-byte IFD entry.  The synthesizer below emits standards-valid
+# single-strip grayscale TIFFs — little-endian for odd doc_ids,
+# big-endian for even — with an ascending-tag IFD, inline and
+# out-of-line ASCII values, and a real uncompressed pixel strip; the
+# probe re-reads them honoring the byte-order flag with strict bounds
+# checking.  EXIF metadata blocks are this exact IFD grammar (EXIF is an
+# embedded TIFF IFD), so this is the metadata-extraction shape a
+# training-data pipeline runs over photographic corpora.
+
+TIFF_W_MOD = 12  # width = text byte length % 12 + 4
+TIFF_H_MOD = 6   # height = doc_id % 6 + 4
+TIFF_DESC_MOD = 17  # ImageDescription length = doc_id % 17 + 3
+_TIFF_SOFTWARE = b"hmr-spark\x00"  # Software tag (305), count 10
+
+
+def synthesize_tiff(
+    width: int, height: int, seed: int, little_endian: bool, desc_len: int
+) -> bytes:
+    """Standards-valid minimal TIFF: header, one uncompressed gray8 strip
+    with pixel law (x+y+seed)%256, and a 10-entry ascending-tag IFD.
+    ImageDescription bytes follow (seed+i)%26+97 so the oracle can
+    recompute their sum; with desc_len=3 the ASCII value (count 4 with
+    NUL) packs INLINE — both inline and offset ASCII paths are exercised
+    across the corpus."""
+    import struct
+
+    e = "<" if little_endian else ">"
+    pixels = bytes(
+        (x + y + seed) % 256 for y in range(height) for x in range(width)
+    )
+    strip_off = 8
+    ifd_off = strip_off + len(pixels)
+    desc = bytes((seed + i) % 26 + 97 for i in range(desc_len)) + b"\x00"
+    n_tags = 10
+    ifd_size = 2 + n_tags * 12 + 4
+    ool = ifd_off + ifd_size  # out-of-line value area
+    ool_bytes = b""
+    # tag, type, count, value (int) or (bytes, needs_offset)
+    def pack_entry(tag: int, typ: int, cnt: int, val) -> bytes:
+        nonlocal ool_bytes
+        head = struct.pack(e + "HHI", tag, typ, cnt)
+        if isinstance(val, bytes):
+            if len(val) <= 4:
+                return head + val.ljust(4, b"\x00")
+            off = ool + len(ool_bytes)
+            ool_bytes += val
+            return head + struct.pack(e + "I", off)
+        if typ == 3:  # SHORT packs into the FIRST two bytes, file order
+            return head + struct.pack(e + "H", val) + b"\x00\x00"
+        return head + struct.pack(e + "I", val)
+
+    entries = [
+        pack_entry(256, 4, 1, width),            # ImageWidth, LONG
+        pack_entry(257, 4, 1, height),           # ImageLength, LONG
+        pack_entry(258, 3, 1, 8),                # BitsPerSample, SHORT
+        pack_entry(259, 3, 1, 1),                # Compression = none
+        pack_entry(262, 3, 1, 1),                # Photometric = BlackIsZero
+        pack_entry(270, 2, desc_len + 1, desc),  # ImageDescription, ASCII
+        pack_entry(273, 4, 1, strip_off),        # StripOffsets
+        pack_entry(278, 4, 1, height),           # RowsPerStrip
+        pack_entry(279, 4, 1, width * height),   # StripByteCounts
+        pack_entry(305, 2, len(_TIFF_SOFTWARE), _TIFF_SOFTWARE),  # Software
+    ]
+    header = (
+        (b"II" if little_endian else b"MM")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", ifd_off)
+    )
+    ifd = (
+        struct.pack(e + "H", n_tags)
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)  # no next IFD
+    )
+    return header + pixels + ifd + ool_bytes
+
+
+def parse_tiff_features(payload: bytes) -> dict:
+    """Strict TIFF IFD walk honoring the byte-order flag: validates the 42
+    magic, ascending tag order, entry bounds, NUL-terminated ASCII, and
+    StripByteCounts == width*height before decoding the gray8 strip.
+    Raises ValueError on any structural violation (same contract as the
+    JPEG/BMFF/ZIP probes — a malformed blob must fail loudly, not emit
+    garbage features)."""
+    import struct
+
+    if len(payload) < 8:
+        raise ValueError("truncated header")
+    bom = payload[:2]
+    if bom == b"II":
+        e, is_le = "<", 1
+    elif bom == b"MM":
+        e, is_le = ">", 0
+    else:
+        raise ValueError(f"bad byte-order mark {bom!r}")
+    (magic,) = struct.unpack_from(e + "H", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad magic {magic}")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset out of bounds")
+    (n_tags,) = struct.unpack_from(e + "H", payload, ifd_off)
+    if ifd_off + 2 + n_tags * 12 + 4 > len(payload):
+        raise ValueError("IFD overruns file")
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    prev_tag = -1
+    for i in range(n_tags):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
+        if tag <= prev_tag:
+            raise ValueError(f"tags not ascending at {tag}")
+        prev_tag = tag
+        tags[tag] = (typ, cnt, payload[off + 8 : off + 12])
+
+    def long_val(tag: int) -> int:
+        typ, cnt, raw = tags[tag]
+        if cnt != 1:
+            raise ValueError(f"tag {tag}: expected count 1")
+        if typ == 3:  # SHORT: first two bytes, file order
+            return struct.unpack(e + "H", raw[:2])[0]
+        if typ == 4:
+            return struct.unpack(e + "I", raw)[0]
+        raise ValueError(f"tag {tag}: unexpected type {typ}")
+
+    def ascii_val(tag: int) -> bytes:
+        typ, cnt, raw = tags[tag]
+        if typ != 2:
+            raise ValueError(f"tag {tag}: not ASCII")
+        if cnt <= 4:
+            data = raw[:cnt]
+        else:
+            (off,) = struct.unpack(e + "I", raw)
+            if off + cnt > len(payload):
+                raise ValueError(f"tag {tag}: value out of bounds")
+            data = payload[off : off + cnt]
+        if not data.endswith(b"\x00"):
+            raise ValueError(f"tag {tag}: ASCII not NUL-terminated")
+        return data[:-1]
+
+    width = long_val(256)
+    height = long_val(257)
+    bits = long_val(258)
+    compression = long_val(259)
+    strip_off = long_val(273)
+    strip_cnt = long_val(279)
+    if strip_cnt != width * height:
+        raise ValueError("strip byte count != width*height")
+    if strip_off + strip_cnt > len(payload):
+        raise ValueError("strip out of bounds")
+    strip = payload[strip_off : strip_off + strip_cnt]
+    desc = ascii_val(270)
+    software = ascii_val(305)
+    if software != _TIFF_SOFTWARE[:-1]:
+        raise ValueError("unexpected Software tag")
+    return {
+        "is_le": is_le,
+        "n_tags": n_tags,
+        "width": width,
+        "height": height,
+        "bits_per_sample": bits,
+        "compression": compression,
+        "n_pixels": len(strip),
+        "sum_pixels": sum(strip),
+        "max_pixel": max(strip),
+        "desc_len": len(desc),
+        "desc_sum": sum(desc),
+    }
+
+
+_TIFF_SCHEMA = (
+    "doc_id long, is_le int, n_tags int, width int, height int, "
+    "bits_per_sample int, compression int, n_pixels long, sum_pixels long, "
+    "max_pixel int, desc_len int, desc_sum long"
+)
+
+
+def _tiff_probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [parse_tiff_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def tiff_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF payloads per document: width from the text's byte length,
+    height/seed/description from the doc id, byte order alternating II/MM
+    on doc parity — small, standards-valid files."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(
+        w: pd.Series, h: pd.Series, seed: pd.Series, le: pd.Series,
+        dl: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_tiff(int(a), int(b), int(c), bool(d), int(f))
+                for a, b, c, d, f in zip(w, h, seed, le, dl)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.length(F.encode(F.col("text"), "utf-8")) % TIFF_W_MOD + 4)
+        .cast("int")
+        .alias("w_spec"),
+        (F.col("doc_id") % TIFF_H_MOD + 4).cast("int").alias("h_spec"),
+        (F.col("doc_id") % 256).cast("int").alias("seed_spec"),
+        (F.col("doc_id") % 2).cast("int").alias("le_spec"),
+        (F.col("doc_id") % TIFF_DESC_MOD + 3).cast("int").alias("dl_spec"),
+    ).withColumn(
+        "payload",
+        _synth(
+            F.col("w_spec"), F.col("h_spec"), F.col("seed_spec"),
+            F.col("le_spec"), F.col("dl_spec"),
+        ),
+    )
+
+
+TIFF_PROBE_ORACLE_SQL = f"""
+    WITH spec AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % {TIFF_W_MOD} + 4 AS w,
+             CAST(doc_id % {TIFF_H_MOD} + 4 AS INT) AS h,
+             CAST(doc_id % 256 AS INT) AS seed,
+             CAST(doc_id % 2 AS INT) AS is_le,
+             CAST(doc_id % {TIFF_DESC_MOD} + 3 AS INT) AS dl
+      FROM documents),
+    px AS (
+      SELECT s.doc_id, (x.x + y.y + s.seed) % 256 AS v
+      FROM spec s, LATERAL unnest(range(0, s.w)) AS x(x),
+                   LATERAL unnest(range(0, s.h)) AS y(y)),
+    ds AS (
+      SELECT s.doc_id, SUM((s.seed + i.i) % 26 + 97) AS dsum
+      FROM spec s, LATERAL unnest(range(0, s.dl)) AS i(i)
+      GROUP BY 1)
+    SELECT s.doc_id,
+           s.is_le,
+           10 AS n_tags,
+           CAST(s.w AS INT) AS width,
+           s.h AS height,
+           8 AS bits_per_sample,
+           1 AS compression,
+           CAST(s.w * s.h AS BIGINT) AS n_pixels,
+           CAST(p.sum_v AS BIGINT) AS sum_pixels,
+           CAST(p.max_v AS INT) AS max_pixel,
+           s.dl AS desc_len,
+           CAST(ds.dsum AS BIGINT) AS desc_sum
+    FROM spec s
+    JOIN (SELECT doc_id, SUM(v) AS sum_v, MAX(v) AS max_v
+          FROM px GROUP BY doc_id) p USING (doc_id)
+    JOIN ds USING (doc_id)
+"""
+
+
+@query("image_tiff_exif_probe", oracle=TIFF_PROBE_ORACLE_SQL)
+def image_tiff_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL TIFF metadata pipeline: synthesize standards-valid
+    grayscale TIFFs in BOTH byte orders, walk the IFD honoring the II/MM
+    flag with strict structural validation (ascending tags, bounds,
+    NUL-terminated ASCII, strip accounting), decode the uncompressed
+    strip, and emit exact-integer features — completing the codec family
+    (WAV, PNG, ISO-BMFF, ZIP, JPEG marker layer) with the format EXIF
+    blocks embed.
+
+    Scale shape: shuffle-free Arrow-batched mapInPandas, one feature row
+    per blob; the payload never enters a shuffle (the mm_payload_stats
+    pruning posture).  The oracle recomputes every feature in closed
+    form from the spec laws — pixel sums by cross-unnesting the two
+    pixel ranges, description sums from the (seed+i)%26+97 law."""
+    assets = tiff_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_tiff_probe_batch, schema=_TIFF_SCHEMA)

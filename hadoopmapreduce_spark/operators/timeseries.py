@@ -984,3 +984,98 @@ def km_curve(life: DataFrame) -> DataFrame:
     view = f"km_steps_{next(_KM_VIEW_SEQ)}"
     steps.localCheckpoint(eager=True).createOrReplaceTempView(view)
     return spark.sql(_KM_RECURSION.format(steps=view))
+
+
+# --------------------------------------------------------------------------
+# autocorrelation function over the daily event-count series
+# --------------------------------------------------------------------------
+
+ACF_MAX_LAG = 14  # two weeks of calendar lags — exposes the weekly cycle
+
+
+@query(
+    "ts_acf_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(cnt) AS BIGINT) AS s FROM daily),
+    c AS (SELECT x, n * cnt - s AS c FROM daily, st),
+    den AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                        AS BIGINT) AS den FROM c),
+    k AS (SELECT CAST(unnest(range(1, {ACF_MAX_LAG} + 1)) AS INT) AS lag),
+    num AS (
+      SELECT k.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT))
+                  AS BIGINT) AS num
+      FROM k CROSS JOIN c a JOIN c b ON b.x = a.x + k.lag
+      GROUP BY 1)
+    SELECT lag, n_pairs, num, den.den AS den,
+           CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE) AS acf
+    FROM num, den
+    """,
+)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    calendar lags 1..ACF_MAX_LAG — the standard seasonality/persistence
+    diagnostic (a lag-7 peak is the weekly cycle) that precedes any
+    forecasting model choice.
+
+    Engine determinism: the mean-centering that makes ACF a correlation
+    is done WITHOUT rationals — each term is scaled by n so
+    c_t = n·x_t − S is an exact int64; numerator Σ c_t·c_{{t+k}} and
+    denominator Σ c_t² are exact integer sums (order-independent), and
+    the returned acf is ONE double division of identical int64 operands
+    in both engines (the ts_seasonal_decompose recipe; no libm).  Lags
+    are CALENDAR lags via an equi-join on day-index + k, so a missing
+    day drops the pair instead of silently shifting the series (n_pairs
+    exposes exactly how many terms each lag summed).
+
+    Scale shape: one groupBy to day grain (the only data-sized shuffle,
+    with map-side partial counts), then everything runs on the bounded
+    day-grain table: a broadcast 2-scalar stats row, a broadcast
+    ACF_MAX_LAG-row lag spine, and a self-equi-join of the ~thousands-row
+    daily series.  Integer headroom: den ≈ n·(n·cnt)² must fit int64 —
+    holds beyond 10k daily events across a 7-year span; past that,
+    coarsen the grain or pre-scale cnt (ANSI mode fails loudly, never
+    wraps)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x")
+    )
+    daily = e.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+    )
+    c = daily.crossJoin(F.broadcast(st)).select(
+        "x", (F.col("n") * F.col("cnt") - F.col("s")).alias("c")
+    )
+    den = c.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lag_df = spark.createDataFrame(
+        [(k,) for k in range(1, ACF_MAX_LAG + 1)], "lag int"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lag_df))
+        .join(b, F.col("b.x") == F.col("a.x") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "acf"
+        ),
+    )

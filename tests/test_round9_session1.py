@@ -40,3 +40,58 @@ def test_bench_gate_constant_from_env():
     assert bench.LOAD_GATE_MAX == float(
         os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0")
     )
+
+
+def test_tiff_probe_rejects_malformed_blobs():
+    """The TIFF walk must fail loudly on structural violations (the
+    codec-family contract): bad byte-order mark, bad magic, truncated
+    IFD, non-ascending tags, strip accounting mismatch."""
+    import struct
+
+    import pytest
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_tiff_features,
+        synthesize_tiff,
+    )
+
+    good = synthesize_tiff(6, 5, 42, True, 7)
+    parse_tiff_features(good)  # sanity: the pristine blob parses
+
+    with pytest.raises(ValueError):
+        parse_tiff_features(b"XX" + good[2:])  # bad BOM
+    with pytest.raises(ValueError):
+        parse_tiff_features(good[:2] + struct.pack("<H", 43) + good[4:])
+    with pytest.raises(ValueError):
+        parse_tiff_features(good[:40])  # truncated mid-strip/IFD
+    # swap the first two IFD entries -> tags not ascending
+    ifd_off = struct.unpack_from("<I", good, 4)[0]
+    e0 = ifd_off + 2
+    swapped = (
+        good[:e0]
+        + good[e0 + 12 : e0 + 24]
+        + good[e0 : e0 + 12]
+        + good[e0 + 24 :]
+    )
+    with pytest.raises(ValueError):
+        parse_tiff_features(swapped)
+    # corrupt StripByteCounts (tag 279, entry index 8): value != w*h
+    e8 = ifd_off + 2 + 8 * 12
+    bad_cnt = good[: e8 + 8] + struct.pack("<I", 999) + good[e8 + 12 :]
+    with pytest.raises(ValueError):
+        parse_tiff_features(bad_cnt)
+
+
+def test_tiff_endianness_is_honored():
+    """The SAME logical image serialized II and MM must parse to identical
+    features except the is_le flag — the byte-order gotcha (inline SHORT
+    values occupy the FIRST two bytes in file order) pinned directly."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_tiff_features,
+        synthesize_tiff,
+    )
+
+    le = parse_tiff_features(synthesize_tiff(9, 4, 17, True, 5))
+    be = parse_tiff_features(synthesize_tiff(9, 4, 17, False, 5))
+    assert le.pop("is_le") == 1 and be.pop("is_le") == 0
+    assert le == be
