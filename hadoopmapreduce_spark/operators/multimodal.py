@@ -1710,3 +1710,104 @@ def image_tiff_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel ranges, description sums from the (seed+i)%26+97 law."""
     assets = tiff_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_tiff_probe_batch, schema=_TIFF_SCHEMA)
+
+
+# --- audio RESAMPLE stage (decode -> transform -> feature) ----------------
+
+AUDIO_RS_T = 16  # fixed output length; fixture frame counts are 10..409,
+                 # so the corpus exercises BOTH up- and down-sampling
+
+_AUDIO_RS_SCHEMA = (
+    "doc_id bigint, n_frames bigint, out_len int, "
+    "rs_sum bigint, rs_wsum bigint, rs_max int"
+)
+
+
+def resample_nn(pcm, n: int, t: int) -> list[int]:
+    """Nearest-neighbor resample of a 1-D sample buffer to length t:
+    out(i) = in((i*n) div t) — the 1-D analogue of ``resize_nn``'s index
+    map, all integer, valid for n >= 1 in both directions (repeats
+    samples when upsampling, skips when downsampling)."""
+    return [int(pcm[(i * n) // t]) for i in range(t)]
+
+
+def _audio_resample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    import numpy as np
+
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                n = w.getnframes()
+                raw = w.readframes(n)
+            pcm = np.frombuffer(raw, dtype="<i2")
+            rs = resample_nn(pcm, n, AUDIO_RS_T)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_frames": n,
+                    "out_len": AUDIO_RS_T,
+                    "rs_sum": sum(rs),
+                    # position-weighted checksum pins WHICH source frame
+                    # each output sample came from (the resize_nn recipe)
+                    "rs_wsum": sum(v * (k + 1) for k, v in enumerate(rs)),
+                    "rs_max": max(rs),
+                }
+            )
+        yield pd.DataFrame(rows)
+        rows = []
+
+
+AUDIO_RESAMPLE_ORACLE_SQL = f"""
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 400 + 10 AS BIGINT) AS n,
+             CAST((doc_id % 7 + 1) * 1000 AS BIGINT) AS amp
+      FROM documents),
+    tx AS (
+      SELECT s.doc_id, i.i + 1 AS k,
+             CASE WHEN ((i.i * s.n // {AUDIO_RS_T}) // {WAV_HALF_PERIOD})
+                       % 2 = 0
+                  THEN s.amp ELSE -s.amp END AS v
+      FROM spec s, LATERAL unnest(range(0, {AUDIO_RS_T})) AS i(i))
+    SELECT s.doc_id,
+           s.n AS n_frames,
+           {AUDIO_RS_T} AS out_len,
+           CAST(t.sum_v AS BIGINT) AS rs_sum,
+           CAST(t.wsum_v AS BIGINT) AS rs_wsum,
+           CAST(t.max_v AS INT) AS rs_max
+    FROM spec s
+    JOIN (SELECT doc_id, SUM(v) AS sum_v, SUM(v * k) AS wsum_v,
+                 MAX(v) AS max_v
+          FROM tx GROUP BY doc_id) t USING (doc_id)
+"""
+
+
+@query("mm_audio_resample_nn", oracle=AUDIO_RESAMPLE_ORACLE_SQL)
+def mm_audio_resample_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE stage of the multimodal pipeline: decode the real
+    RIFF/WAVE payloads (the ``decode_wav_features`` codec path), then
+    nearest-neighbor-resample each PCM stream to a fixed AUDIO_RS_T
+    samples and emit exact-integer features — the decode -> TRANSFORM ->
+    feature chain an audio training-data pipeline runs per clip (fixed-
+    length inputs for a feature extractor), completing the transform
+    pair with ``mm_image_resize_nn``.  Fixture frame counts straddle
+    AUDIO_RS_T, so the corpus exercises both up- and down-sampling
+    through the same index map.
+
+    The oracle never decodes: the square-wave sample law
+    sign((k div {WAV_HALF_PERIOD}) mod 2) * amp composes with the NN
+    index map k = (i*n) div T into closed-form SQL; the position-weighted
+    checksum is sensitive to WHICH source frame each output sample
+    picked, not just their sum.
+
+    Scale: decode+resample is shuffle-free Arrow-batched mapInPandas;
+    a real resampler (polyphase sinc) swaps the kernel body, not the
+    plan."""
+    assets = audio_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_audio_resample_batch, schema=_AUDIO_RS_SCHEMA)

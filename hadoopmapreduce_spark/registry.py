@@ -42,10 +42,10 @@ ORACLES: dict[str, str] = {}
 # Queries not named here keep registration order after the pinned prefix —
 # nothing is ever dropped, so verdicts union toward full coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-9 registrations (never-checked once they land) ---
+    # --- round-9 registrations (never-checked) ---
     "dedup_semantic_eval",
     "ann_pq_topk",
-    "text_c4_line_filter",
+    "mm_audio_resample_nn",
     "image_tiff_exif_probe",
     "streaming_dedup_within_watermark",
     "ts_acf_lags",

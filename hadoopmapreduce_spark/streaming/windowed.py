@@ -1112,3 +1112,57 @@ def streaming_textkv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("bigint")).alias("sum_value_ppm"),
     )
+
+
+DEDUP_WM_HORIZON = "30 days"  # covers any cross-batch duplicate spacing in
+                              # the fixtures; at scale THIS is the state
+                              # bound (key expires horizon past its event)
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state streaming dedup — ``dropDuplicatesWithinWatermark``,
+    the production variant ``streaming_distinct_users``'s docstring
+    defers to: at most one emitted row per (user_id, purchase-day) key,
+    with dedup state EVICTED once the watermark passes the key's event
+    time + horizon (an infinite stream cannot afford the unbounded state
+    of plain ``dropDuplicates``).
+
+    Determinism/oracle contract: the operator emits each key's FIRST
+    arrival (append mode, emitted immediately — not held for watermark
+    finalization), and which physical row arrives first is replay-order
+    dependent, so the query projects ONLY the dedup key columns (the
+    ``streaming_distinct_users`` discipline).  Exactness (stream result
+    == batch DISTINCT) holds whenever every duplicate pair is separated
+    by less than the horizon; DEDUP_WM_HORIZON covers the fixture span,
+    and the driver's single availableNow replay is exact for ANY horizon
+    (state cannot expire before the first watermark advance at batch
+    end).  The cross-micro-batch path is pinned in
+    tests/test_round9_session1.py with maxFilesPerTrigger=1.
+
+    Scale shape: one shuffle on the dedup key; state per partition is
+    one entry per live key within the horizon — watermark-bounded, the
+    whole point of the API."""
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", DEDUP_WM_HORIZON)
+        .select("user_id", F.to_date("ts").alias("day"), "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .select("user_id", "day")
+    )
+    return _run_stream_to_parquet(
+        spark,
+        deduped,
+        "dedup_within_watermark",
+        output_mode="append",
+        sf_dir=sf_dir,
+    )

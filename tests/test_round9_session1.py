@@ -95,3 +95,53 @@ def test_tiff_endianness_is_honored():
     be = parse_tiff_features(synthesize_tiff(9, 4, 17, False, 5))
     assert le.pop("is_le") == 1 and be.pop("is_le") == 0
     assert le == be
+
+
+def test_dedup_within_watermark_cross_batch(spark, tmp_path):
+    """Pins the BOUNDED-state semantics of dropDuplicatesWithinWatermark
+    across micro-batches, which the registered query's fixture replay
+    (one availableNow batch, horizon >= span) deliberately never hits:
+    a duplicate inside the horizon is dropped, but once the watermark
+    evicts the key's state, the same key is emitted AGAIN — the exact
+    trade that makes infinite-stream dedup affordable."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ev")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    write_batch([(1, "2024-01-01 00:00:00")])  # first arrival -> emit
+    write_batch([(1, "2024-01-01 00:30:00")])  # dup inside 1h horizon -> drop
+    write_batch([(9, "2024-01-03 00:00:00")])  # jumps the watermark
+    # the watermark computed from a batch takes effect in the NEXT batch,
+    # so a spacer batch lets the jump evict key 1's state...
+    write_batch([(8, "2024-01-03 00:01:00")])
+    # ...and the re-arrival after eviction is emitted AGAIN
+    write_batch([(1, "2024-01-03 00:02:00")])
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    dedup = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ddww_cross_batch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["user_id"]
+        for r in spark.sql("SELECT * FROM t_ddww_cross_batch").collect()
+    )
+    assert got == [1, 1, 8, 9], got
