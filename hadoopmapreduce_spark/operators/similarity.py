@@ -851,15 +851,10 @@ def _pq_oracle() -> str:
         SELECT e.vec_id, cb.s, cb.l,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id, cb.s
-                 ORDER BY (list_dot_product(
-                             list_slice(e.v, cb.s * {PQ_DS} + 1,
-                                        cb.s * {PQ_DS} + {PQ_DS}),
-                             list_slice(e.v, cb.s * {PQ_DS} + 1,
-                                        cb.s * {PQ_DS} + {PQ_DS}))
-                           - 2 * list_dot_product(
-                               list_slice(e.v, cb.s * {PQ_DS} + 1,
-                                          cb.s * {PQ_DS} + {PQ_DS}), cb.c))
-                          + cb.dcc ASC, cb.l ASC) AS rk
+                 ORDER BY cb.dcc - 2 * list_dot_product(
+                            list_slice(e.v, cb.s * {PQ_DS} + 1,
+                                       cb.s * {PQ_DS} + {PQ_DS}), cb.c)
+                          ASC, cb.l ASC) AS rk
         FROM e CROSS JOIN cbn cb) t
       WHERE rk = 1),
     q AS (SELECT vec_id AS query_id, v AS qv,
@@ -945,30 +940,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("s", "cws"))).alias("cbs"))
     )
 
-    def subdist(sb, cw):
-        vs = _sub(F.col("v"), sb["s"])
-        return (
-            _dot(vs, vs) - F.lit(2.0) * _dot(vs, cw["c"])
-        ) + cw["dcc"]
-
-    codes = F.transform(
+    # argmin_l ||v_s - c||² drops the codeword-constant ||v_s||² term:
+    # rank by dcc - 2·<v_s, c> (ONE parenthesization, mirrored in the SQL
+    # twin).  Each score is computed exactly once (transform), then a
+    # strictly-less fold picks the first minimum — (d ASC, l ASC), the
+    # oracle's ROW_NUMBER order.
+    vsubs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.slice(F.col("v"), s * PQ_DS + 1, PQ_DS),
+    )
+    codes = F.zip_with(
         F.col("cbs"),
-        lambda sb: F.aggregate(
-            sb["cws"],
+        F.col("vsubs"),
+        lambda sb, vs: F.aggregate(
+            F.transform(
+                sb["cws"],
+                lambda cw: F.struct(
+                    (cw["dcc"] - F.lit(2.0) * _dot(vs, cw["c"])).alias(
+                        "d"
+                    ),
+                    cw["l"].alias("l"),
+                ),
+            ),
             F.struct(
                 F.lit(float("inf")).alias("d"),
                 F.lit(-1).cast("int").alias("l"),
             ),
-            lambda acc, cw: F.when(
-                subdist(sb, cw) < acc["d"],
-                F.struct(
-                    subdist(sb, cw).alias("d"), cw["l"].alias("l")
-                ),
-            ).otherwise(acc),
+            lambda acc, sc: F.when(sc["d"] < acc["d"], sc).otherwise(acc),
         )["l"],
     )
     enc_long = (
         n.crossJoin(F.broadcast(cb1))
+        .withColumn("vsubs", vsubs)
         .select("vec_id", codes.alias("codes"))
         .select("vec_id", F.posexplode("codes").alias("s", "code"))
     )

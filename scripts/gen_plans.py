@@ -96,6 +96,13 @@ HEADLINERS = [
     ("incremental_join_maintenance", "bilinear delta rule: four join terms, customer side broadcast in each, one final segment aggregate"),
     ("mm_image_resize_nn", "decode+resize: one pruned scan into mapInPandas — shuffle-free"),
     ("image_jpeg_probe_features", "JPEG marker walk + scan unstuffing: one pruned scan into mapInPandas — shuffle-free"),
+    # round-9 additions
+    ("dedup_semantic_eval", "SemDeDup audit: cluster-size aggregate (no pair materialization) + kernel hit sum + block-paired exact referee"),
+    ("ann_pq_topk", "PQ ANN: in-row encode against a 1-row broadcast codebook, LUT equi-join + pivoted ADC adds, bounded shortlist + exact re-rank"),
+    ("ts_acf_lags", "ACF: one day-grain shuffle, then broadcast stats/lag-spine + self-equi-join on the bounded daily table"),
+    ("image_tiff_exif_probe", "TIFF IFD walk (both byte orders): one pruned scan into mapInPandas — shuffle-free"),
+    ("mm_audio_resample_nn", "decode+resample: one pruned scan into mapInPandas — shuffle-free"),
+    ("streaming_dedup_within_watermark", "watermark-bounded streaming dedup; returned plan scans the append-sink parquet"),
     # round-8: crossed the 1.5 s coverage threshold in the r8 bench run
     ("knn_maxsim_multivector", "MaxSim re-rank: broadcast probe sub-vector bag, map-side per-(q,d,qsub) max, fixed-order sum — pair fan-out linear in corpus"),
     ("maintenance_compact_roundtrip", "small-file compaction: coalesce rewrite (narrow, no shuffle); returned plan scans the compacted files"),
