@@ -3226,3 +3226,93 @@ def bilinear_join_view(
         .unionByName(term(a_new, b_old))   # dA |><| B_old
         .unionByName(term(a_new, b_new))   # dA |><| dB
     )
+
+
+# --------------------------------------------------------------------------
+# privacy: k-anonymity / l-diversity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+KANON_K = 10  # the disclosure-risk threshold the audit reports against
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS m
+      FROM customer GROUP BY 1, 2),
+    ka AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n_customers,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(m) AS BIGINT) AS k_anonymity,
+             CAST(SUM(CASE WHEN m < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+             CAST(COALESCE(SUM(CASE WHEN m < {KANON_K} THEN m END), 0)
+                  AS BIGINT) AS rows_below_k
+      FROM cls),
+    ld AS (
+      SELECT CAST(MIN(l) AS BIGINT) AS l_diversity FROM (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               COUNT(DISTINCT o.o_orderpriority) AS l
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2) t)
+    SELECT n_customers, n_classes, k_anonymity, classes_below_k,
+           rows_below_k,
+           CAST(rows_below_k * 1000000 // n_customers AS BIGINT)
+             AS suppression_ppm,
+           l_diversity
+    FROM ka, ld
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the customer table under the quasi-identifier set
+    (nation, market segment): k-anonymity = the smallest equivalence
+    class (an attacker knowing only the QIs can narrow any customer to
+    at least k records), the number/row-mass of classes below the
+    KANON_K threshold (what a suppress-below-k release would drop, in
+    ppm), and l-diversity of the order-priority sensitive attribute
+    within classes (a k-anonymous class is still disclosive if everyone
+    in it shares the sensitive value).  The governance gate a
+    training-data pipeline runs before releasing joined user data —
+    complementing the dq family's uniqueness/completeness audits with
+    the disclosure-risk axis.
+
+    All-integer counting (exact distinct per class), so cross-engine
+    exact.  One QI-keyed aggregate over each side: class count is
+    bounded by the QI domain, the distinct-agg is the same Expand shape
+    as dq_uniqueness_audit.  l-diversity is measured over classes that
+    HAVE orders (inner join) — an empty class has no sensitive values
+    to diversify; k-anonymity counts every class."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    ka = cls.agg(
+        F.sum("m").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("m").alias("k_anonymity"),
+        F.sum(F.when(F.col("m") < KANON_K, 1).otherwise(0)).alias(
+            "classes_below_k"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("m") < KANON_K, F.col("m"))), F.lit(0)
+        ).alias("rows_below_k"),
+    )
+    ld = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count_distinct("o_orderpriority").alias("l"))
+        .agg(F.min("l").alias("l_diversity"))
+    )
+    return ka.crossJoin(ld).select(
+        "n_customers",
+        "n_classes",
+        "k_anonymity",
+        "classes_below_k",
+        "rows_below_k",
+        F.expr("rows_below_k * 1000000 div n_customers").alias(
+            "suppression_ppm"
+        ),
+        "l_diversity",
+    )

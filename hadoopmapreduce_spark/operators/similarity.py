@@ -1047,3 +1047,143 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# distributed power iteration: dominant principal direction of the
+# (uncentered) embedding Gram matrix — iterative numerical linear algebra
+# --------------------------------------------------------------------------
+
+PI_ITERS = 6  # fixed unrolled iterations; each is ONE corpus scan
+PI_Q30 = 1073741824  # 2^30 binary grid for the matvec accumulation
+
+
+def _pi_oracle() -> str:
+    """Unrolled power-iteration twin: the same exact-arithmetic trajectory
+    as the Spark loop — per-row double dot (list_dot_product order),
+    binary-grid int64 matvec accumulation, power-of-two renormalization
+    via length(bin(max))−1 and an exact 1<<sh division (the
+    ts_linear_trend / floor-log2 recipes; no libm anywhere)."""
+    x0 = "[" + ", ".join(["1.0"] + ["0.0"] * (EMBED_DIM - 1)) + "]"
+    # every CTE is MATERIALIZED: DuckDB inlines single-use CTEs, and the
+    # two references per level (m_t and x_t both read y_t; d_{t+1} reads
+    # x_t as a scalar subquery) would otherwise re-execute the whole
+    # upstream chain — ~16x per unrolled level, 300+ s at 6 iterations.
+    # Materialization makes the unroll linear (0.1 s).
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"x0 AS MATERIALIZED (SELECT CAST({x0} AS DOUBLE[]) AS xv)",
+    ]
+    for t in range(1, PI_ITERS + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT v, list_dot_product(v,"
+            f" (SELECT xv FROM x{t - 1})) AS d FROM e)"
+        )
+        ctes.append(
+            f"y{t} AS MATERIALIZED (SELECT r.dim AS j,"
+            f" CAST(SUM(CAST(round(v[r.dim]"
+            f" * d * {PI_Q30}) AS BIGINT)) AS BIGINT) AS yi"
+            f" FROM d{t}, UNNEST(range(1, {EMBED_DIM} + 1)) AS r(dim)"
+            " GROUP BY 1)"
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT length(bin(MAX(abs(yi)))) - 1"
+            f" AS sh FROM y{t})"
+        )
+        if t < PI_ITERS:
+            ctes.append(
+                f"x{t} AS MATERIALIZED (SELECT list(CAST(yi AS DOUBLE)"
+                f" / CAST(1::BIGINT << (SELECT sh FROM m{t}) AS DOUBLE)"
+                f" ORDER BY j) AS xv FROM y{t})"
+            )
+    last = PI_ITERS
+    return (
+        "\n    WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(j AS INT) AS dim,
+           CAST(yi AS DOUBLE)
+             / CAST(1::BIGINT << (SELECT sh FROM m{last}) AS DOUBLE)
+             AS loading,
+           yi AS y_int
+    FROM y{last}
+    """
+    )
+
+
+@query("embedding_top_component", oracle=_pi_oracle())
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by distributed
+    POWER ITERATION on the uncentered Gram matrix A = Σ v·vᵀ — the
+    numerical-linear-algebra primitive behind PCA whitening, spectral
+    embedding-drift monitors, and OPQ-style rotation seeding.  x_{t+1} =
+    normalize(A·x_t), unrolled PI_ITERS times; A is never materialized
+    (d = 64² doubles would be fine, but the matvec-against-the-corpus
+    form is the one that scales to billions of rows and any d).
+
+    Engine determinism (every prior recipe composed): the per-row dot
+    v·x is the in-row sequential fold (bit-identical to
+    list_dot_product); the across-rows matvec accumulation quantizes
+    each per-row term v_j·d onto the 2^30 binary grid and sums exact
+    int64 (order-independent — the embedding_label_centroids recipe, and
+    the ONLY place rows mix); renormalization divides by a power of two
+    chosen as length(bin(max|y|))−1 (exact in both engines, no sqrt/libm
+    in the loop), keeping x in (−2, 2] with every coordinate an exact
+    dyadic rational.  The oracle unrolls the identical trajectory in
+    chained CTEs (the minhash-oracle precedent).
+
+    Returns one row per dimension: (dim, loading, y_int) — the
+    normalized component and the final integer matvec image (λ·x up to
+    the known scales, so the Rayleigh eigenvalue is recoverable).
+
+    Scale shape: each iteration is ONE linear corpus scan (in-row dot →
+    posexplode → 64-key hash agg with map-side partial sums) plus a
+    64-row driver collect — bounded model state, the IVF/k-center loop
+    discipline.  Integer headroom: |y_int| ≤ N·|v|·|d|·2^30 ≈ N·2^37,
+    int64-safe to ~30M rows; past that, raise the renormalization to
+    bound |d| or shard the grid (ANSI fails loudly, never wraps)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(F.col("embedding"), lambda c: c.cast("double")).alias(
+            "v"
+        )
+    )
+    x, y = power_iteration_loop(e, EMBED_DIM, PI_ITERS)
+    return spark.createDataFrame(
+        [(j, x[j - 1], y.get(j, 0)) for j in range(1, EMBED_DIM + 1)],
+        schema="dim int, loading double, y_int long",
+    )
+
+
+def power_iteration_loop(
+    e: DataFrame, dim: int, iters: int
+) -> tuple[list[float], dict[int, int]]:
+    """The power-iteration recursion over any (v double[dim]) relation —
+    factored so tests can drive it on synthetic spectra (the fixture's
+    near-flat spectrum, gap λ1/λ2 ≈ 1.07, cannot demonstrate
+    convergence in bounded iterations; a dominant-direction input can).
+    Returns the final normalized x (list, 0-based) and the last integer
+    matvec image y (dict keyed 1..dim).  Property-tested against a
+    pure-Python referee of the SAME quantized recursion."""
+    x = [1.0] + [0.0] * (dim - 1)
+    y: dict[int, int] = {}
+    for _ in range(iters):
+        xlit = F.array(*[F.lit(val) for val in x])
+        d = _dot(F.col("v"), xlit)
+        rows = (
+            e.select(d.alias("d"), F.posexplode("v").alias("j0", "vj"))
+            .select(
+                (F.col("j0") + 1).alias("j"),
+                F.round(
+                    F.col("vj") * F.col("d") * F.lit(float(PI_Q30))
+                )
+                .cast("long")
+                .alias("qv"),
+            )
+            .groupBy("j")
+            .agg(F.sum("qv").alias("yi"))
+            .collect()  # bounded: dim rows of model state
+        )
+        y = {r["j"]: int(r["yi"]) for r in rows}
+        m = max(abs(v) for v in y.values())
+        sh = max(m.bit_length() - 1, 0)
+        x = [float(y.get(j, 0)) / float(2**sh) for j in range(1, dim + 1)]
+    return x, y

@@ -101,12 +101,16 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
-# OUTSIDE this round's 50-slot window.  Empty at round-9 start: the r8
-# window reached 100% driver coverage of the registry, so the r9 window
-# is registrations + pure rotation.  Mid-round round-9 registrations that
-# do not fit the window land here (tests/test_parity.py enforces every
-# never-checked query is in exactly one of the two lists).
-ADJUDICATION_DEFERRED: tuple[str, ...] = ()
+# OUTSIDE this round's 50-slot window.  Mid-round round-9 registrations
+# that did not fit the window land here and FRONT the round-10 window
+# (tests/test_parity.py enforces every never-checked query is in exactly
+# one of the two lists).  The first six r9 registrations took the window
+# slots; these two arrived later and defer rather than displace the
+# VERDICT-r8-mandated rotation picks (the round-7 precedent).
+ADJUDICATION_DEFERRED: tuple[str, ...] = (
+    "dq_k_anonymity",
+    "embedding_top_component",
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

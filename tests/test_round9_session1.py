@@ -145,3 +145,112 @@ def test_dedup_within_watermark_cross_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_ddww_cross_batch").collect()
     )
     assert got == [1, 1, 8, 9], got
+
+
+def _pi_python_referee(V, iters):
+    """Pure-Python twin of power_iteration_loop's quantized recursion."""
+    dim = len(V[0])
+    x = [1.0] + [0.0] * (dim - 1)
+    y = {}
+    for _ in range(iters):
+        y = {j: 0 for j in range(1, dim + 1)}
+        for row in V:
+            d = 0.0
+            for a, b in zip(row, x):  # sequential fold, fixture order
+                d += a * b
+            for j in range(1, dim + 1):
+                q = row[j - 1] * d * 1073741824.0
+                # round-half-away-from-zero, like Spark/DuckDB round()
+                import math
+
+                y[j] += int(
+                    math.floor(q + 0.5) if q >= 0 else math.ceil(q - 0.5)
+                )
+        m = max(abs(v) for v in y.values())
+        sh = max(m.bit_length() - 1, 0)
+        x = [float(y[j]) / float(2**sh) for j in range(1, dim + 1)]
+    return x, y
+
+
+def test_power_iteration_matches_python_referee(spark):
+    """The distributed quantized recursion must equal a pure-Python
+    walk of the same arithmetic, bit for bit, on a hand-made corpus —
+    partitioning cannot matter because rows only ever mix through the
+    exact int64 grid sums."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.operators.similarity import (
+        power_iteration_loop,
+    )
+
+    V = [
+        [0.25, -0.5, 0.125, 1.0],
+        [0.75, 0.25, -0.25, 0.0625],
+        [-0.3, 0.9, 0.7, -0.2],
+        [0.01, 0.02, -0.4, 0.6],
+        [1.1, -0.05, 0.33, 0.47],
+    ]
+    e = spark.createDataFrame(
+        [(r,) for r in V], "v array<double>"
+    ).repartition(3)
+    got_x, got_y = power_iteration_loop(e, 4, 5)
+    exp_x, exp_y = _pi_python_referee(V, 5)
+    assert got_y == exp_y
+    assert got_x == exp_x  # exact: every coordinate a dyadic rational
+
+
+def test_power_iteration_converges_on_dominant_direction(spark):
+    """On a corpus WITH a dominant direction (the fixture's spectrum is
+    near-flat, gap ~1.07, deliberately not used here), six iterations
+    must align with numpy's top eigenvector of the Gram matrix."""
+    import numpy as np
+
+    from hadoopmapreduce_spark.operators.similarity import (
+        power_iteration_loop,
+    )
+
+    rng_free = []  # deterministic synthetic: u + small structured noise
+    dim = 8
+    u = np.array([1.0, 0.5, -0.25, 0.125, 0.75, -0.5, 0.3, 0.9])
+    for i in range(40):
+        noise = np.array(
+            [(((i * 7 + j * 13) % 11) - 5) / 50.0 for j in range(dim)]
+        )
+        rng_free.append((u * (1 + (i % 3) * 0.1) + noise).tolist())
+    e = spark.createDataFrame([(r,) for r in rng_free], "v array<double>")
+    x, _ = power_iteration_loop(e, dim, 6)
+    V = np.array(rng_free)
+    w, vec = np.linalg.eigh(V.T @ V)
+    top = vec[:, -1]
+    xa = np.array(x)
+    cos = abs(float(np.dot(xa, top))) / (
+        float(np.linalg.norm(xa)) * float(np.linalg.norm(top))
+    )
+    assert w[-1] / w[-2] > 5, "synthetic spectrum must be dominant"
+    assert cos > 0.999, cos
+
+
+def test_k_anonymity_math_on_handmade_frame(spark, sf_dir):
+    """Suppression accounting and l-diversity pinned on the fixture: the
+    class histogram recomputed driver-side must reproduce every output
+    column (the oracle proves cross-engine parity; this proves the
+    SEMANTICS against an independent derivation)."""
+    from collections import Counter
+
+    from hadoopmapreduce_spark import registry
+    from hadoopmapreduce_spark.catalog import load_table
+
+    registry.load_all()
+    row = registry.QUERIES["dq_k_anonymity"](spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    ).collect()
+    classes = Counter((r["c_nationkey"], r["c_mktsegment"]) for r in cust)
+    k = 10
+    assert row["n_customers"] == len(cust)
+    assert row["n_classes"] == len(classes)
+    assert row["k_anonymity"] == min(classes.values())
+    assert row["classes_below_k"] == sum(1 for m in classes.values() if m < k)
+    below = sum(m for m in classes.values() if m < k)
+    assert row["rows_below_k"] == below
+    assert row["suppression_ppm"] == below * 1_000_000 // len(cust)
