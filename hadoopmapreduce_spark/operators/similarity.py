@@ -1165,25 +1165,46 @@ def power_iteration_loop(
     pure-Python referee of the SAME quantized recursion."""
     x = [1.0] + [0.0] * (dim - 1)
     y: dict[int, int] = {}
-    for _ in range(iters):
-        xlit = F.array(*[F.lit(val) for val in x])
-        d = _dot(F.col("v"), xlit)
-        rows = (
-            e.select(d.alias("d"), F.posexplode("v").alias("j0", "vj"))
-            .select(
-                (F.col("j0") + 1).alias("j"),
-                F.round(
-                    F.col("vj") * F.col("d") * F.lit(float(PI_Q30))
+    # one resident copy of the corpus for all iterations: each step would
+    # otherwise re-run the scan+cast pipeline (6x the dominant cost at
+    # sf0.1, 5.4s -> ~2s).  Plain cache() is CORRECT here unlike in
+    # functions/ranks.py: recomputation of an evicted block reproduces
+    # identical deterministic values, and each iteration's result crosses
+    # to the driver as exact integers — nothing depends on block identity.
+    cached = e.cache()
+    try:
+        for _ in range(iters):
+            xlit = F.array(*[F.lit(val) for val in x])
+            d = _dot(F.col("v"), xlit)
+            # matvec via posexplode + dim-keyed hash agg.  An ungrouped
+            # 64-sum-column formulation was tried and is 1.7x SLOWER:
+            # the optimizer collapses the projection into the aggregate,
+            # duplicating the transform lambda per column (giant plan,
+            # codegen blowup).  The remaining per-iteration cost is
+            # fixed job/stage overhead, which vanishes at scale.
+            rows = (
+                cached.select(
+                    d.alias("d"), F.posexplode("v").alias("j0", "vj")
                 )
-                .cast("long")
-                .alias("qv"),
+                .select(
+                    (F.col("j0") + 1).alias("j"),
+                    F.round(
+                        F.col("vj") * F.col("d") * F.lit(float(PI_Q30))
+                    )
+                    .cast("long")
+                    .alias("qv"),
+                )
+                .groupBy("j")
+                .agg(F.sum("qv").alias("yi"))
+                .collect()  # bounded: dim rows of model state
             )
-            .groupBy("j")
-            .agg(F.sum("qv").alias("yi"))
-            .collect()  # bounded: dim rows of model state
-        )
-        y = {r["j"]: int(r["yi"]) for r in rows}
-        m = max(abs(v) for v in y.values())
-        sh = max(m.bit_length() - 1, 0)
-        x = [float(y.get(j, 0)) / float(2**sh) for j in range(1, dim + 1)]
+            y = {r["j"]: int(r["yi"]) for r in rows}
+            m = max(abs(v) for v in y.values())
+            sh = max(m.bit_length() - 1, 0)
+            x = [
+                float(y.get(j, 0)) / float(2**sh)
+                for j in range(1, dim + 1)
+            ]
+    finally:
+        cached.unpersist(blocking=False)
     return x, y

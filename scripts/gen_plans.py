@@ -103,6 +103,7 @@ HEADLINERS = [
     ("image_tiff_exif_probe", "TIFF IFD walk (both byte orders): one pruned scan into mapInPandas — shuffle-free"),
     ("mm_audio_resample_nn", "decode+resample: one pruned scan into mapInPandas — shuffle-free"),
     ("streaming_dedup_within_watermark", "watermark-bounded streaming dedup; returned plan scans the append-sink parquet"),
+    ("embedding_top_component", "power iteration: returned plan is the collected 64-row component (LocalTableScan); the per-iteration matvec is scan -> posexplode -> dim-keyed hash agg, cost = fixed job overhead x iterations"),
     # round-8: crossed the 1.5 s coverage threshold in the r8 bench run
     ("knn_maxsim_multivector", "MaxSim re-rank: broadcast probe sub-vector bag, map-side per-(q,d,qsub) max, fixed-order sum — pair fan-out linear in corpus"),
     ("maintenance_compact_roundtrip", "small-file compaction: coalesce rewrite (narrow, no shuffle); returned plan scans the compacted files"),
