@@ -1079,3 +1079,100 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential) over monthly revenue
+# --------------------------------------------------------------------------
+#
+# alpha = 1/4 and beta = 1/8 are DYADIC smoothing weights, so the whole
+# recursion stays in exact integer cents: l_t = floordiv(x_t + 3(l+b), 4),
+# b_t = floordiv((l_t - l) + 7b, 8).  Trend terms go NEGATIVE, where
+# Spark's DIV (truncates) and DuckDB's // (floors) diverge — so both
+# dialects floor-divide via the pmod construction (a - pmod(a, m) is an
+# exact multiple of m, making trunc == floor); one Python builder emits
+# both texts so they cannot drift.
+
+
+def _holt_recursion(steps: str, div: str) -> str:
+    def fdiv(a: str, m: int) -> str:
+        return f"(({a}) - (((({a}) % {m}) + {m}) % {m})) {div} {m}"
+
+    lnew = fdiv("s.x + 3 * (h.l + h.b)", 4)
+    bnew = fdiv(f"(({lnew}) - h.l) + 7 * h.b", 8)
+    return f"""
+    holt (rk, m, x, l, b) AS (
+      SELECT rk, m, x, x, COALESCE(x2 - x, 0) FROM {steps} WHERE rk = 1
+      UNION ALL
+      SELECT s.rk, s.m, s.x, {lnew}, {bnew}
+      FROM holt h JOIN {steps} s ON s.rk = h.rk + 1
+    )
+    SELECT CAST(rk AS INT) AS month_index,
+           CAST(m AS BIGINT) AS m,
+           CAST(x AS BIGINT) AS rev_cents,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + b AS BIGINT) AS forecast_next_cents
+    FROM holt"""
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE
+    monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    steps AS (
+      SELECT m, x,
+             ROW_NUMBER() OVER (ORDER BY m) AS rk,
+             LEAD(x) OVER (ORDER BY m) AS x2
+      FROM monthly),
+    {_holt_recursion("steps", "//")}
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of monthly
+    revenue — the forecasting primitive between ``ewma_user_value``
+    (level only) and ``ts_linear_trend`` (one global OLS line): a
+    recursive level+trend state with init l_1 = x_1, b_1 = x_2 − x_1,
+    emitting per month the smoothed level, trend, and the one-step-ahead
+    forecast l+b made at that month.
+
+    Engine determinism: the smoothing weights are dyadic (α=1/4, β=1/8),
+    so the recursion is exact integer arithmetic in cents; because trend
+    terms go negative, both engines floor-divide via the pmod
+    construction (Spark's DIV truncates, DuckDB's // floors — they agree
+    only on exact multiples, which a − pmod(a, m) guarantees).  One
+    builder (`_holt_recursion`) emits both dialect texts.
+
+    Scale shape: the heavy work is the monthly integer-cents aggregate
+    (one shuffle with map-side partials); the recursion walks an
+    eagerly-checkpointed ≤84-row month table, one-row join per step —
+    the ``ts_survival_km`` recipe, including the per-call unique view
+    name.  The inherently sequential part is bounded by the calendar,
+    never by data volume."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x")
+    )
+    # bounded month-grain global window (the ts_seasonal_decompose
+    # exception): ~84 rows at any SF
+    w = Window.orderBy("m")
+    steps = monthly.select(
+        "m",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.lead("x").over(w).alias("x2"),
+    )
+    view = f"holt_steps_{next(_KM_VIEW_SEQ)}"
+    steps.localCheckpoint(eager=True).createOrReplaceTempView(view)
+    return spark.sql("WITH RECURSIVE " + _holt_recursion(view, "DIV"))

@@ -110,6 +110,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "dq_k_anonymity",
     "embedding_top_component",
+    "ts_holt_linear",
 )
 
 

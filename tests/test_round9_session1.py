@@ -254,3 +254,52 @@ def test_k_anonymity_math_on_handmade_frame(spark, sf_dir):
     below = sum(m for m in classes.values() if m < k)
     assert row["rows_below_k"] == below
     assert row["suppression_ppm"] == below * 1_000_000 // len(cust)
+
+
+def test_holt_recursion_floor_div_on_negative_trend(spark):
+    """A strictly DECREASING series drives the trend state negative —
+    exactly where Spark's trunc-DIV and DuckDB's floor-// diverge; the
+    pmod floor-div construction must make both walk the same integer
+    trajectory as a pure-Python floor-div referee."""
+    import duckdb
+
+    from hadoopmapreduce_spark.operators.timeseries import _holt_recursion
+
+    xs = [1000, 850, 700, 640, 300, 210, 95, 40]
+    rows = [(i + 1, i + 1, xs[i], xs[i + 1] if i + 1 < len(xs) else None)
+            for i in range(len(xs))]
+
+    # python referee: floor division via //
+    l, b = xs[0], xs[1] - xs[0]
+    expect = [(1, xs[0], l, b)]
+    for rk in range(2, len(xs) + 1):
+        x = xs[rk - 1]
+        l_new = (x + 3 * (l + b)) // 4
+        b = ((l_new - l) + 7 * b) // 8
+        l = l_new
+        expect.append((rk, x, l, b))
+    assert any(bb < 0 for _, _, _, bb in expect), "fixture must go negative"
+
+    spark.createDataFrame(
+        rows, "rk int, m long, x long, x2 long"
+    ).createOrReplaceTempView("t_holt_steps")
+    got_spark = {
+        r["month_index"]: (r["rev_cents"], r["level_cents"], r["trend_cents"])
+        for r in spark.sql(
+            "WITH RECURSIVE " + _holt_recursion("t_holt_steps", "DIV")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t_holt_steps(rk INT, m BIGINT, x BIGINT, x2 BIGINT)"
+    )
+    con.executemany("INSERT INTO t_holt_steps VALUES (?, ?, ?, ?)", rows)
+    got_duck = {
+        r[0]: (r[2], r[3], r[4])
+        for r in con.sql(
+            "WITH RECURSIVE " + _holt_recursion("t_holt_steps", "//")
+        ).fetchall()
+    }
+    for rk, x, l_e, b_e in expect:
+        assert got_spark[rk] == (x, l_e, b_e), (rk, got_spark[rk])
+        assert got_duck[rk] == (x, l_e, b_e), (rk, got_duck[rk])
