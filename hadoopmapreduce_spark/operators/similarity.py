@@ -908,72 +908,77 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin: the closed-form codebook (exact binary-grid label-centroid
     subslices) makes encode/LUT/ADC/shortlist/re-rank reproducible
     bit-for-bit in DuckDB.  Cross-engine exactness: every subvector dot
-    is the sequential fold both engines share; the squared-L2 encode
-    distance uses one parenthesization ``(dxx - 2*dxc) + dcc``; the ADC
-    sum pivots the PQ_M partial dots to columns and adds them in literal
-    order (the MaxSim recipe) — never a float groupBy sum; all argmin/
-    argmax selections carry total tie-breaks (code ASC, vec_id ASC,
-    neighbor_id ASC).
+    accumulates in the sequential element order both engines share
+    (dimension-major in the encode kernel — the ``embedding_near_dup``
+    recipe); the encode distance uses one parenthesization
+    ``dcc - 2*dxc``; the ADC sum pivots the PQ_M partial dots to columns
+    and adds them in literal order (the MaxSim recipe) — never a float
+    groupBy sum; all argmin/argmax selections carry total tie-breaks
+    (np.argmin's first-minimum over the label-ascending axis == the
+    oracle's d ASC, l ASC; vec_id ASC; neighbor_id ASC).
 
-    Scale shape: encoding is one linear scan against a broadcast 1-row
-    codebook array (in-row strictly-less fold per subspace — zero
-    corpus-side shuffle, the ``dedup_semantic_clustered`` assignment
-    idiom); the stored index is 8 ints per vector (8× smaller than the
-    raw floats, the point of PQ); per-query cost is a PQ_M-element
-    LUT-join + bounded window; the exact re-rank touches only
-    |Q|·PQ_SHORTLIST full vectors.  At 100 TB: codebooks train on a
-    sample via the IVF mini-KMeans, codes persist as a column, and the
-    ADC scan composes with the IVF cell filter (IVFADC)."""
+    Scale shape: encoding is one shuffle-free Arrow-batched linear scan
+    against the driver-collected bounded codebook (PQ_M·|codewords|
+    rows of model state); the stored index is 8 ints per vector (8×
+    smaller than the raw floats, the point of PQ); per-query cost is a
+    PQ_M-element LUT-join + bounded window; the exact re-rank touches
+    only |Q|·PQ_SHORTLIST full vectors.  At 100 TB: codebooks train on
+    a sample via the IVF mini-KMeans, codes persist as a column, and
+    the ADC scan composes with the IVF cell filter (IVFADC)."""
     from functools import reduce
+
+    import numpy as np
+    import pandas as pd
 
     n = _embeddings(spark, sf_dir)
     cb = _pq_codebook(spark, sf_dir)
 
-    # 1-row broadcast: array over s (asc) of (s, cws: array over l (asc))
-    cb1 = (
-        cb.groupBy("s")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("l", "c", "dcc"))).alias(
-                "cws"
-            )
-        )
-        .agg(F.sort_array(F.collect_list(F.struct("s", "cws"))).alias("cbs"))
-    )
-
     # argmin_l ||v_s - c||² drops the codeword-constant ||v_s||² term:
     # rank by dcc - 2·<v_s, c> (ONE parenthesization, mirrored in the SQL
-    # twin).  Each score is computed exactly once (transform), then a
-    # strictly-less fold picks the first minimum — (d ASC, l ASC), the
-    # oracle's ROW_NUMBER order.
-    vsubs = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda s: F.slice(F.col("v"), s * PQ_DS + 1, PQ_DS),
-    )
-    codes = F.zip_with(
-        F.col("cbs"),
-        F.col("vsubs"),
-        lambda sb, vs: F.aggregate(
-            F.transform(
-                sb["cws"],
-                lambda cw: F.struct(
-                    (cw["dcc"] - F.lit(2.0) * _dot(vs, cw["c"])).alias(
-                        "d"
+    # twin).  Encoding runs as a shuffle-free Arrow-batched kernel
+    # against the driver-collected codebook (PQ_M x |codewords| rows —
+    # bounded model state): the subspace dot accumulates DIMENSION-MAJOR
+    # (acc += Vs[:,k]·C[:,k], list_dot_product's element order — the
+    # embedding_near_dup recipe), so every distance is the bit-identical
+    # double the SQL twin computes, and np.argmin's first-minimum rule
+    # over the label-ascending codeword axis is exactly the oracle's
+    # (d ASC, l ASC) ROW_NUMBER order.  The first draft ranked with an
+    # interpreted in-row HOF fold — 40 codewords x 8 subspaces of
+    # per-element lambda evaluation, ~2 s at sf0.1 vs ~0.2 s vectorized.
+    cbrows = sorted(cb.collect(), key=lambda r: (r["s"], r["l"]))
+    labels = sorted({int(r["l"]) for r in cbrows})
+    lab_arr = np.array(labels, dtype=np.int64)
+    C = np.zeros((PQ_M, len(labels), PQ_DS))
+    DCC = np.zeros((PQ_M, len(labels)))
+    lpos = {l: i for i, l in enumerate(labels)}
+    for r in cbrows:
+        C[int(r["s"]), lpos[int(r["l"])]] = np.array(r["c"])
+        DCC[int(r["s"]), lpos[int(r["l"])]] = r["dcc"]
+
+    def encode_kernel(it):
+        for pdf in it:
+            V = np.stack(pdf["v"].to_numpy())  # (m, EMBED_DIM)
+            m = len(V)
+            codes = np.empty((m, PQ_M), dtype=np.int64)
+            for sp in range(PQ_M):
+                vs = V[:, sp * PQ_DS : (sp + 1) * PQ_DS]
+                acc = np.zeros((m, len(labels)))
+                for k in range(PQ_DS):  # dimension-major: fold order
+                    acc += vs[:, k : k + 1] * C[sp, None, :, k]
+                d = DCC[sp][None, :] - 2.0 * acc
+                codes[:, sp] = lab_arr[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "s": np.tile(
+                        np.arange(PQ_M, dtype=np.int32), m
                     ),
-                    cw["l"].alias("l"),
-                ),
-            ),
-            F.struct(
-                F.lit(float("inf")).alias("d"),
-                F.lit(-1).cast("int").alias("l"),
-            ),
-            lambda acc, sc: F.when(sc["d"] < acc["d"], sc).otherwise(acc),
-        )["l"],
-    )
-    enc_long = (
-        n.crossJoin(F.broadcast(cb1))
-        .withColumn("vsubs", vsubs)
-        .select("vec_id", codes.alias("codes"))
-        .select("vec_id", F.posexplode("codes").alias("s", "code"))
+                    "code": codes.reshape(-1).astype(np.int32),
+                }
+            )
+
+    enc_long = n.select("vec_id", "v").mapInPandas(
+        encode_kernel, schema="vec_id long, s int, code int"
     )
 
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
