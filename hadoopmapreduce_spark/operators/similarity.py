@@ -1179,6 +1179,10 @@ def power_iteration_loop(
     cached = e.cache()
     try:
         for _ in range(iters):
+            # x rides in as 64 literals; a broadcast 1-row-table variant
+            # (hoping to hit the codegen cache across iterations) was
+            # measured 1.6x SLOWER — the per-iteration BroadcastExchange
+            # + local-table job outweighs the recompile it avoids
             xlit = F.array(*[F.lit(val) for val in x])
             d = _dot(F.col("v"), xlit)
             # matvec via posexplode + dim-keyed hash agg.  An ungrouped
