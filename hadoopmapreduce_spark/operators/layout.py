@@ -818,3 +818,102 @@ def maintenance_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_purchases").cast("long").alias("n_purchases"),
         F.sum("s").cast("decimal(28,6)").cast("double").alias("total_value"),
     )
+
+
+# --- fixed-width text source (mainframe-extract shape) ---------------------
+
+# byte layout of the synthesized extract: COLUMN, width, justification.
+# numerics right-justified space-padded, strings left-justified — the
+# classic COBOL copybook convention both the writer and reader share.
+FW_LAYOUT = (
+    ("o_orderkey", 12, ">"),
+    ("o_orderstatus", 1, "<"),
+    ("cents", 14, ">"),
+    ("o_orderdate", 10, "<"),
+    ("o_orderpriority", 15, "<"),
+)
+
+
+@query(
+    "scan_fixed_width_source",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def scan_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source round trip — the mainframe/COBOL-extract
+    format no built-in Spark source reads: sink orders as fixed-byte-
+    offset lines (format_string with the FW_LAYOUT widths — numerics
+    right-justified, strings left-justified), then re-read with
+    ``spark.read.text`` + pure-codegen ``substring``/``trim``/casts as
+    the schema-on-read projection, filter, and return the parsed rows.
+    The oracle reads the pristine table, so the driver hash proves
+    parse(format(row)) == row — the lossless-round-trip contract, the
+    ``sink_textkv`` discipline for a second legacy text format.
+
+    Scale shape: writer and reader are both one narrow scan (no
+    shuffle); the reader's substring projection is whole-stage codegen
+    over a text source with fixed record offsets — the layout that lets
+    a 100 TB extract split by byte ranges, since every line is exactly
+    Σwidths bytes (plan-pinned: no Python workers).  Money rides as
+    integer cents (the engine-portable recipe); dates as ISO strings."""
+    tmp = os.path.join(work_dir("fixedwidth", sf_dir), "orders_fw")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        "o_orderpriority",
+    )
+    fmt = "".join(
+        f"%{w}s" if j == ">" else f"%-{w}s" for _, w, j in FW_LAYOUT
+    )
+    total_w = sum(w for _, w, _j in FW_LAYOUT)
+    lines = o.select(
+        F.format_string(
+            fmt,
+            F.col("o_orderkey").cast("string"),
+            "o_orderstatus",
+            F.col("cents").cast("string"),
+            "d",
+            "o_orderpriority",
+        ).alias("value")
+    ).select(
+        # format_string PADS but never TRUNCATES: a value wider than its
+        # field would silently shift every later offset on that line —
+        # fail loudly instead (the textkv writer-contract discipline)
+        F.when(
+            F.length("value") == total_w, F.col("value")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fixed-width field overflow; line length "
+                    ),
+                    F.length("value").cast("string"),
+                    F.lit(f" != {total_w}"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(tmp)
+
+    pos, cols = 1, []
+    for name, w, _j in FW_LAYOUT:
+        cols.append(F.trim(F.substring(F.col("value"), pos, w)).alias(name))
+        pos += w
+    back = spark.read.text(tmp).select(*cols)
+    return back.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("o_orderdate").alias("order_date"),
+        "o_orderpriority",
+    )

@@ -111,6 +111,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "dq_k_anonymity",
     "embedding_top_component",
     "ts_holt_linear",
+    "scan_fixed_width_source",
 )
 
 

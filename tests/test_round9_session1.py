@@ -303,3 +303,48 @@ def test_holt_recursion_floor_div_on_negative_trend(spark):
     for rk, x, l_e, b_e in expect:
         assert got_spark[rk] == (x, l_e, b_e), (rk, got_spark[rk])
         assert got_duck[rk] == (x, l_e, b_e), (rk, got_duck[rk])
+
+
+def test_fixed_width_reader_is_codegen_and_writer_guards(spark, sf_dir):
+    """The fixed-width reader must stay whole-stage codegen (no Python
+    workers — byte-offset substring over a text scan), and the writer
+    must REFUSE a value that overflows its field instead of silently
+    shifting every later offset on the line."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException  # noqa: F401
+
+    from hadoopmapreduce_spark.operators.layout import (
+        FW_LAYOUT,
+        scan_fixed_width_source,
+    )
+    from hadoopmapreduce_spark.plans import assert_not_contains
+
+    df = scan_fixed_width_source(spark, sf_dir)
+    assert_not_contains(df, "BatchEvalPython", "ArrowEvalPython")
+    assert df.count() > 0
+
+    # writer guard: a 13-digit key overflows the 12-char field
+    total_w = sum(w for _, w, _ in FW_LAYOUT)
+    fmt = "".join(
+        f"%{w}s" if j == ">" else f"%-{w}s" for _, w, j in FW_LAYOUT
+    )
+    bad = spark.createDataFrame(
+        [(10**13, "F", 123, "1997-01-01", "1-URGENT")],
+        "k long, s string, c long, d string, p string",
+    ).select(
+        F.format_string(
+            fmt,
+            F.col("k").cast("string"),
+            "s",
+            F.col("c").cast("string"),
+            "d",
+            "p",
+        ).alias("value")
+    ).select(
+        F.when(F.length("value") == total_w, F.col("value"))
+        .otherwise(F.raise_error(F.lit("fixed-width field overflow")))
+        .alias("value")
+    )
+    with pytest.raises(Exception, match="fixed-width field overflow"):
+        bad.collect()
