@@ -27,92 +27,83 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round-9 pin (derived from the committed CORRECTNESS_r1..r8 artifacts,
-# hand-ordered per VERDICT r8 ask #1's reworked-code-first priority):
-# slots 1-6 are the round-9 registrations (never-checked, so they outrank
-# rotation; names pinned ahead of registration — ``ordered_queries`` skips
-# any not yet registered); slots 7-12 are the streaming family whose r3
-# verdicts predate the r6-r7 Arrow rework of the sources under them
-# (VERDICT r7 ask #6 / r8 ask #1a); slots 13-16 the [REF] fidelity rows
-# (r2 verdicts; ctr.py/textkv_source.py changed through the r8 CRLF
-# contract); slots 17-27 the r3 dedup/similarity cohort; slots 28-41 the
-# r2 remainder (TPC-H q2-q9/q17-q21 + recursive_date_spine); slots 42-50
-# the oldest-r3-by-name fill.  After this window goes green, 61 stale
-# verdicts drop to 17 (all r3) — the r10 rotation drains them.
-# Queries not named here keep registration order after the pinned prefix —
-# nothing is ever dropped, so verdicts union toward full coverage.
+# Round-10 pin (scripts/repin_window.py over CORRECTNESS_r1..r9, then
+# hand-adjusted per VERDICT r9 ask #1): slots 1-4 are the four r9
+# ADJUDICATION_DEFERRED registrations (never-checked, so they outrank
+# rotation); slots 5-6 reserve the two planned round-10 registrations
+# (names pinned ahead of registration — ``ordered_queries`` skips any not
+# yet registered); slots 7-23 drain the LAST 17 stale r3 verdicts; the
+# remaining slots start the r4 rotation (oldest-by-name).  After this
+# window goes green, every registered query has a verdict and none is
+# older than r4.  Queries not named here keep registration order after
+# the pinned prefix — nothing is ever dropped, so verdicts union toward
+# full coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-9 registrations (never-checked) ---
-    "dedup_semantic_eval",
-    "ann_pq_topk",
-    "mm_audio_resample_nn",
-    "image_tiff_exif_probe",
-    "streaming_dedup_within_watermark",
-    "ts_acf_lags",
-    # --- streaming family: r3 verdicts, sources Arrow-reworked r6-r7 ---
-    "streaming_windowed_counts",
-    "streaming_sliding_counts",
-    "streaming_session_windows",
-    "streaming_distinct_users",
-    "streaming_view_purchase_join",
-    "streaming_stateful_user_totals",
-    # --- [REF] fidelity rows: r2 verdicts, code moved through r8 ---
-    "scan_jsonlines",
-    "scan_textkv_source",
-    "sink_textkv",
-    "tag_by_schema_sniff",
-    # --- r3 dedup/similarity cohort ---
-    "minhash_lsh_dedup",
-    "knn_cosine_topk",
-    "exact_dedup",
-    "exact_dedup_normalized",
-    "embedding_near_dup",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "embedding_label_centroids",
-    "embedding_quantize_int8",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # --- r2 remainder: TPC-H suite + recursive date spine ---
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_part_promotion",
-    "q21_suppliers_kept_waiting",
-    "recursive_date_spine",
-    # --- oldest-r3-by-name fill ---
-    "agg_hll_sketch_union",
-    "agg_median_exact",
-    "contamination_check",
-    "corpus_summary",
-    "doc_chunk_windows",
-    "doc_fingerprint",
-    "doc_repetition_signals",
-    "fn_math_suite",
-    "join_asof_purchase_view",
-)
-
-# Registered queries with NO driver verdict yet that deliberately sit
-# OUTSIDE this round's 50-slot window.  Mid-round round-9 registrations
-# that did not fit the window land here and FRONT the round-10 window
-# (tests/test_parity.py enforces every never-checked query is in exactly
-# one of the two lists).  The first six r9 registrations took the window
-# slots; these two arrived later and defer rather than displace the
-# VERDICT-r8-mandated rotation picks (the round-7 precedent).
-ADJUDICATION_DEFERRED: tuple[str, ...] = (
+    # --- r9 deferred registrations (never-checked) ---
     "dq_k_anonymity",
     "embedding_top_component",
     "ts_holt_linear",
     "scan_fixed_width_source",
+    # --- round-10 registrations (never-checked; pinned ahead) ---
+    "dedup_semantic_multiprobe",
+    "ann_ivfadc_topk",
+    # --- the last 17 stale r3 verdicts ---
+    "join_range_banded",
+    "lang_id_markers",
+    "merge_upsert",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "pii_redact",
+    "pmi_top_pairs",
+    "quality_score",
+    "scd2_customer_history",
+    "sessionize_events",
+    "set_union_schema_evolution",
+    "text_stats",
+    "tfidf_top_terms",
+    "topk_terms",
+    "udf_grouped_normalize",
+    "udf_pandas_scalar",
+    "vocab_coverage",
+    # --- r4 rotation, oldest-by-name ---
+    "agg_equidepth_histogram",
+    "agg_mode_deterministic",
+    "agg_string_concat_groups",
+    "cohort_retention",
+    "ctr_flagship",
+    "dedup_clusters_twostar",
+    "dq_anomaly_sigma",
+    "dq_referential_integrity",
+    "ewma_user_value",
+    "existence_join",
+    "fn_array_setops",
+    "fn_array_suite",
+    "fn_bitwise_suite",
+    "fn_cast_suite",
+    "fn_conditional_suite",
+    "fn_explode_suite",
+    "fn_fuzzy_suite",
+    "fn_interval_suite",
+    "fn_json_suite",
+    "fn_map_suite",
+    "fn_map_transform_suite",
+    "fn_regex_suite",
+    "fn_trycast_suite",
+    "fn_variant_suite",
+    "funnel_steps_per_user",
+    "graph_bfs_distances",
+    "graph_copurchase_triangles",
 )
+
+# Registered queries with NO driver verdict yet that deliberately sit
+# OUTSIDE this round's 50-slot window.  Mid-round registrations that do
+# not fit the window land here and FRONT the next round's window
+# (tests/test_parity.py enforces every never-checked query is in exactly
+# one of the two lists).  The four r9 deferrals now front the r10 window;
+# any round-10 registration beyond the two reserved slots above defers
+# here rather than displace the VERDICT-r9-mandated rotation picks (the
+# round-7 precedent).
+ADJUDICATION_DEFERRED: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
