@@ -1468,11 +1468,17 @@ def synthesize_tiff(
         (x + y + seed) % 256 for y in range(height) for x in range(width)
     )
     strip_off = 8
-    ifd_off = strip_off + len(pixels)
+    # TIFF 6.0 requires every offset to begin on a word (even) boundary;
+    # an odd-sized strip (e.g. 5x5) would put the IFD at an odd offset, so
+    # pad the strip region (the pad byte is outside StripByteCounts and
+    # invisible to readers).  Out-of-line values get the same treatment in
+    # pack_entry below.
+    strip_pad = b"\x00" * (len(pixels) % 2)
+    ifd_off = strip_off + len(pixels) + len(strip_pad)
     desc = bytes((seed + i) % 26 + 97 for i in range(desc_len)) + b"\x00"
     n_tags = 10
-    ifd_size = 2 + n_tags * 12 + 4
-    ool = ifd_off + ifd_size  # out-of-line value area
+    ifd_size = 2 + n_tags * 12 + 4  # even (2 + 120 + 4), preserving parity
+    ool = ifd_off + ifd_size  # out-of-line value area (even offset)
     ool_bytes = b""
     # tag, type, count, value (int) or (bytes, needs_offset)
     def pack_entry(tag: int, typ: int, cnt: int, val) -> bytes:
@@ -1482,7 +1488,9 @@ def synthesize_tiff(
             if len(val) <= 4:
                 return head + val.ljust(4, b"\x00")
             off = ool + len(ool_bytes)
-            ool_bytes += val
+            # word-align the NEXT value; the pad is outside this value's
+            # count, so ascii_val never reads it
+            ool_bytes += val + b"\x00" * (len(val) % 2)
             return head + struct.pack(e + "I", off)
         if typ == 3:  # SHORT packs into the FIRST two bytes, file order
             return head + struct.pack(e + "H", val) + b"\x00\x00"
@@ -1510,7 +1518,7 @@ def synthesize_tiff(
         + b"".join(entries)
         + struct.pack(e + "I", 0)  # no next IFD
     )
-    return header + pixels + ifd + ool_bytes
+    return header + pixels + strip_pad + ifd + ool_bytes
 
 
 def parse_tiff_features(payload: bytes) -> dict:

@@ -983,7 +983,14 @@ def km_curve(life: DataFrame) -> DataFrame:
     # tiny resident LogicalRDD
     view = f"km_steps_{next(_KM_VIEW_SEQ)}"
     steps.localCheckpoint(eager=True).createOrReplaceTempView(view)
-    return spark.sql(_KM_RECURSION.format(steps=view))
+    out = spark.sql(_KM_RECURSION.format(steps=view))
+    # spark.sql analyzes eagerly, so the returned plan has already inlined
+    # the view's LogicalRDD; dropping the catalog entry here releases the
+    # per-call view (and its resident checkpoint blocks once the caller
+    # drops the DataFrame) instead of pinning one per invocation for the
+    # session lifetime (ADVICE r9).
+    spark.catalog.dropTempView(view)
+    return out
 
 
 # --------------------------------------------------------------------------

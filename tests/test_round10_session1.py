@@ -1,0 +1,151 @@
+"""Round-10 session 1: ADVICE r9 regression pins.
+
+Each test pins one of the round-9 advisor findings so the fix cannot
+silently regress: TIFF word alignment, the km_curve temp-view leak, and
+the bench printed-line byte budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --- ADVICE r9: TIFF 6.0 requires word-aligned offsets --------------------
+
+
+@pytest.mark.parametrize(
+    "w,h,dl",
+    [
+        (5, 5, 7),   # odd strip length (25) — the flagged case
+        (5, 5, 8),   # odd strip + even desc
+        (7, 3, 3),   # odd strip + inline desc (count 4)
+        (6, 5, 16),  # even strip, odd out-of-line ASCII (count 17)
+    ],
+)
+def test_tiff_offsets_word_aligned(w, h, dl):
+    """Every offset a reader follows (IFD, out-of-line values) must begin
+    on an even byte (TIFF 6.0 §2); an odd width*height used to place the
+    IFD at an odd offset."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        _TIFF_SOFTWARE,
+        parse_tiff_features,
+        synthesize_tiff,
+    )
+
+    for le in (True, False):
+        payload = synthesize_tiff(w, h, 123, le, dl)
+        e = "<" if le else ">"
+        ifd_off = struct.unpack_from(e + "I", payload, 4)[0]
+        assert ifd_off % 2 == 0, f"IFD at odd offset {ifd_off}"
+        # walk the IFD and check every out-of-line value offset
+        (n_tags,) = struct.unpack_from(e + "H", payload, ifd_off)
+        for i in range(n_tags):
+            off = ifd_off + 2 + i * 12
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
+            type_size = {2: 1, 3: 2, 4: 4}[typ]
+            if cnt * type_size > 4:  # value stored out of line
+                (voff,) = struct.unpack_from(e + "I", payload, off + 8)
+                assert voff % 2 == 0, f"tag {tag} value at odd offset {voff}"
+        # the strict parser still accepts the padded layout and the
+        # features are unchanged by the (outside-count) pad bytes
+        feats = parse_tiff_features(payload)
+        assert feats["n_pixels"] == w * h
+        assert feats["desc_len"] == dl
+        assert feats["n_tags"] == n_tags
+    assert _TIFF_SOFTWARE.endswith(b"\x00")
+
+
+# --- ADVICE r9: km_curve must not pin one temp view per call --------------
+
+
+def test_km_curve_drops_its_temp_view(spark):
+    """km_curve creates a per-call unique temp view over the checkpointed
+    step table; it must drop it before returning (the analyzed plan has
+    already inlined the view), or views + resident checkpoint blocks
+    accumulate for the session lifetime."""
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["ts_survival_km"]
+    for _ in range(2):
+        assert fn(spark, "/root/testdata/sf0.001").count() > 0
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("km_steps_")
+    ]
+    assert leaked == [], f"km_curve leaked temp views: {leaked}"
+
+
+# --- BENCH pipeline: the printed line must fit the driver's tail capture --
+
+
+def test_bench_line_budget_constant():
+    import bench
+
+    assert bench.LINE_BUDGET <= 1900  # driver keeps a ~2000-char tail
+
+
+def test_sync_baseline_scrapes_truncated_tails():
+    """BENCH_r07..r09 lost their parsed payload to tail truncation; the
+    baseline sync must recover the scalar fields that survive in the
+    tail so the bench table carries a row for every round."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import sync_baseline
+
+    for n, want_queries in ((7, 302), (8, 309), (9, 319)):
+        data = json.load(open(os.path.join(REPO, f"BENCH_r0{n}.json")))
+        assert data["parsed"] is None  # the historical artifacts stay as-is
+        scraped = sync_baseline._scrape_tail(data["tail"])
+        assert scraped["n_queries"] == want_queries
+        assert scraped["n_failed"] == 0
+        assert scraped["cold_total"] > 0
+    # r9 additionally preserved its contamination flag
+    r9 = json.load(open(os.path.join(REPO, "BENCH_r09.json")))
+    assert sync_baseline._scrape_tail(r9["tail"])["load_gate"] == "contaminated"
+
+
+def test_bench_printed_line_elides_to_budget(monkeypatch):
+    """The elision loop drops the OLDEST headline entries first and
+    records how many were dropped."""
+    # simulate: a queries map far over budget
+    queries = {f"q{i:03d}_{'x' * 20}": 1.234 for i in range(200)}
+    summary = {
+        "metric": "full_suite_wall_seconds",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": dict(queries),
+        "n_queries": 200,
+        "n_failed": 0,
+        "cold_total": 2.0,
+        "outliers": 0,
+        "loadavg_before": [0.0, 0.0, 0.0],
+        "loadavg_after": [0.0, 0.0, 0.0],
+        "load_gate": "ok",
+        "sf": 0.1,
+    }
+    import bench
+
+    printed = dict(summary)
+    elided = 0
+    line = json.dumps(printed)
+    while len(line) > bench.LINE_BUDGET and printed["queries"]:
+        first = next(iter(printed["queries"]))
+        del printed["queries"][first]
+        elided += 1
+        printed["queries_elided"] = elided
+        line = json.dumps(printed)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries_elided"] == elided > 0
+    # newest entries survive; oldest were dropped
+    kept = list(parsed["queries"])
+    assert kept == list(queries)[-len(kept):]

@@ -17,9 +17,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_strict_refuses_on_load():
-    """With the gate forced to 0, any real machine is 'loaded', so
+    """With the gate forced to -1, any real machine is 'loaded' (the gate
+    is load <= MAX and loadavg can be exactly 0.00 on an idle box — a
+    gate of 0 would flakily pass and run the whole suite; ADVICE r9), so
     --strict must exit 2 BEFORE starting a JVM or touching fixtures."""
-    env = dict(os.environ, SPARK_GRAFT_BENCH_LOAD_MAX="0")
+    env = dict(os.environ, SPARK_GRAFT_BENCH_LOAD_MAX="-1")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--strict"],
         env=env,
