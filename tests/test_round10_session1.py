@@ -85,6 +85,86 @@ def test_km_curve_drops_its_temp_view(spark):
     assert leaked == [], f"km_curve leaked temp views: {leaked}"
 
 
+# --- VERDICT r9 ask #3: power-iteration int64 headroom is ENFORCED --------
+
+
+def test_pi_grid_shift_bound_holds_adversarially():
+    """For adversarial (N, vmax, dim) combinations the derived exponent
+    must keep the PROVEN bound N*2*dim*vmax^2*2^q + N/2 below 2^62."""
+    from hadoopmapreduce_spark.operators.similarity import pi_grid_shift
+
+    cases = [
+        (500, 0.9, 64),          # fixture shape -> full 2^30 grid
+        (30_000_000, 1.0, 64),   # the r9 documented cliff
+        (3_000_000_000, 1.0, 64),  # 100 TB-class corpus
+        (100, 1.0e6, 64),        # adversarial magnitude
+        (10**12, 2.0, 64),       # trillion rows
+        (40, 1.3, 8),            # the convergence test's shape
+    ]
+    for n, vmax, dim in cases:
+        q = pi_grid_shift(n, vmax, dim)
+        assert 1 <= q <= 30, (n, vmax, dim, q)
+        bound = n * 2 * dim * (vmax ** 2) * (2 ** q) + n / 2
+        assert bound < 2 ** 62, (n, vmax, dim, q, bound)
+    # fixture-scale inputs keep the historical 2^30 grid (results frozen)
+    assert pi_grid_shift(500, 0.9, 64) == 30
+    assert pi_grid_shift(5000, 0.9, 64) == 30
+    # beyond-int64 territory refuses loudly instead of wrapping
+    with pytest.raises(ValueError):
+        pi_grid_shift(10**18, 1.0e9, 64)
+
+
+def test_power_iteration_adversarial_magnitude(spark):
+    """Vectors with |v| ~ 1e6 force the derived grid BELOW 2^30; the
+    distributed loop must still run without ANSI overflow and match the
+    pure-Python referee bit-for-bit on the coarser grid."""
+    from hadoopmapreduce_spark.operators.similarity import (
+        pi_grid_shift,
+        power_iteration_loop,
+    )
+    from test_round9_session1 import _pi_python_referee
+
+    V = [
+        [1.0e6 * (((i * 7 + j * 13) % 11) - 5) / 5.0 for j in range(4)]
+        for i in range(20)
+    ]
+    vmax = max(abs(a) for row in V for a in row)
+    q = pi_grid_shift(len(V), vmax, 4)
+    assert q < 30, q  # the adversarial case must actually exercise it
+    e = spark.createDataFrame([(r,) for r in V], "v array<double>").repartition(3)
+    got_x, got_y = power_iteration_loop(e, 4, 4)
+    exp_x, exp_y = _pi_python_referee(V, 4)
+    assert got_y == exp_y
+    assert got_x == exp_x
+    assert max(abs(v) for v in got_y.values()) < 2 ** 62
+
+
+def test_pi_grid_sql_twin_matches_python():
+    """The oracle's SQL derivation of the grid must equal pi_grid_shift
+    on the same relation — run both over synthetic corpora in DuckDB."""
+    import duckdb
+
+    from hadoopmapreduce_spark.operators.similarity import (
+        _pi_grid_sql,
+        pi_grid_shift,
+    )
+
+    for vmax, n, dim in [(0.9, 500, 64), (123456.7, 100, 64), (3.2, 7, 64)]:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE src AS SELECT i, [CAST(? AS DOUBLE), 0.1, -0.2] "
+            "AS v FROM range(?) t(i)",
+            [vmax, n],
+        )
+        sql = (
+            "WITH e AS (SELECT v FROM src), "
+            + _pi_grid_sql(dim)
+            + " SELECT qd FROM grid"
+        )
+        (qd,) = con.execute(sql).fetchone()
+        assert qd == float(1 << pi_grid_shift(n, vmax, dim)), (vmax, n)
+
+
 # --- BENCH pipeline: the printed line must fit the driver's tail capture --
 
 

@@ -150,8 +150,13 @@ def test_dedup_within_watermark_cross_batch(spark, tmp_path):
 
 
 def _pi_python_referee(V, iters):
-    """Pure-Python twin of power_iteration_loop's quantized recursion."""
+    """Pure-Python twin of power_iteration_loop's quantized recursion,
+    including the r10 derived grid (pi_grid_shift over N and max|v|)."""
+    from hadoopmapreduce_spark.operators.similarity import pi_grid_shift
+
     dim = len(V[0])
+    vmax = max(abs(a) for row in V for a in row)
+    grid = float(1 << pi_grid_shift(len(V), vmax, dim))
     x = [1.0] + [0.0] * (dim - 1)
     y = {}
     for _ in range(iters):
@@ -161,12 +166,15 @@ def _pi_python_referee(V, iters):
             for a, b in zip(row, x):  # sequential fold, fixture order
                 d += a * b
             for j in range(1, dim + 1):
-                q = row[j - 1] * d * 1073741824.0
-                # round-half-away-from-zero, like Spark/DuckDB round()
-                import math
+                q = row[j - 1] * d * grid
+                # round-half-away-from-zero on the EXACT double value,
+                # like Spark's BigDecimal HALF_UP round() — the
+                # floor(q+0.5) idiom diverges past 2^52 where +0.5 is
+                # inexact (caught by the r10 adversarial-magnitude test)
+                from decimal import ROUND_HALF_UP, Decimal
 
                 y[j] += int(
-                    math.floor(q + 0.5) if q >= 0 else math.ceil(q - 0.5)
+                    Decimal(q).quantize(Decimal(1), rounding=ROUND_HALF_UP)
                 )
         m = max(abs(v) for v in y.values())
         sh = max(m.bit_length() - 1, 0)
