@@ -1828,6 +1828,31 @@ def semantic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_semantic_clustered and dedup_semantic_eval so both adjudicate
     the SAME assignment (the oracle twin shares _SEMDEDUP_ASSIGN_CTES
     the same way)."""
+    e, cent1, nrm, scored_arr = _semantic_assignment_parts(spark, sf_dir)
+    # strictly-greater fold over the label-ascending array == the oracle's
+    # ROW_NUMBER() ... ORDER BY cos DESC, c_label LIMIT 1 (first max wins;
+    # Spark and DuckDB both order NaN above every double, so even a
+    # zero-norm degenerate row resolves identically)
+    best = F.aggregate(
+        scored_arr,
+        F.struct(
+            F.lit(-1e9).alias("cos"), F.lit(-1).cast("int").alias("cluster")
+        ),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )
+    return (
+        e.withColumn("nrm", nrm)
+        .crossJoin(F.broadcast(cent1))
+        .select("vec_id", best["cluster"].alias("cluster"), "v")
+    )
+
+
+def _semantic_assignment_parts(spark: SparkSession, sf_dir: str):
+    """Shared stages of the SemDeDup assignment: the embeddings relation
+    ``e``, the 1-row broadcast centroid array ``cent1``, the row-norm
+    expression ``nrm``, and the per-centroid scored array ``scored_arr``
+    — factored so the single-probe and multi-probe assignments build
+    from identical arithmetic."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
@@ -1904,24 +1929,69 @@ def semantic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["l"].alias("cluster"),
         ),
     )
-    # strictly-greater fold over the label-ascending array == the oracle's
-    # ROW_NUMBER() ... ORDER BY cos DESC, c_label LIMIT 1 (first max wins;
-    # Spark and DuckDB both order NaN above every double, so even a
-    # zero-norm degenerate row resolves identically)
+    return e, cent1, nrm, scored_arr
+
+
+def semantic_assignment_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 (multi-probe) SemDeDup assignment: each vector joins its TWO
+    nearest clusters, so a near-duplicate pair split across a centroid
+    boundary still co-occurs in one cluster when either vector's second
+    probe crosses it (VERDICT r9 ask #2 — single-probe recall measured
+    261,992 ppm at sf0.01; the multi-probe variant is the standard IVF
+    remedy).
+
+    Same zero-corpus-shuffle shape as ``semantic_assignment``: the K
+    centroids ride in as ONE broadcast row and the top-2 runs IN-ROW as
+    two strictly-greater folds over the label-ascending scored array —
+    fold 1 is the argmax (== oracle rk=1), fold 2 re-folds with the
+    winning cluster masked out (== oracle rk=2 under the identical
+    (cos DESC, label ASC) total order, even through cosine ties).  The
+    2-element probe array then explodes NARROWLY (still no exchange);
+    with a single cluster in the corpus the second probe stays the -1
+    sentinel and is filtered, matching the oracle's absent rk=2 row.
+
+    Returns (vec_id, probe_rank, cluster, v) — 2 rows per vector.  Scale:
+    the downstream cluster-keyed exchange and Gram kernel see 2x rows
+    (4x pair work within probed clusters) — the documented recall/work
+    trade, still bounded per cluster, never global."""
+    e, cent1, nrm, scored_arr = _semantic_assignment_parts(spark, sf_dir)
+    init = F.struct(
+        F.lit(-1e9).alias("cos"), F.lit(-1).cast("int").alias("cluster")
+    )
     best = F.aggregate(
         scored_arr,
-        F.struct(
-            F.lit(-1e9).alias("cos"), F.lit(-1).cast("int").alias("cluster")
-        ),
+        init,
         lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
     )
-    assigned = (
-        e.withColumn("nrm", nrm)
-        .crossJoin(F.broadcast(cent1))
-        .select("vec_id", best["cluster"].alias("cluster"), "v")
+    scored = e.withColumn("nrm", nrm).crossJoin(F.broadcast(cent1)).select(
+        "vec_id", "v", scored_arr.alias("scored"), best.alias("b1")
     )
-
-    return assigned
+    second = F.aggregate(
+        F.col("scored"),
+        init,
+        lambda acc, s: F.when(
+            (s["cluster"] != F.col("b1")["cluster"]) & (s["cos"] > acc["cos"]),
+            s,
+        ).otherwise(acc),
+    )
+    probes = scored.select(
+        "vec_id",
+        "v",
+        F.array(
+            F.struct(F.lit(1).alias("rk"), F.col("b1")["cluster"].alias("cluster")),
+            F.struct(F.lit(2).alias("rk"), second["cluster"].alias("cluster")),
+        ).alias("pr"),
+    ).select(
+        "vec_id", F.explode("pr").alias("p"), "v"
+    ).select(
+        "vec_id",
+        F.col("p")["rk"].alias("probe_rank"),
+        F.col("p")["cluster"].alias("cluster"),
+        "v",
+    )
+    return probes.filter(F.col("cluster") >= 0)
 
 
 def semdedup_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1955,6 +2025,96 @@ def semdedup_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
+def semdedup_pair_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-cluster duplicate PAIRS over (vec_id, v double[]): the same
+    dimension-major Gram arithmetic as :func:`semdedup_kernel`, emitting
+    (a_id, b_id) with a_id < b_id and cosine >= SEMDEDUP_TAU instead of
+    per-member counts — the multi-probe variant needs pairs so verdicts
+    from different probed clusters can be OR'd (distinct) before
+    counting.  Output is bounded by the number of TRUE duplicates in the
+    cluster, not m^2."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(pdf["v"].to_numpy())  # (m, d)
+    m, d = V.shape
+    G = np.zeros((m, m))
+    for k in range(d):  # dimension-major: list_dot_product's sum order
+        G += np.outer(V[:, k], V[:, k])
+    nrm = np.sqrt(np.diag(G))
+    cos = G / np.outer(nrm, nrm)
+    i, j = np.nonzero(np.triu(cos >= SEMDEDUP_TAU, k=1))
+    ids = pdf["vec_id"].to_numpy()
+    return pd.DataFrame({"a_id": ids[i], "b_id": ids[j]})
+
+
+@query(
+    "dedup_semantic_multiprobe",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_CTES},
+    p AS (SELECT vec_id, v, nrm, cluster FROM assign WHERE rk <= 2),
+    pairs AS (
+      SELECT DISTINCT x.vec_id AS a_id, b.vec_id AS b_id
+      FROM p x JOIN p b
+        ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+      WHERE list_dot_product(x.v, b.v) / (x.nrm * b.nrm)
+            >= {SEMDEDUP_TAU}),
+    d AS (SELECT b_id, COUNT(*) AS n_earlier FROM pairs GROUP BY 1)
+    SELECT a.vec_id,
+           CAST(a.cluster AS INT) AS cluster,
+           CAST(COALESCE(d.n_earlier, 0) AS BIGINT) AS n_earlier_dups,
+           CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM a LEFT JOIN d ON a.vec_id = d.b_id
+    """,
+)
+def dedup_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup (VERDICT r9 ask #2): every vector joins its
+    top-2 clusters, the keep-first dedup runs per probed cluster, and the
+    per-cluster verdicts OR together — a pair co-probed in two clusters
+    counts ONCE (distinct on the pair), and a member is dropped when ANY
+    probed cluster contains an earlier duplicate.
+
+    Same three stages as ``dedup_semantic_clustered`` with the assignment
+    swapped for :func:`semantic_assignment_multiprobe` (two in-row folds
+    over the same broadcast centroid row — still zero corpus-side
+    exchange) and the kernel swapped for the PAIR form so cross-cluster
+    distinct is expressible.  ``cluster`` in the result is the PRIMARY
+    (rank-1) assignment, so the row set is comparable 1:1 with the
+    single-probe query; only n_earlier_dups/kept tighten.
+
+    Recall at sf0.01 rises from 261,992 ppm (single-probe, pinned by
+    ``dedup_semantic_eval``) to the multiprobe figure the same eval query
+    now reports alongside — the standard IVF multi-probe remedy, bought
+    with 2x rows into the cluster exchange (bounded per cluster, never
+    global).
+
+    Returns one row per vector: (vec_id, cluster, n_earlier_dups, kept).
+    """
+    probes = semantic_assignment_multiprobe(spark, sf_dir)
+    pairs = (
+        probes.select("cluster", "vec_id", "v")
+        .groupBy("cluster")
+        .applyInPandas(semdedup_pair_kernel, schema="a_id long, b_id long")
+        .distinct()
+    )
+    dups = pairs.groupBy(F.col("b_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_earlier_dups")
+    )
+    prim = probes.filter(F.col("probe_rank") == 1).select("vec_id", "cluster")
+    return prim.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.coalesce(F.col("n_earlier_dups"), F.lit(0))
+        .cast("long")
+        .alias("n_earlier_dups"),
+        F.when(F.col("n_earlier_dups").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 @query(
     "dedup_semantic_eval",
     oracle=f"""
@@ -1968,6 +2128,17 @@ def semdedup_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ON x.cluster = b.cluster AND x.vec_id < b.vec_id
       WHERE list_dot_product(x.v, b.v) / (x.nrm * b.nrm)
             >= {SEMDEDUP_TAU}),
+    p AS (SELECT vec_id, v, nrm, cluster FROM assign WHERE rk <= 2),
+    mp_cand AS (
+      SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) AS c
+      FROM (SELECT cluster, COUNT(*) AS m FROM p GROUP BY 1)),
+    mp_hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS h
+      FROM (SELECT DISTINCT x.vec_id AS a_id, b.vec_id AS b_id
+            FROM p x JOIN p b
+              ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+            WHERE list_dot_product(x.v, b.v) / (x.nrm * b.nrm)
+                  >= {SEMDEDUP_TAU})),
     truth AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS t
       FROM n x JOIN n b ON x.vec_id < b.vec_id
@@ -1981,8 +2152,13 @@ def semdedup_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
            END AS precision_ppm,
            CASE WHEN truth.t = 0 THEN NULL
                 ELSE CAST((hit.h * 1000000) // truth.t AS BIGINT)
-           END AS recall_ppm
-    FROM cand, hit, truth
+           END AS recall_ppm,
+           mp_cand.c AS n_candidates_multiprobe,
+           mp_hit.h AS n_hits_multiprobe,
+           CASE WHEN truth.t = 0 THEN NULL
+                ELSE CAST((mp_hit.h * 1000000) // truth.t AS BIGINT)
+           END AS recall_multiprobe_ppm
+    FROM cand, hit, truth, mp_cand, mp_hit
     """,
 )
 def dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,6 +2184,13 @@ def dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the bit-identical dimension-major arithmetic both engines
     share, so the ppm values hash-match exactly.
 
+    Since round 10 the same row also adjudicates the MULTI-PROBE variant
+    (VERDICT r9 ask #2): candidates/hits for the top-2 assignment of
+    ``dedup_semantic_multiprobe`` (hits distinct on the pair, so a pair
+    co-probed in two clusters counts once) and its recall against the
+    same truth — the single number that shows what the second probe
+    buys.
+
     Scale shape: candidates come from a cluster-size aggregate (no pair
     materialization); hits ride the bounded per-cluster kernel; truth is
     the documented quadratic exact referee — an AUDIT query you run on a
@@ -2026,10 +2209,24 @@ def dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nh = kern.agg(
         F.coalesce(F.sum("n_earlier_dups"), F.lit(0)).alias("n_hits")
     )
+    probes = semantic_assignment_multiprobe(spark, sf_dir)
+    mp_sizes = probes.groupBy("cluster").agg(F.count(F.lit(1)).alias("m"))
+    mp_nc = mp_sizes.agg(
+        F.coalesce(F.sum(F.expr("m * (m - 1) div 2")), F.lit(0)).alias(
+            "n_candidates_multiprobe"
+        )
+    )
+    mp_nh = (
+        probes.select("cluster", "vec_id", "v")
+        .groupBy("cluster")
+        .applyInPandas(semdedup_pair_kernel, schema="a_id long, b_id long")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_hits_multiprobe"))
+    )
     nt = exact_cosine_pairs(spark, sf_dir, SEMDEDUP_TAU).agg(
         F.count(F.lit(1)).alias("n_truth")
     )
-    one = nc.crossJoin(nt).crossJoin(nh)
+    one = nc.crossJoin(nt).crossJoin(nh).crossJoin(mp_nc).crossJoin(mp_nh)
     ppm = lambda num, den: F.when(  # noqa: E731
         F.col(den) == 0, F.lit(None).cast("long")
     ).otherwise(F.expr(f"{num} * 1000000 div {den}"))
@@ -2039,4 +2236,7 @@ def dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         ppm("n_hits", "n_candidates").alias("precision_ppm"),
         ppm("n_hits", "n_truth").alias("recall_ppm"),
+        "n_candidates_multiprobe",
+        "n_hits_multiprobe",
+        ppm("n_hits_multiprobe", "n_truth").alias("recall_multiprobe_ppm"),
     )

@@ -44,9 +44,12 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "embedding_top_component",
     "ts_holt_linear",
     "scan_fixed_width_source",
-    # --- round-10 registrations (never-checked; pinned ahead) ---
+    # --- round-10 registrations (never-checked; pinned ahead) plus the
+    # one r9-green query whose code changed this round (reworked-code-
+    # first priority: dedup_semantic_eval gained the multiprobe columns)
     "dedup_semantic_multiprobe",
     "ann_ivfadc_topk",
+    "dedup_semantic_eval",
     # --- the last 17 stale r3 verdicts ---
     "join_range_banded",
     "lang_id_markers",
@@ -92,7 +95,6 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
     "fn_variant_suite",
     "funnel_steps_per_user",
     "graph_bfs_distances",
-    "graph_copurchase_triangles",
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit

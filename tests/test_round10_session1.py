@@ -165,6 +165,101 @@ def test_pi_grid_sql_twin_matches_python():
         assert qd == float(1 << pi_grid_shift(n, vmax, dim)), (vmax, n)
 
 
+# --- VERDICT r9 ask #2: SemDeDup multi-probe assignment -------------------
+
+
+def test_multiprobe_two_probes_primary_matches_single(spark):
+    """Each vector gets exactly two probes (fixture has K >= 2 clusters)
+    and the rank-1 probe IS the single-probe assignment."""
+    from hadoopmapreduce_spark.operators.dedup import (
+        semantic_assignment,
+        semantic_assignment_multiprobe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    probes = semantic_assignment_multiprobe(spark, sf)
+    per_vec = probes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per_vec)
+    # rank-1 == single-probe cluster, and rank-2 differs from rank-1
+    import pyspark.sql.functions as F
+
+    p1 = {r["vec_id"]: r["cluster"] for r in probes.filter(
+        F.col("probe_rank") == 1).collect()}
+    p2 = {r["vec_id"]: r["cluster"] for r in probes.filter(
+        F.col("probe_rank") == 2).collect()}
+    single = {r["vec_id"]: r["cluster"] for r in semantic_assignment(
+        spark, sf).collect()}
+    assert p1 == single
+    assert all(p2[v] != p1[v] for v in p1)
+
+
+def test_multiprobe_only_drops_more(spark):
+    """Every single-probe duplicate pair is also co-probed (rank-1 probes
+    are included), so multiprobe n_earlier_dups >= single-probe per
+    vector and kept(multiprobe) => kept(single) can only flip 1 -> 0."""
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    single = {
+        r["vec_id"]: r
+        for r in registry.QUERIES["dedup_semantic_clustered"](
+            spark, sf
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]: r
+        for r in registry.QUERIES["dedup_semantic_multiprobe"](
+            spark, sf
+        ).collect()
+    }
+    assert set(single) == set(multi)
+    for vid, s in single.items():
+        m = multi[vid]
+        assert m["cluster"] == s["cluster"]  # primary assignment shared
+        assert m["n_earlier_dups"] >= s["n_earlier_dups"], vid
+        if s["kept"] == 0:
+            assert m["kept"] == 0, vid
+
+
+def test_multiprobe_recall_materially_higher(spark):
+    """The point of the second probe: recall vs the global exact referee
+    must rise materially (sf0.01 measured 261,992 -> 634,686 ppm)."""
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    row = (
+        registry.QUERIES["dedup_semantic_eval"](
+            spark, "/root/testdata/sf0.01"
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert row["recall_multiprobe_ppm"] >= row["recall_ppm"] + 100_000, row
+    assert row["n_hits_multiprobe"] >= row["n_hits"]
+    # the work trade stays bounded: probe rows double, pair work <= 4x
+    assert row["n_candidates_multiprobe"] <= 4 * row["n_candidates"]
+
+
+def test_multiprobe_assignment_is_shuffle_free(spark):
+    """Same pin as the single-probe assignment (VERDICT r8 ask #3): the
+    top-2 runs as in-row folds over the 1-row broadcast centroid array —
+    no corpus-side exchange, no window; the only hashpartitioning is the
+    cluster-keyed exchange into the pair kernel."""
+    from hadoopmapreduce_spark.operators.dedup import (
+        dedup_semantic_multiprobe,
+    )
+    from hadoopmapreduce_spark.plans.explain import physical_plan
+
+    plan = physical_plan(
+        dedup_semantic_multiprobe(spark, "/root/testdata/sf0.001")
+    )
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "hashpartitioning(cluster" in plan, plan  # the kernel exchange
+
+
 # --- BENCH pipeline: the printed line must fit the driver's tail capture --
 
 
