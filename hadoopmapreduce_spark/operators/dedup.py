@@ -1957,6 +1957,17 @@ def semantic_assignment_multiprobe(
     (4x pair work within probed clusters) — the documented recall/work
     trade, still bounded per cluster, never global."""
     e, cent1, nrm, scored_arr = _semantic_assignment_parts(spark, sf_dir)
+    return multiprobe_from_parts(e, cent1, nrm, scored_arr)
+
+
+def multiprobe_from_parts(
+    e: DataFrame, cent1: DataFrame, nrm, scored_arr
+) -> DataFrame:
+    """The top-2 fold/explode stage of the multi-probe assignment over
+    pre-built parts — split out so ``ann_ivfadc_topk`` can share ONE
+    centroid aggregation (the same ``cent1`` broadcast subtree) between
+    the corpus multi-assignment and the query probe ranking instead of
+    computing it twice."""
     init = F.struct(
         F.lit(-1e9).alias("cos"), F.lit(-1).cast("int").alias("cluster")
     )
