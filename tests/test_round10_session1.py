@@ -360,6 +360,91 @@ def test_ivfadc_code_table_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+# --- VERDICT r9 ask #6: fixed-width writer rejects unrepresentable values -
+
+
+@pytest.mark.parametrize(
+    "bad", [" leading", "trailing ", "embed\nnewline", "embed\rcr", " "]
+)
+def test_fixed_width_guard_rejects_space_fringed_values(spark, bad):
+    """A value with leading/trailing spaces or a line break cannot
+    round-trip through space-padded fixed-width framing — the writer
+    must raise, not let the reader's trim corrupt it silently."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hadoopmapreduce_spark.operators.layout import _fw_guard
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(bad,)], "v string").select(
+        _fw_guard(F.col("v"), "v").alias("v")
+    )
+    with pytest.raises(SparkRuntimeException, match="not representable"):
+        df.collect()
+
+
+def test_fixed_width_guard_passes_clean_values(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.operators.layout import _fw_guard
+
+    vals = ["1-URGENT", "F", "inner space ok", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").select(
+        _fw_guard(F.col("v"), "v").alias("v")
+    )
+    assert [r["v"] for r in df.collect()] == vals
+
+
+# --- VERDICT r9 ask #7: sampled-audit fraction on the quadratic referees --
+
+
+def test_audit_fraction_default_matches_registered(spark):
+    """fraction=1.0 must be the identity — the registered, adjudicated
+    result (hash-compared via collected rows)."""
+    from hadoopmapreduce_spark.operators.dedup import (
+        dedup_minhash_eval,
+        dedup_semantic_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert (
+        dedup_semantic_eval(spark, sf).collect()
+        == dedup_semantic_eval(spark, sf, audit_fraction=1.0).collect()
+    )
+    assert (
+        dedup_minhash_eval(spark, sf).collect()
+        == dedup_minhash_eval(spark, sf, audit_fraction=1.0).collect()
+    )
+
+
+def test_audit_fraction_sample_is_coherent(spark):
+    """At fraction<1 every side (candidates, hits, truth) measures the
+    SAME deterministic sub-corpus: counts bound above by the full run,
+    and the sampled truth equals the full truth restricted to sampled
+    endpoints."""
+    from pyspark.sql import functions as F
+
+    from hadoopmapreduce_spark.operators.dedup import (
+        SEMDEDUP_TAU,
+        _audit_sample,
+        dedup_semantic_eval,
+        exact_cosine_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    frac = 0.5
+    full = dedup_semantic_eval(spark, sf).collect()[0].asDict()
+    samp = dedup_semantic_eval(spark, sf, audit_fraction=frac).collect()[0].asDict()
+    for k in ("n_candidates", "n_truth", "n_hits", "n_hits_multiprobe"):
+        assert samp[k] <= full[k], (k, samp, full)
+    assert samp["n_truth"] > 0  # the sample still sees signal at sf0.001
+    # sampled truth == full truth restricted to sampled endpoints
+    full_pairs = exact_cosine_pairs(spark, sf, SEMDEDUP_TAU)
+    restricted = full_pairs.filter(
+        _audit_sample(F.col("vec_a"), frac) & _audit_sample(F.col("vec_b"), frac)
+    ).count()
+    assert samp["n_truth"] == restricted
+
+
 # --- BENCH pipeline: the printed line must fit the driver's tail capture --
 
 
