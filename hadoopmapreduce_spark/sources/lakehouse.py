@@ -37,6 +37,13 @@ Round-9 re-probe (2026-08-15, VERDICT r8 ask #7): still unchanged —
 (no ``spark-avro`` DataSource), no delta/iceberg/hudi runtime, and
 ``google.protobuf`` still fails to import (ModuleNotFoundError), so the
 ``transformWithStateInPandas`` env-gate also stands.
+
+Round-10 re-probe (2026-08-16, VERDICT r9 ask #8): still unchanged —
+delta/deltalake/pyiceberg/google.protobuf/PIL/cv2/soundfile/av all
+ModuleNotFoundError; ``pyspark/jars`` still carries only the Hadoop
+avro deps (avro/avro-ipc/avro-mapred 1.12.1, not the ``spark-avro``
+DataSource) and no delta/iceberg/hudi runtime.  Every env-gate and its
+ready-to-register follow-up stands.
 """
 
 from __future__ import annotations
