@@ -279,6 +279,7 @@ def main() -> None:
         "scan_fixed_width_source",
         # round-10 registrations
         "dedup_semantic_multiprobe", "ann_ivfadc_topk",
+        "sample_importance_dsir", "image_gif_lzw_decode",
     ]
     outliers = adjudicate_outliers(timings, prior, sf)
     summary = {

@@ -125,7 +125,6 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
 
 
-@query("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
 def _audit_sample(col, fraction: float):
     """Deterministic sample predicate for the quadratic AUDIT referees
     (VERDICT r9 ask #7): keep ids whose modulus falls under the
@@ -137,6 +136,7 @@ def _audit_sample(col, fraction: float):
     return F.pmod(col, F.lit(1000)) < int(round(fraction * 1000))
 
 
+@query("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, fraction: float = 1.0
 ) -> DataFrame:

@@ -1819,3 +1819,353 @@ def mm_audio_resample_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     assets = audio_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_audio_resample_batch, schema=_AUDIO_RS_SCHEMA)
+
+
+# --- real GIF synthesis + LZW entropy DECODE — codec family #7 -------------
+#
+# GIF87a is the one mainstream image format whose entropy coding (LZW) is
+# implementable exactly from the spec with no external codec library — so
+# unlike JPEG (marker walk only; Huffman stays env-gated), the GIF probe
+# runs REAL entropy decompression: variable-width LSB-first codes, dynamic
+# dictionary growth, deferred width bumps, clear-code resets, and the
+# KwKwK self-reference case.  This is the decode stage of a
+# training-data image pipeline, exercised end to end.
+
+GIF_W_MOD = 11  # width = text byte length % 11 + 4
+GIF_H_MOD = 7   # height = doc_id % 7 + 4
+GIF_MAX_CODE = 4096  # LZW dictionary cap (GIF spec), then a clear resets
+
+
+def lzw_encode(indices: list, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder: emits CLEAR, dictionary-codes the index
+    stream with code width growing as the table fills (width bump when
+    next_code exceeds 2^width — the deferred rule giflib decoders
+    mirror), resets via CLEAR at the 4096-entry cap, ends with EOI, and
+    packs codes LSB-first.  Round-trip-pinned against :func:`lzw_decode`
+    including the cap-reset path (tests/test_round10_session1.py)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    bits.append((clear, width))
+    buf: tuple = ()
+    for k in indices:
+        cand = buf + (int(k),)
+        if cand in table:
+            buf = cand
+            continue
+        bits.append((table[buf], width))
+        if next_code == GIF_MAX_CODE:
+            bits.append((clear, width))
+            table, next_code, width = fresh()
+        else:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        buf = (int(k),)
+    if buf:
+        bits.append((table[buf], width))
+        # the decoder adds a table entry after EVERY data code, including
+        # this final one — mirror the width side-effect (sans entry) or
+        # EOI is emitted one bit narrower than the decoder reads it
+        # whenever the 2^width boundary falls exactly at the stream tail
+        if next_code < GIF_MAX_CODE:
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+    bits.append((eoi, width))
+    # LSB-first bit packing
+    out = bytearray()
+    acc = n = 0
+    for code, w in bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list:
+    """GIF-variant LZW decoder — the real entropy decode: rebuilds the
+    dictionary code by code, widens at next_code == 2^width (the
+    decoder-side mirror of the encoder's deferred bump), handles CLEAR
+    resets and the code==next_code KwKwK case, stops at EOI.  Raises
+    ValueError on any structural violation (codes past the table, EOI
+    missing, output length mismatch) — the fail-loudly codec contract."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("LZW stream truncated")
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    out: list[int] = []
+    table: dict[int, tuple] = {}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: tuple | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"first code {code} not a literal")
+            entry = (code,)
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"code {code} beyond table ({next_code})")
+        out.extend(entry)
+        if prev is not None and next_code < GIF_MAX_CODE:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(f"decoded {len(out)} pixels, expected {n_expected}")
+    return out
+
+
+def synthesize_gif(width: int, height: int, seed: int, ncolors: int) -> bytes:
+    """Standards-valid GIF87a: logical screen descriptor, global color
+    table with the deterministic palette law, one image descriptor, and
+    a REAL LZW-compressed pixel strip under the law
+    idx(x,y) = (x + y + seed) % ncolors, chunked into <=255-byte
+    sub-blocks.  ncolors must be a power of two >= 4 (GIF color-table
+    sizes; LZW min code size >= 2)."""
+    import struct
+
+    bpp = ncolors.bit_length() - 1
+    if 1 << bpp != ncolors or bpp < 2:
+        raise ValueError(f"ncolors {ncolors} not a power of two >= 4")
+    indices = [
+        (x + y + seed) % ncolors for y in range(height) for x in range(width)
+    ]
+    palette = bytearray()
+    for i in range(ncolors):
+        palette += bytes(
+            ((i * 31 + seed) % 256, (i * 17 + seed) % 256, (i * 7 + seed) % 256)
+        )
+    lsd_flags = 0x80 | ((bpp - 1) << 4) | (bpp - 1)  # GCT present, size
+    head = (
+        b"GIF87a"
+        + struct.pack("<HH", width, height)
+        + bytes((lsd_flags, 0, 0))
+        + bytes(palette)
+    )
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    lzw = lzw_encode(indices, bpp)
+    blocks = bytearray((bpp,))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    blocks += b"\x00"  # block terminator
+    return head + desc + bytes(blocks) + b"\x3b"
+
+
+def parse_gif_features(payload: bytes) -> dict:
+    """Strict GIF87a walk + REAL LZW decode: validates signature, screen
+    vs image dimensions, color-table flags, sub-block accounting, the
+    block terminator and trailer, then entropy-decodes the pixel indices
+    and derives the features.  Raises ValueError on any violation."""
+    import struct
+
+    if payload[:6] != b"GIF87a":
+        raise ValueError(f"bad signature {payload[:6]!r}")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    flags, bg, aspect = payload[10], payload[11], payload[12]
+    if not flags & 0x80:
+        raise ValueError("global color table absent")
+    gct_n = 2 << (flags & 0x07)
+    off = 13
+    palette = payload[off : off + 3 * gct_n]
+    if len(palette) != 3 * gct_n:
+        raise ValueError("palette truncated")
+    off += 3 * gct_n
+    if payload[off] != 0x2C:
+        raise ValueError(f"expected image descriptor at {off}")
+    left, top, w, h = struct.unpack_from("<HHHH", payload, off + 1)
+    if (left, top) != (0, 0) or (w, h) != (sw, sh):
+        raise ValueError("image does not cover the logical screen")
+    if payload[off + 9] & 0x80:
+        raise ValueError("unexpected local color table")
+    off += 10
+    min_code = payload[off]
+    off += 1
+    lzw = bytearray()
+    while True:
+        blen = payload[off]
+        off += 1
+        if blen == 0:
+            break
+        lzw += payload[off : off + blen]
+        if len(lzw) < blen:
+            raise ValueError("sub-block truncated")
+        off += blen
+    if payload[off] != 0x3B:
+        raise ValueError("trailer missing")
+    idx = lzw_decode(bytes(lzw), min_code, w * h)
+    if max(idx) >= gct_n:
+        raise ValueError("pixel index outside the color table")
+    poschk = 0
+    for i, v in enumerate(idx):
+        poschk += (i + 1) * v
+    return {
+        "width": w,
+        "height": h,
+        "ncolors": gct_n,
+        "n_pixels": len(idx),
+        "n_lzw_bytes": len(lzw),
+        "sum_idx": sum(idx),
+        "max_idx": max(idx),
+        "poschk": poschk % 1000000007,
+        "palette_sum": sum(palette),
+    }
+
+
+_GIF_SCHEMA = (
+    "doc_id long, width int, height int, ncolors int, n_pixels long, "
+    "sum_idx long, max_idx int, poschk long, palette_sum long"
+)
+
+
+def _gif_probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = []
+        for p in pdf["payload"]:
+            f = parse_gif_features(p)
+            f.pop("n_lzw_bytes")  # decode-internal, not oracle-expressible
+            feats.append(f)
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def gif_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF payloads per document: width from the text byte length,
+    height/seed from the doc id, 4-color palettes on odd ids and 8-color
+    on even — both LZW min code sizes (2 and 3) run across the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(
+        w: pd.Series, h: pd.Series, seed: pd.Series, nc: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_gif(int(a), int(b), int(c), int(d))
+                for a, b, c, d in zip(w, h, seed, nc)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.length(F.encode(F.col("text"), "utf-8")) % GIF_W_MOD + 4)
+        .cast("int")
+        .alias("w_spec"),
+        (F.col("doc_id") % GIF_H_MOD + 4).cast("int").alias("h_spec"),
+        (F.col("doc_id") % 256).cast("int").alias("seed_spec"),
+        F.when(F.col("doc_id") % 2 == 1, 4).otherwise(8)
+        .cast("int")
+        .alias("nc_spec"),
+    ).withColumn(
+        "payload",
+        _synth(
+            F.col("w_spec"), F.col("h_spec"), F.col("seed_spec"),
+            F.col("nc_spec"),
+        ),
+    )
+
+
+GIF_PROBE_ORACLE_SQL = f"""
+    WITH spec AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % {GIF_W_MOD} + 4 AS w,
+             CAST(doc_id % {GIF_H_MOD} + 4 AS INT) AS h,
+             CAST(doc_id % 256 AS INT) AS seed,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 8 END AS INT) AS nc
+      FROM documents),
+    px AS (
+      SELECT s.doc_id,
+             (x.x + y.y + s.seed) % s.nc AS v,
+             ((y.y * s.w + x.x) + 1) * ((x.x + y.y + s.seed) % s.nc) AS pv
+      FROM spec s, LATERAL unnest(range(0, s.w)) AS x(x),
+                   LATERAL unnest(range(0, s.h)) AS y(y)),
+    pal AS (
+      SELECT s.doc_id,
+             SUM((i.i * 31 + s.seed) % 256 + (i.i * 17 + s.seed) % 256
+                 + (i.i * 7 + s.seed) % 256) AS psum
+      FROM spec s, LATERAL unnest(range(0, s.nc)) AS i(i)
+      GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(s.w AS INT) AS width,
+           s.h AS height,
+           s.nc AS ncolors,
+           CAST(s.w * s.h AS BIGINT) AS n_pixels,
+           CAST(p.sum_v AS BIGINT) AS sum_idx,
+           CAST(p.max_v AS INT) AS max_idx,
+           CAST(p.sum_pv % 1000000007 AS BIGINT) AS poschk,
+           CAST(pal.psum AS BIGINT) AS palette_sum
+    FROM spec s
+    JOIN (SELECT doc_id, SUM(v) AS sum_v, MAX(v) AS max_v,
+                 SUM(pv) AS sum_pv
+          FROM px GROUP BY doc_id) p USING (doc_id)
+    JOIN pal USING (doc_id)
+"""
+
+
+@query("image_gif_lzw_decode", oracle=GIF_PROBE_ORACLE_SQL)
+def image_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image entropy decode — codec family #7 and its
+    first true entropy-coding stage: synthesize standards-valid GIF87a
+    files (both 4- and 8-color tables, so LZW min code sizes 2 AND 3
+    run), then walk the structure strictly and LZW-DECOMPRESS the pixel
+    indices — variable-width LSB-first codes, dictionary growth with the
+    deferred width bump, CLEAR resets, the KwKwK case.  Unlike the JPEG
+    probe (marker layer; Huffman env-gated on external codecs), the GIF
+    decode is the full decompression loop, implementable exactly from
+    the spec with zero dependencies.
+
+    The features (pixel sum/max and a position-weighted checksum pinning
+    WHICH index landed at WHICH position, palette sum) are closed-form
+    functions of the synthesis law, so the DuckDB twin adjudicates the
+    entire compress->decompress round trip without implementing LZW —
+    any dictionary/width/packing bug lands on the wrong pixel and breaks
+    poschk.  The encoder's 4096-entry CLEAR-reset path cannot trigger at
+    fixture image sizes, so it is pinned by a dedicated long-stream
+    round-trip unit test instead (tests/test_round10_session1.py).
+
+    Scale shape: shuffle-free Arrow-batched mapInPandas over one pruned
+    scan — the codec-family posture; per-blob Python decode is the cost
+    and parallelizes embarrassingly."""
+    assets = gif_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_gif_probe_batch, schema=_GIF_SCHEMA)

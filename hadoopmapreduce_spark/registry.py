@@ -102,10 +102,14 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 # not fit the window land here and FRONT the next round's window
 # (tests/test_parity.py enforces every never-checked query is in exactly
 # one of the two lists).  The four r9 deferrals now front the r10 window;
-# any round-10 registration beyond the two reserved slots above defers
-# here rather than displace the VERDICT-r9-mandated rotation picks (the
-# round-7 precedent).
-ADJUDICATION_DEFERRED: tuple[str, ...] = ()
+# round-10 registrations beyond the two reserved slots above defer here
+# rather than displace the VERDICT-r9-mandated rotation picks (the
+# round-7 precedent).  Each entry below is locally oracle-verified at
+# sf0.001+sf0.01 and test-pinned before landing.
+ADJUDICATION_DEFERRED: tuple[str, ...] = (
+    "sample_importance_dsir",
+    "image_gif_lzw_decode",
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

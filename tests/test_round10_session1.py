@@ -445,6 +445,116 @@ def test_audit_fraction_sample_is_coherent(spark):
     assert samp["n_truth"] == restricted
 
 
+# --- DSIR importance selection ---------------------------------------------
+
+
+def test_dsir_selects_target_language_preferentially(spark):
+    """The point of the importance weights: the target language's kept
+    rate must strictly exceed every other language's (sf0.01 measured:
+    en 141/218 vs de 21/70, es 24/73, fr 32/64, zh 18/75)."""
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["sample_importance_dsir"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_lang: dict = {}
+    for r in rows:
+        kept, total = by_lang.get(r["lang"], (0, 0))
+        by_lang[r["lang"]] = (kept + r["kept"], total + 1)
+        # the flag is exactly the score sign
+        assert r["kept"] == (1 if r["dsir_score"] >= 0 else 0)
+        assert r["n_bigrams"] > 0  # <2-token docs carry no features
+    from hadoopmapreduce_spark.operators.textops import DSIR_TARGET_LANG
+
+    rates = {l: k / t for l, (k, t) in by_lang.items()}
+    target = rates.pop(DSIR_TARGET_LANG)
+    assert all(target > r for r in rates.values()), (target, rates)
+    assert target > 0.5  # the target corpus mostly survives its own filter
+
+
+# --- GIF LZW: real entropy decode, codec family #7 -------------------------
+
+
+def test_lzw_round_trip_exhaustive_tails():
+    """Encoder/decoder width sync at EVERY stream-tail position: the
+    first draft desynced when the 2^width boundary fell exactly between
+    the final data code and EOI (the decoder adds a table entry after
+    every data code, the encoder's flush didn't mirror it) — sweep every
+    length so that class of bug cannot return."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    for n in range(1, 400):
+        seq = [(i * 7 + i // 3) % 4 for i in range(n)]
+        assert lzw_decode(lzw_encode(seq, 2), 2, n) == seq, n
+
+
+def test_lzw_round_trip_kwkwk_and_cap_reset():
+    """The code==next_code self-reference case (runs of one symbol) and
+    the 4096-entry CLEAR-reset path (incompressible long streams — never
+    reachable at fixture image sizes, so it is pinned here)."""
+    import random
+
+    from hadoopmapreduce_spark.operators.multimodal import (
+        GIF_MAX_CODE,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    for n in (1, 2, 3, 10, 1000):
+        seq = [1] * n
+        assert lzw_decode(lzw_encode(seq, 2), 2, n) == seq
+    rng = random.Random(7)
+    seq = [rng.randrange(256) for _ in range(60000)]
+    enc = lzw_encode(seq, 8)
+    assert lzw_decode(enc, 8, len(seq)) == seq
+    assert GIF_MAX_CODE == 4096  # the spec cap the reset path honors
+
+
+@pytest.mark.parametrize("w,h,seed,nc", [(4, 4, 0, 4), (5, 7, 123, 8),
+                                         (14, 10, 255, 4), (9, 4, 77, 8)])
+def test_gif_synthesize_parse_round_trip(w, h, seed, nc):
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_gif_features,
+        synthesize_gif,
+    )
+
+    f = parse_gif_features(synthesize_gif(w, h, seed, nc))
+    exp = [(x + y + seed) % nc for y in range(h) for x in range(w)]
+    assert f["width"] == w and f["height"] == h and f["ncolors"] == nc
+    assert f["n_pixels"] == w * h
+    assert f["sum_idx"] == sum(exp)
+    assert f["max_idx"] == max(exp)
+    assert f["poschk"] == sum((i + 1) * v for i, v in enumerate(exp)) % 1000000007
+
+
+def test_gif_parser_rejects_malformed():
+    """The fail-loudly codec contract: structural violations raise, never
+    emit garbage features."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        parse_gif_features,
+        synthesize_gif,
+    )
+
+    good = bytearray(synthesize_gif(5, 5, 9, 4))
+    with pytest.raises(ValueError):
+        parse_gif_features(b"GIF89a" + bytes(good[6:]))  # wrong version
+    bad = bytearray(good)
+    bad[-1] = 0x00  # trailer clobbered
+    with pytest.raises(ValueError):
+        parse_gif_features(bytes(bad))
+    bad = bytearray(good)
+    bad[6] += 1  # screen width != image width
+    with pytest.raises(ValueError):
+        parse_gif_features(bytes(bad))
+    # truncated LZW stream: chop the last sub-block byte
+    with pytest.raises(ValueError):
+        parse_gif_features(bytes(good[:-3]) + b"\x00\x3b")
+
+
 # --- BENCH pipeline: the printed line must fit the driver's tail capture --
 
 
