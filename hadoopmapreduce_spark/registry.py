@@ -109,6 +109,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "sample_importance_dsir",
     "image_gif_lzw_decode",
+    "streaming_join_left_outer_expiry",
 )
 
 

@@ -1166,3 +1166,121 @@ def streaming_dedup_within_watermark(
         output_mode="append",
         sf_dir=sf_dir,
     )
+
+
+@query(
+    "streaming_join_left_outer_expiry",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS maxts FROM events)
+    SELECT v.view_id, p.purchase_id, v.user_id,
+           CAST(date_diff('microseconds', CAST(v.view_ts AS TIMESTAMP),
+                          CAST(p.purchase_ts AS TIMESTAMP)) AS BIGINT)
+             AS delta_us,
+           CAST(1 AS INT) AS matched
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.view_id, NULL, v.user_id, NULL, CAST(0 AS INT)
+    FROM v, mx
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
+              AND p.purchase_ts >= v.view_ts
+              AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+      AND CAST(v.view_ts AS TIMESTAMP)
+          <= mx.maxts - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+    """,
+)
+def streaming_join_left_outer_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner join
+    (``streaming_view_purchase_join``) cannot express: a view with NO
+    purchase in its hour window still emits, null-extended, once the
+    watermark proves no match can ever arrive.  Null emission is
+    watermark-DRIVEN state eviction: a view row expires (and emits) when
+    the purchase-side watermark passes ``view_ts + 1 h``; on the finite
+    availableNow replay that final watermark advance happens in the
+    trailing no-data micro-batch (``noDataMicroBatches``), so unmatched
+    views from the last ~2 h of the replay are still held in state at
+    query stop and deliberately never emit.
+
+    Oracle contract at the eviction boundary: whether a view at exactly
+    ``maxts − 2 h`` emits depends on the engine's internal <=/< choice,
+    so BOTH sides apply a one-minute safety margin — the stream result
+    keeps null rows only for views at least 2 h + 1 min before the max
+    event time, and the oracle twin applies the identical predicate.
+    Every unmatched view under the margin is strictly inside the
+    eviction region, so the filtered sets agree exactly (measured: 1936
+    of 1944 batch-unmatched views emit at sf0.01; the 8 tail views are
+    the held state).
+
+    Scale shape: same bounded join state as the inner form (watermark
+    evicts both sides); the outer semantics add no state, only the
+    null-extended emission on eviction — the production shape for
+    "views that never converted" funnels on infinite streams."""
+    src = _events_stream(spark, sf_dir)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("delta_us"),
+    )
+    emitted = _run_stream_to_parquet(
+        spark, joined, "join_left_outer_expiry", output_mode="append",
+        sf_dir=sf_dir,
+    )
+    maxts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    margin = F.lit(maxts) - F.expr("INTERVAL 2 HOURS") - F.expr(
+        "INTERVAL 1 MINUTE"
+    )
+    return emitted.filter(
+        F.col("purchase_id").isNotNull() | (F.col("view_ts") <= margin)
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "delta_us",
+        F.when(F.col("purchase_id").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("matched"),
+    )

@@ -555,6 +555,58 @@ def test_gif_parser_rejects_malformed():
         parse_gif_features(bytes(good[:-3]) + b"\x00\x3b")
 
 
+# --- streaming left-outer join: watermark-driven null emission -------------
+
+
+def test_streaming_left_outer_emits_expired_and_holds_tail(spark):
+    """Null-extended rows appear ONLY for views the watermark proved
+    unmatchable; unmatched views within the trailing 2 h window stay in
+    state at query stop and must NOT appear.  Matched pairs equal the
+    batch inner join exactly."""
+    import pyspark.sql.functions as F
+
+    from hadoopmapreduce_spark import registry
+    from hadoopmapreduce_spark.catalog import load_table
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES["streaming_join_left_outer_expiry"](
+        spark, sf
+    ).collect()
+    matched = {(r["view_id"], r["purchase_id"]) for r in out if r["matched"]}
+    nulls = {r["view_id"] for r in out if not r["matched"]}
+    for r in out:  # matched rows carry a delta, null rows don't
+        assert (r["delta_us"] is not None) == bool(r["matched"])
+    e = load_table(spark, sf, "events")
+    v = e.filter("event_type='view'").selectExpr(
+        "event_id vid", "user_id uid", "ts vts"
+    )
+    p = e.filter("event_type='purchase'").selectExpr(
+        "event_id pid", "user_id puid", "ts pts"
+    )
+    ref = v.join(
+        p,
+        (F.col("uid") == F.col("puid"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).collect()
+    ref_matched = {(r["vid"], r["pid"]) for r in ref if r["pid"] is not None}
+    assert matched == ref_matched
+    maxts = e.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    margin = maxts - datetime.timedelta(hours=2, minutes=1)
+    ref_unmatched_under = {
+        r["vid"] for r in ref if r["pid"] is None and r["vts"] <= margin
+    }
+    ref_unmatched_tail = {
+        r["vid"] for r in ref if r["pid"] is None and r["vts"] > margin
+    }
+    assert nulls == ref_unmatched_under  # every expired view emitted
+    assert not (nulls & ref_unmatched_tail)  # held state never leaks
+
+
 # --- BENCH pipeline: the printed line must fit the driver's tail capture --
 
 
