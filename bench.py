@@ -280,6 +280,7 @@ def main() -> None:
         # round-10 registrations
         "dedup_semantic_multiprobe", "ann_ivfadc_topk",
         "sample_importance_dsir", "image_gif_lzw_decode",
+        "streaming_join_left_outer_expiry", "agg_hll_portable_estimate",
     ]
     outliers = adjudicate_outliers(timings, prior, sf)
     summary = {

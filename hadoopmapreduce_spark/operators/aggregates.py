@@ -3316,3 +3316,172 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l_diversity",
     )
+
+
+# --------------------------------------------------------------------------
+# portable HyperLogLog — the from-scratch, fully oracle-adjudicated sketch
+# --------------------------------------------------------------------------
+
+import math as _math
+
+HLL_P = 6                     # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_REST_BITS = 42            # 48-bit md5 prefix = 6 bucket + 42 rho bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # the standard alpha_64
+# integer numerator alpha * m^2 * 2^50 — ONE Python-time constant baked
+# into both engines' expressions, so no float constant-folding differs
+HLL_A_NUM = round(_HLL_ALPHA * HLL_M * HLL_M * (1 << 50))
+# linear-counting table m*ln(m/V) in micro-units, V = 1..m — libm runs at
+# CODEGEN time only (the NDCG precomputed-log2 precedent); both engines
+# look the SAME integers up
+HLL_LC_X1E6 = tuple(
+    round(HLL_M * _math.log(HLL_M / v) * 1_000_000) for v in range(1, HLL_M + 1)
+)
+HLL_SMALL_RANGE_X1E6 = 2_500_000 * HLL_M  # 2.5*m threshold in micro-units
+
+
+def _hll_oracle() -> str:
+    lc = ", ".join(str(x) for x in HLL_LC_X1E6)
+    return f"""
+    WITH h AS (
+      SELECT o_orderstatus AS status,
+             CAST(month(o_orderdate) AS INT) AS part,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+               AS h48,
+             o_custkey
+      FROM orders),
+    rho AS (
+      SELECT status, part,
+             h48 // {1 << HLL_REST_BITS} AS bucket,
+             CASE WHEN h48 % {1 << HLL_REST_BITS} = 0
+                  THEN {HLL_REST_BITS + 1}
+                  ELSE {HLL_REST_BITS + 1}
+                       - length(bin(h48 % {1 << HLL_REST_BITS})) END AS r
+      FROM h),
+    partial AS (
+      SELECT status, part, bucket, MAX(r) AS m FROM rho GROUP BY 1, 2, 3),
+    reg AS (
+      SELECT status, bucket, MAX(m) AS m FROM partial GROUP BY 1, 2),
+    per AS (
+      SELECT status,
+             CAST(COUNT(*) AS BIGINT) AS n_set,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+             CAST(SUM(1::BIGINT << (50 - m))
+                  + ({HLL_M} - COUNT(*)) * {1 << 50} AS BIGINT) AS s
+      FROM reg GROUP BY 1),
+    est AS (
+      SELECT status, n_set, v_zero, s,
+             CAST(floor(CAST({HLL_A_NUM} AS DOUBLE) / CAST(s AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS raw_x1e6
+      FROM per),
+    fin AS (
+      SELECT status, n_set, v_zero, s,
+             CASE WHEN raw_x1e6 <= {HLL_SMALL_RANGE_X1E6} AND v_zero > 0
+                  THEN ([{lc}])[v_zero]
+                  ELSE raw_x1e6 END AS estimate_x1e6
+      FROM est),
+    ex AS (
+      SELECT o_orderstatus AS status,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY 1)
+    SELECT f.status, f.n_set, f.v_zero, f.s AS s_scaled,
+           CAST(f.estimate_x1e6 AS BIGINT) AS estimate_x1e6,
+           ex.n_exact,
+           CAST(abs(f.estimate_x1e6 - ex.n_exact * 1000000)
+                // ex.n_exact AS BIGINT) AS err_ppm
+    FROM fin f JOIN ex USING (status)
+    """
+
+
+@query("agg_hll_portable_estimate", oracle=_hll_oracle())
+def agg_hll_portable_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from scratch, fully oracle-adjudicated — the portable
+    sibling of ``agg_hll_sketch_union`` (whose DataSketches binaries are
+    engine-specific, so it could only ever be rows-only checked).  Every
+    stage is engine-portable integer arithmetic:
+
+    * **hash** — 48-bit md5 prefix of the value (the md5-nibble +
+      from_hex split keeps everything in BIGINT on both engines);
+      top 6 bits pick one of 64 registers, the remaining 42 carry rho =
+      leading-zero count + 1 via the bin()-length idiom;
+    * **registers** — MAX(rho) per bucket, built per (status, month)
+      then MERGED with a second MAX: the mergeability that makes sketch
+      columns materializable in rollup tables is the associativity of
+      MAX, exercised structurally in the plan;
+    * **harmonic sum** — Σ 2^(−M_j) integerized as Σ 2^(50−M_j) (rho <=
+      43, so every term is an exact int64 and the sum is
+      order-independent — no float accumulation crosses the shuffle);
+    * **estimate** — alpha·m²/S with alpha·m²·2^50 baked as ONE
+      Python-time integer constant; the only float op is a single
+      division of identical operands, floored to micro-units;
+    * **small-range correction** — linear counting m·ln(m/V) via 64
+      PRECOMPUTED micro-nat integers (libm runs at codegen time only,
+      the NDCG log2-table precedent), selected by the same branch
+      predicate in both engines.
+
+    Output per order status: registers set, zero registers, the scaled
+    harmonic sum, the estimate in micro-units, the exact distinct count
+    (audit), and the error in ppm — bounded by the standard 1.04/√64 ≈
+    13 % in expectation (asserted with slack in the round-10 tests).
+
+    Scale shape: two hash aggregates (partial registers, then the merge)
+    over constant 64-register state per group — the sketch property; the
+    exact audit column is the only data-sized distinct and exists to
+    grade the estimator."""
+    o = load_table(spark, sf_dir, "orders")
+    md5s = F.md5(F.col("o_custkey").cast("string").cast("binary"))
+    h48 = F.conv(F.substring(md5s, 1, 12), 16, 10).cast("long")
+    rest = F.pmod(h48, F.lit(1 << HLL_REST_BITS))
+    rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - (F.length(F.bin(rest)) - 1) - 1
+    )
+    hashed = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.month("o_orderdate").cast("int").alias("part"),
+        (h48 / F.lit(1 << HLL_REST_BITS)).cast("long").alias("bucket"),
+        rho.alias("r"),
+    )
+    partial = hashed.groupBy("status", "part", "bucket").agg(
+        F.max("r").alias("m")
+    )
+    reg = partial.groupBy("status", "bucket").agg(F.max("m").alias("m"))
+    per = reg.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_set"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        (
+            F.sum(F.expr("shiftleft(1L, 50 - m)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 50)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    raw = F.floor(
+        F.lit(float(HLL_A_NUM)) / F.col("s").cast("double") * F.lit(1e6)
+    ).cast("long")
+    lc_arr = F.array(*[F.lit(x).cast("long") for x in HLL_LC_X1E6])
+    est = per.select(
+        "status",
+        F.col("n_set").cast("long").alias("n_set"),
+        "v_zero",
+        F.col("s").alias("s_scaled"),
+        F.when(
+            (raw <= HLL_SMALL_RANGE_X1E6) & (F.col("v_zero") > 0),
+            F.element_at(lc_arr, F.col("v_zero").cast("int")),
+        )
+        .otherwise(raw)
+        .alias("estimate_x1e6"),
+    )
+    ex = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return est.join(ex, "status").select(
+        "status",
+        "n_set",
+        "v_zero",
+        "s_scaled",
+        "estimate_x1e6",
+        "n_exact",
+        F.expr(
+            "abs(estimate_x1e6 - n_exact * 1000000) div n_exact"
+        ).alias("err_ppm"),
+    )

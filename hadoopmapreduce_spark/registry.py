@@ -110,6 +110,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "sample_importance_dsir",
     "image_gif_lzw_decode",
     "streaming_join_left_outer_expiry",
+    "agg_hll_portable_estimate",
 )
 
 

@@ -108,6 +108,7 @@ HEADLINERS = [
     ("ann_ivfadc_topk", "IVFADC: probed-cells broadcast join prunes the corpus before the ADC LUT equi-join; shortlist + exact re-rank unchanged from PQ"),
     ("sample_importance_dsir", "DSIR importance selection: bigram explode, 64-row bucket model broadcast back, per-row threshold — no global rank"),
     ("image_gif_lzw_decode", "GIF LZW: real entropy decode in shuffle-free mapInPandas over one pruned scan"),
+    ("agg_hll_portable_estimate", "portable HLL: two hash aggregates over constant 64-register state; one exact-int harmonic sum"),
     # round-8: crossed the 1.5 s coverage threshold in the r8 bench run
     ("knn_maxsim_multivector", "MaxSim re-rank: broadcast probe sub-vector bag, map-side per-(q,d,qsub) max, fixed-order sum — pair fan-out linear in corpus"),
     ("maintenance_compact_roundtrip", "small-file compaction: coalesce rewrite (narrow, no shuffle); returned plan scans the compacted files"),
