@@ -281,6 +281,7 @@ def main() -> None:
         "dedup_semantic_multiprobe", "ann_ivfadc_topk",
         "sample_importance_dsir", "image_gif_lzw_decode",
         "streaming_join_left_outer_expiry", "agg_hll_portable_estimate",
+        "ts_changepoint_cusum", "eval_rouge2_pairs",
     ]
     outliers = adjudicate_outliers(timings, prior, sf)
     summary = {

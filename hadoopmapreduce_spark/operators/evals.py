@@ -563,3 +563,124 @@ def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-2 n-gram overlap — NLG/summarization-style reference eval
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_rouge2_pairs",
+    oracle=r"""
+    WITH ts AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+                FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id, ts[i.i] || ' ' || ts[i.i + 1] AS bg
+      FROM ts, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+    pair AS (
+      SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+             c.bg AS cbg, r.bg AS rbg
+      FROM bg c FULL JOIN bg r
+        ON r.doc_id = c.doc_id + 1 AND c.bg = r.bg
+      WHERE COALESCE(c.doc_id, r.doc_id - 1) % 2 = 0),
+    stats AS (
+      SELECT COALESCE(cand_id, ref_id - 1) AS cand_id,
+             CAST(SUM(CASE WHEN cbg IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN rbg IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN cbg IS NOT NULL AND rbg IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM pair GROUP BY 1)
+    SELECT cand_id, cand_id + 1 AS ref_id, n_cand, n_ref, n_common,
+           CASE WHEN n_ref = 0 THEN NULL
+                ELSE CAST(n_common * 1000000 // n_ref AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE CAST(n_common * 1000000 // n_cand AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN n_cand + n_ref = 0 THEN NULL
+                ELSE CAST(2 * n_common * 1000000 // (n_cand + n_ref)
+                          AS BIGINT)
+           END AS f1_ppm
+    FROM stats
+    WHERE n_ref > 0
+    """,
+)
+def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (distinct-bigram overlap) between candidate/reference
+    document pairs — the NLG/summarization eval loop (Lin 2004) as a
+    corpus query: each even doc_id is scored against doc_id+1 as its
+    reference, with recall = |∩|/|ref bigrams|, precision = |∩|/|cand|,
+    and F1 via the integer set identity ``2|∩|/(|cand|+|ref|)`` (the
+    eval_pr_threshold_sweep recipe — one truncating division, no
+    compounded ratios).  Distinct bigrams (the set form of ROUGE) keep
+    every count exact-integer; the clipped-multiset form swaps the
+    dedup for a LEAST(tf_c, tf_r) sum, same plan shape.
+
+    Plan shape: bigram explode → per-doc distinct → ONE equi-join on
+    (adjacent-pair key, bigram) — candidate and reference sides co-hash
+    on the bigram so the intersection is a hash join, never a cross
+    product; counts collapse map-side.  Pairs where the reference is
+    missing (odd corpus tail) drop, mirrored by the twin's n_ref > 0.
+
+    Scale shape: everything keys on (pair, bigram) — embarrassingly
+    parallel, output one row per pair; at 100 TB the pairing key is the
+    (candidate, reference) alignment column a real eval set carries."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = d.select("doc_id", F.split("text", r"\s+").alias("ts"))
+    bg = ts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(ts) - 1),"
+                " i -> element_at(ts, i) || ' ' || element_at(ts, i + 1))"
+                " END"
+            )
+        ).alias("bg"),
+    ).distinct()
+    cand = bg.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"), F.col("bg").alias("cbg")
+    )
+    ref = bg.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("cand_id"), F.col("bg").alias("rbg")
+    )
+    pair = cand.join(
+        ref,
+        (cand["cand_id"] == ref["cand_id"]) & (F.col("cbg") == F.col("rbg")),
+        "full_outer",
+    ).select(
+        F.coalesce(cand["cand_id"], ref["cand_id"]).alias("cand_id"),
+        "cbg",
+        "rbg",
+    )
+    stats = pair.groupBy("cand_id").agg(
+        F.sum(F.when(F.col("cbg").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cand"),
+        F.sum(F.when(F.col("rbg").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(
+            F.when(
+                F.col("cbg").isNotNull() & F.col("rbg").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.expr(den) == 0, F.lit(None).cast("long")
+    ).otherwise(F.expr(f"{num} * 1000000 div ({den})"))
+    return stats.filter(F.col("n_ref") > 0).select(
+        "cand_id",
+        (F.col("cand_id") + 1).alias("ref_id"),
+        "n_cand",
+        "n_ref",
+        "n_common",
+        ppm("n_common", "n_ref").alias("recall_ppm"),
+        ppm("n_common", "n_cand").alias("precision_ppm"),
+        ppm("2 * n_common", "n_cand + n_ref").alias("f1_ppm"),
+    )

@@ -1198,3 +1198,111 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             " trend_cents long, forecast_next_cents long"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# changepoint detection: binary segmentation over the daily revenue series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS rev
+      FROM orders GROUP BY 1),
+    pre AS (
+      SELECT day, rev,
+             SUM(rev) OVER w AS s_l,
+             CAST(ROW_NUMBER() OVER w AS HUGEINT) AS n_l
+      FROM daily WINDOW w AS (ORDER BY day)),
+    tot AS (SELECT SUM(rev) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+            FROM daily),
+    cand AS (
+      SELECT p.day, p.n_l, t.n - p.n_l AS n_r,
+             p.s_l, t.s - p.s_l AS s_r,
+             abs(t.n * p.s_l - p.n_l * t.s) AS stat
+      FROM pre p, tot t
+      WHERE p.n_l < t.n),
+    best AS (
+      SELECT * FROM cand ORDER BY stat DESC, day ASC LIMIT 1)
+    SELECT day AS split_day,
+           CAST(n_l AS BIGINT) AS n_left,
+           CAST(n_r AS BIGINT) AS n_right,
+           CAST(s_l // n_l AS BIGINT) AS mean_left_cents,
+           CAST(s_r // n_r AS BIGINT) AS mean_right_cents,
+           CAST(s_r // n_r - s_l // n_l AS BIGINT) AS delta_cents
+    FROM best
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection over the daily revenue series via the
+    CUSUM statistic: the split k maximizing |Σ_{i<=k}(x_i - x̄)| — i.e.
+    ``argmax_k |n·S_L(k) - n_L(k)·S|`` — the classic mean-shift
+    changepoint estimator (Page/Hinkley family; binary segmentation
+    recurses on each side with the same primitive).
+
+    Criterion choice, documented: the least-squares binseg score
+    S_L²/n_L + S_R²/n_R needs a per-candidate rational division whose
+    quotients exceed int64 (~10^26 here), and no fixed-precision sort
+    key represents those rationals exactly — a draft using
+    DECIMAL-divided scores diverged between engines at the argmax.  The
+    CUSUM statistic is DIVISION-FREE: |n·S_L - n_L·S| is exact
+    DECIMAL(38,0)/HUGEINT arithmetic (~10^15 here, headroom past sf100),
+    the sort key is exact in both engines, and the day-ASC tie-break
+    makes the argmax total.
+
+    Exactness: revenues are integer cents; prefix sums ride one ordered
+    window over the BOUNDED daily aggregate (calendar-bounded series —
+    the bounded-aggregate exception); segment means emit as floor-div
+    cents (non-negative operands, so Spark div == DuckDB //).
+
+    Scale shape: one day-grain shuffle builds the daily table; window,
+    scalar totals, and the 1-row top-1 all run on the bounded series —
+    the ts_* family posture."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("rev").over(w).alias("s_l"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("decimal(38,0)")
+        .alias("n_l"),
+    )
+    tot = daily.agg(
+        F.sum("rev").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("n"))
+        .select(
+            "day",
+            "n_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            "s_l",
+            (F.col("s") - F.col("s_l")).alias("s_r"),
+            F.abs(
+                F.col("n") * F.col("s_l") - F.col("n_l") * F.col("s")
+            ).alias("stat"),
+        )
+    )
+    best = cand.orderBy(F.desc("stat"), F.asc("day")).limit(1)
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.expr("s_l div n_l").cast("long").alias("mean_left_cents"),
+        F.expr("s_r div n_r").cast("long").alias("mean_right_cents"),
+        F.expr("s_r div n_r - s_l div n_l")
+        .cast("long")
+        .alias("delta_cents"),
+    )

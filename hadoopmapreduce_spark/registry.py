@@ -111,6 +111,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "image_gif_lzw_decode",
     "streaming_join_left_outer_expiry",
     "agg_hll_portable_estimate",
+    "ts_changepoint_cusum",
+    "eval_rouge2_pairs",
 )
 
 

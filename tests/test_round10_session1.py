@@ -706,6 +706,108 @@ def test_hll_linear_counting_branch(spark):
     assert abs(est - n_exact * 1_000_000) <= 0.15 * n_exact * 1_000_000
 
 
+# --- CUSUM changepoint -------------------------------------------------------
+
+
+def test_changepoint_finds_planted_shift():
+    """On a synthetic series with a known mean shift the argmax must land
+    exactly on the boundary — driven through the ORACLE SQL so the
+    criterion itself is pinned engine-independently."""
+    import duckdb
+
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    sql = registry.ORACLES["ts_changepoint_cusum"]
+    con = duckdb.connect()
+    # 60 days at $100/day, then 40 days at $250/day (one order per day)
+    con.execute(
+        "CREATE VIEW orders AS SELECT DATE '2020-01-01' + INTERVAL (i) DAY"
+        " AS o_orderdate, CASE WHEN i < 60 THEN 100.0 ELSE 250.0 END AS"
+        " o_totalprice FROM range(100) t(i)"
+    )
+    row = con.execute(sql).fetchone()
+    split_day, n_left, n_right, ml, mr, delta = row
+    assert str(split_day) == "2020-02-29"  # day index 59 — the boundary
+    assert (n_left, n_right) == (60, 40)
+    assert (ml, mr, delta) == (10000, 25000, 15000)
+
+
+def test_changepoint_matches_python_referee(spark):
+    """The distributed argmax must equal a pure-Python CUSUM walk over
+    the same daily aggregate (exact integer arithmetic end to end)."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from hadoopmapreduce_spark import registry
+    from hadoopmapreduce_spark.catalog import load_table
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = registry.QUERIES["ts_changepoint_cusum"](spark, sf).collect()[0]
+    o = load_table(spark, sf, "orders")
+    daily = sorted(
+        (r["day"], int(r["rev"]))
+        for r in o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+        .collect()
+    )
+    n = len(daily)
+    s = sum(v for _, v in daily)
+    best = None
+    s_l = 0
+    for i, (day, v) in enumerate(daily[:-1], start=1):
+        s_l += v
+        stat = abs(n * s_l - i * s)
+        if best is None or stat > best[0]:
+            best = (stat, day, i, s_l)
+    _, day, n_l, s_l = best
+    assert got["split_day"].date() == (
+        day.date() if hasattr(day, "date") else day
+    ) or got["split_day"] == day
+    assert got["n_left"] == n_l
+    assert got["mean_left_cents"] == s_l // n_l
+    assert got["mean_right_cents"] == (s - s_l) // (n - n_l)
+
+
+# --- ROUGE-2 -----------------------------------------------------------------
+
+
+def test_rouge2_hand_computed_identities():
+    """Identical pair scores 1.0 across the board; disjoint pair scores
+    0; a half-overlap pair matches the hand computation — driven through
+    the oracle SQL so the metric definition is engine-independent."""
+    import duckdb
+
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    sql = registry.ORACLES["eval_rouge2_pairs"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'a b c d'), (1, 'a b c d'), "          # identical
+        "(2, 'a b c'),   (3, 'x y z'), "            # disjoint
+        "(4, 'a b c d'), (5, 'a b x y')"            # 1 of 3 vs 3 grams
+        ") t(doc_id, text)"
+    )
+    rows = {r[0]: r for r in con.execute(sql).fetchall()}
+    # identical: 3 bigrams each, all common
+    assert rows[0][2:] == (3, 3, 3, 1000000, 1000000, 1000000)
+    # disjoint: 2 bigrams each, none common
+    assert rows[2][2:] == (2, 2, 0, 0, 0, 0)
+    # half: cand {ab,bc,cd}, ref {ab,bx,xy} -> common {ab}
+    n_cand, n_ref, n_common, rec, prec, f1 = rows[4][2:]
+    assert (n_cand, n_ref, n_common) == (3, 3, 1)
+    assert rec == prec == 1000000 // 3
+    assert f1 == 2 * 1000000 // 6
+
+
 # --- BENCH pipeline: the printed line must fit the driver's tail capture --
 
 
