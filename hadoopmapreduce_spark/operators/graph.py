@@ -1598,3 +1598,158 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Louvain move pass: one synchronous round of modularity-gain moves
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_louvain_move_pass",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    labels AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+    directed AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL SELECT v AS node, u AS nbr FROM edges),
+    k AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS ki
+          FROM directed GROUP BY 1),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    tot AS (
+      SELECT l.community, CAST(SUM(k.ki) AS BIGINT) AS sig
+      FROM labels l JOIN k ON k.node = l.node GROUP BY 1),
+    links AS (
+      SELECT d.node, ln.community AS c, CAST(COUNT(*) AS BIGINT) AS kic
+      FROM directed d JOIN labels ln ON ln.node = d.nbr
+      GROUP BY 1, 2),
+    own AS (
+      SELECT li.node, l.community AS o,
+             COALESCE(MAX(CASE WHEN li.c = l.community
+                               THEN li.kic END), 0) AS kio
+      FROM links li JOIN labels l ON l.node = li.node
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT li.node, ow.o, li.c, li.kic, ow.kio, k.ki,
+             so.sig AS sig_o, sc.sig AS sig_c,
+             2 * mm.m * (li.kic - ow.kio)
+             - k.ki * (sc.sig - (so.sig - k.ki)) AS gain_num
+      FROM links li
+      JOIN own ow ON ow.node = li.node
+      JOIN k ON k.node = li.node
+      JOIN tot so ON so.community = ow.o
+      JOIN tot sc ON sc.community = li.c
+      CROSS JOIN m mm
+      WHERE li.c <> ow.o),
+    best AS (
+      SELECT node, o, c, gain_num,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY gain_num DESC, c ASC) AS rk
+      FROM cand)
+    SELECT b.node, b.o AS old_community, b.c AS new_community,
+           CAST(b.gain_num AS BIGINT) AS gain_num,
+           mm.m AS m_edges
+    FROM best b CROSS JOIN m mm
+    WHERE b.rk = 1 AND b.gain_num > 0
+    """,
+)
+def graph_louvain_move_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SYNCHRONOUS Louvain move pass (Blondel et al. 2008 phase 1)
+    refining the brand partition of the co-purchase graph: every node
+    evaluates the modularity gain of moving to each NEIGHBORING
+    community against the ORIGINAL partition and reports its best
+    strictly-positive move.  Synchronous evaluation makes the pass
+    deterministic (classic Louvain's sequential sweep is visit-order
+    dependent); iterating pass → re-label → pass is the full phase-1
+    loop, and the brand seed mirrors ``graph_modularity_brand`` so the
+    two queries grade the same partition.
+
+    Exactness: the gain comparison is DIVISION-FREE — ΔQ(i: o→c) shares
+    the constant denominator 2m², so the integer numerator
+    ``2m·(k_ic − k_io) − k_i·(Σ_c − (Σ_o − k_i))`` orders candidates
+    exactly (the modularity_brand no-division discipline; routinely
+    negative, so no floor-vs-truncate trap either).  Tie-break
+    (gain DESC, community ASC) totalizes the argmax.  Overflow: both
+    terms are ≤ 2m² — int64-safe to m ≈ 1.5e9 edges, same documented
+    bound as modularity_brand.
+
+    Plan shape: the shared cached edge table feeds degree/total/link
+    aggregates (all node- or community-keyed); candidates are one hash
+    join fan-out bounded by Σ_i |neighboring communities of i| ≤ 2m; the
+    argmax is a node-keyed window.  Output: the moving nodes only."""
+    edges = copurchase_edges(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    directed = edges.selectExpr("u AS node", "v AS nbr").unionAll(
+        edges.selectExpr("v AS node", "u AS nbr")
+    )
+    k = directed.groupBy("node").agg(F.count(F.lit(1)).alias("ki"))
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    tot = (
+        labels.join(k, "node")
+        .groupBy("community")
+        .agg(F.sum("ki").alias("sig"))
+    )
+    links = (
+        directed.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("community").alias("c")
+            ),
+            "nbr",
+        )
+        .groupBy("node", "c")
+        .agg(F.count(F.lit(1)).alias("kic"))
+    )
+    own = (
+        links.join(labels, "node")
+        .groupBy("node", F.col("community").alias("o"))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("c") == F.col("community"), F.col("kic"))
+                ),
+                F.lit(0),
+            ).alias("kio")
+        )
+    )
+    cand = (
+        links.join(own, "node")
+        .filter(F.col("c") != F.col("o"))
+        .join(k, "node")
+        .join(
+            tot.select(F.col("community").alias("o"), F.col("sig").alias("sig_o")),
+            "o",
+        )
+        .join(
+            tot.select(F.col("community").alias("c"), F.col("sig").alias("sig_c")),
+            "c",
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            "o",
+            "c",
+            (
+                2 * F.col("m") * (F.col("kic") - F.col("kio"))
+                - F.col("ki")
+                * (F.col("sig_c") - (F.col("sig_o") - F.col("ki")))
+            ).alias("gain_num"),
+            F.col("m").alias("m_edges"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("node").orderBy(F.desc("gain_num"), F.asc("c"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("gain_num") > 0))
+        .select(
+            "node",
+            F.col("o").alias("old_community"),
+            F.col("c").alias("new_community"),
+            F.col("gain_num").cast("long").alias("gain_num"),
+            F.col("m_edges").cast("long").alias("m_edges"),
+        )
+    )

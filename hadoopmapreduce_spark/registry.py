@@ -113,6 +113,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "agg_hll_portable_estimate",
     "ts_changepoint_cusum",
     "eval_rouge2_pairs",
+    "graph_louvain_move_pass",
 )
 
 
