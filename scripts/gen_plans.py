@@ -109,6 +109,7 @@ HEADLINERS = [
     ("sample_importance_dsir", "DSIR importance selection: bigram explode, 64-row bucket model broadcast back, per-row threshold — no global rank"),
     ("image_gif_lzw_decode", "GIF LZW: real entropy decode in shuffle-free mapInPandas over one pruned scan"),
     ("agg_hll_portable_estimate", "portable HLL: two hash aggregates over constant 64-register state; one exact-int harmonic sum"),
+    ("graph_louvain_move_pass", "Louvain move pass: node-keyed candidate joins + argmax window, division-free integer gains"),
     # round-8: crossed the 1.5 s coverage threshold in the r8 bench run
     ("knn_maxsim_multivector", "MaxSim re-rank: broadcast probe sub-vector bag, map-side per-(q,d,qsub) max, fixed-order sum — pair fan-out linear in corpus"),
     ("maintenance_compact_roundtrip", "small-file compaction: coalesce rewrite (narrow, no shuffle); returned plan scans the compacted files"),
