@@ -110,6 +110,7 @@ HEADLINERS = [
     ("image_gif_lzw_decode", "GIF LZW: real entropy decode in shuffle-free mapInPandas over one pruned scan"),
     ("agg_hll_portable_estimate", "portable HLL: two hash aggregates over constant 64-register state; one exact-int harmonic sum"),
     ("graph_louvain_move_pass", "Louvain move pass: node-keyed candidate joins + argmax window, division-free integer gains"),
+    ("streaming_join_left_outer_expiry", "stream-stream left outer join; the returned plan is the margin-filtered read-back of the epoch sink"),
     # round-8: crossed the 1.5 s coverage threshold in the r8 bench run
     ("knn_maxsim_multivector", "MaxSim re-rank: broadcast probe sub-vector bag, map-side per-(q,d,qsub) max, fixed-order sum — pair fan-out linear in corpus"),
     ("maintenance_compact_roundtrip", "small-file compaction: coalesce rewrite (narrow, no shuffle); returned plan scans the compacted files"),
