@@ -282,7 +282,7 @@ def main() -> None:
         "sample_importance_dsir", "image_gif_lzw_decode",
         "streaming_join_left_outer_expiry", "agg_hll_portable_estimate",
         "ts_changepoint_cusum", "eval_rouge2_pairs",
-        "graph_louvain_move_pass",
+        "graph_louvain_move_pass", "eval_matryoshka_truncation",
     ]
     outliers = adjudicate_outliers(timings, prior, sf)
     summary = {

@@ -684,3 +684,136 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm("n_common", "n_cand").alias("precision_ppm"),
         ppm("2 * n_common", "n_cand + n_ref").alias("f1_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation eval: retrieval recall of dimension-prefix search
+# --------------------------------------------------------------------------
+
+MRL_PREFIXES = (8, 16, 32, 64)  # dim prefixes; 64 = the full embedding
+MRL_TOP_K = 5
+
+
+def _mrl_oracle() -> str:
+    from hadoopmapreduce_spark.operators.similarity import (
+        EMBED_DIM,
+        N_QUERIES,
+    )
+
+    levels = []
+    for d in MRL_PREFIXES:
+        levels.append(
+            f"""t{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(list_slice(q.v, 1, {d}),
+                                           list_slice(c.v, 1, {d}))
+                          / (sqrt(list_dot_product(list_slice(q.v, 1, {d}),
+                                                   list_slice(q.v, 1, {d})))
+                             * sqrt(list_dot_product(list_slice(c.v, 1, {d}),
+                                                     list_slice(c.v, 1, {d}))))
+                          DESC, c.vec_id ASC) AS rk
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}) t
+      WHERE rk <= {MRL_TOP_K})"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"""SELECT {d} AS dim_prefix, t.query_id,
+             CAST(COUNT(f.neighbor_id) AS BIGINT) AS n_hits
+      FROM t{d} t LEFT JOIN t{EMBED_DIM} f
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2"""
+        for d in MRL_PREFIXES
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {",".join(levels)},
+    hits AS ({unions})
+    SELECT CAST(dim_prefix AS INT) AS dim_prefix, query_id, n_hits,
+           CAST(n_hits * 1000000 // {MRL_TOP_K} AS BIGINT) AS recall_ppm
+    FROM hits
+    """
+
+
+@query("eval_matryoshka_truncation", oracle=_mrl_oracle())
+def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation eval (Kusupati et al. 2022): retrieval
+    recall@{MRL_TOP_K} of exact cosine search over DIMENSION PREFIXES
+    (8/16/32/64) against the full-dimension truth — the measurement that
+    decides how far an embedding column can be truncated before the ANN
+    index pays for it (truncation is the cheapest compression there is:
+    no re-encoding, just list_slice).
+
+    Per (prefix, query): the exact top-{MRL_TOP_K} under the truncated
+    cosine, intersected with the full-dimension top-{MRL_TOP_K};
+    recall in ppm via one truncating division.  The 64-prefix rows are
+    the built-in sanity floor (recall == 1.0 by construction).  All
+    arithmetic is the shared exact recipe: in-row sequential dots ==
+    list_dot_product, sqrt/division on identical doubles, total
+    (cosine DESC, vec_id ASC) tie-breaks.
+
+    Scale shape: |prefixes| exact scoring passes of the bounded query
+    set against the corpus (broadcast probes, linear scans — the
+    knn_cosine_topk shape x4); at 100 TB the prefix searches run against
+    the IVFADC index instead, same eval join."""
+    from hadoopmapreduce_spark.operators.similarity import (
+        EMBED_DIM,
+        N_QUERIES,
+        _dot,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def topk(d: int) -> DataFrame:
+        qs = F.slice(F.col("qv"), 1, d)
+        cs = F.slice(F.col("v"), 1, d)
+        cos = _dot(qs, cs) / (F.sqrt(_dot(qs, qs)) * F.sqrt(_dot(cs, cs)))
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        return (
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", cos.alias("cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= MRL_TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    truth = topk(EMBED_DIM)
+    out = None
+    for d in MRL_PREFIXES:
+        level = topk(d)
+        hits = (
+            level.join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        lvl = (
+            level.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).cast("int").alias("dim_prefix"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("long")
+                .alias("n_hits"),
+            )
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.select(
+        "dim_prefix",
+        "query_id",
+        "n_hits",
+        F.expr(f"n_hits * 1000000 div {MRL_TOP_K}").alias("recall_ppm"),
+    )

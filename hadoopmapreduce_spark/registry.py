@@ -114,6 +114,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "ts_changepoint_cusum",
     "eval_rouge2_pairs",
     "graph_louvain_move_pass",
+    "eval_matryoshka_truncation",
 )
 
 

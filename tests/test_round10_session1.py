@@ -856,6 +856,51 @@ def test_louvain_gains_positive_and_total(spark):
     assert all(r["old_community"] != r["new_community"] for r in rows)
 
 
+# --- Matryoshka truncation eval ----------------------------------------------
+
+
+def test_matryoshka_full_prefix_is_perfect_and_monotone_tail(spark):
+    """The 64-prefix rows must recall 1.0 by construction (truncated
+    search == the truth search), every recall is a multiple of 1/k, and
+    the mean recall at 32 dims must beat 8 dims on this fixture (the
+    measured curve: 0.08 / 0.08 / 0.30 / 1.00)."""
+    from hadoopmapreduce_spark import registry
+    from hadoopmapreduce_spark.operators.evals import MRL_TOP_K
+
+    registry.load_all()
+    rows = registry.QUERIES["eval_matryoshka_truncation"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_prefix: dict = {}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= MRL_TOP_K
+        assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // MRL_TOP_K
+        by_prefix.setdefault(r["dim_prefix"], []).append(r["n_hits"])
+    assert all(h == MRL_TOP_K for h in by_prefix[64])
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(by_prefix[32]) > mean(by_prefix[8])
+
+
+# --- registry hygiene: the decorator-adjacency guard ------------------------
+
+
+def test_registered_function_names_match_query_ids():
+    """Every @query decorator must sit DIRECTLY on the function it names:
+    this session a helper inserted between a decorator and its def got
+    registered under the query's name (the driver would have run the
+    helper).  Pinning name == __name__ makes that class of mishap a test
+    failure instead of a driver red."""
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    mismatched = {
+        name: fn.__name__
+        for name, fn in registry.QUERIES.items()
+        if fn.__name__ != name
+    }
+    assert not mismatched, mismatched
+
+
 # --- BENCH pipeline: the printed line must fit the driver's tail capture --
 
 
