@@ -309,7 +309,9 @@ def main() -> None:
     # OLDEST headline entries until the line fits the capture budget —
     # "queries_elided" records how many were dropped, and every elided
     # number is still in bench_full.json.
-    printed = dict(summary)
+    # Deep-copy the queries dict too: the elision loop below deletes keys
+    # from it, and a shallow copy would mutate summary["queries"] in place.
+    printed = {**summary, "queries": dict(summary["queries"])}
     printed["outliers"] = len(outliers)
     elided = 0
     line = json.dumps(printed)

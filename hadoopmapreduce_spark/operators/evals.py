@@ -817,3 +817,50 @@ def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr(f"n_hits * 1000000 div {MRL_TOP_K}").alias("recall_ppm"),
     )
+
+
+@query(
+    "eval_mrr_label_match",
+    oracle=f"""
+    WITH {_TOPK_CTES},
+    firsts AS (
+      SELECT probe_id, own_label,
+             MIN(CASE WHEN nbr_label = own_label THEN rk END) AS first_rk
+      FROM top GROUP BY 1, 2)
+    SELECT probe_id, own_label,
+           CAST(first_rk AS INT) AS first_rel_rank,
+           CAST(CASE WHEN first_rk IS NULL THEN NULL
+                     ELSE 1000000 // first_rk END AS BIGINT) AS rr_ppm
+    FROM firsts
+    """,
+)
+def eval_mrr_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@{{NOISE_K}} of the embedding space as a retrieval index — the
+    reciprocal rank of the FIRST same-label neighbor per probe-panel
+    member, the companion number to ``eval_ndcg_label_match`` (NDCG
+    grades the whole ranking; MRR grades time-to-first-hit, the metric
+    retrieval-augmented pipelines actually page on).
+
+    Exact integers: rr_ppm = 1000000 div first_rank (one truncating
+    division of exact ints); NULL when no same-label neighbor appears in
+    the top {{NOISE_K}} — in both engines, never a crash.  The mean (the
+    "M" of MRR) is deliberately left to the consumer: per-probe rows
+    hash-compare exactly and aggregate freely.
+
+    Scale shape: everything downstream of the shared broadcast top-k
+    (:func:`_probe_topk`) is a panel-sized groupBy — the corpus is
+    touched exactly once, identically to the NDCG and label-noise
+    evals (panel capped at PANEL_MAX so the probe side stays a
+    broadcast at any corpus size)."""
+    top = _probe_topk(spark, sf_dir)
+    firsts = top.groupBy("probe_id", "own_label").agg(
+        F.min(
+            F.when(F.col("nbr_label") == F.col("own_label"), F.col("rk"))
+        ).alias("first_rk")
+    )
+    return firsts.select(
+        "probe_id",
+        "own_label",
+        F.col("first_rk").cast("int").alias("first_rel_rank"),
+        F.expr("1000000 div first_rk").cast("long").alias("rr_ppm"),
+    )

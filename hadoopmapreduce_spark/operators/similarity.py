@@ -921,6 +921,16 @@ def _pq_oracle() -> str:
 # scale with the corpus.
 IVFADC_NPROBE = 6
 IVFADC_MASSIGN = 2
+# The Spark side takes its multi-assignment from ``dedup.
+# multiprobe_from_parts``, which pins nprobe=2 into the generalized
+# ``topn_probes_from_parts`` fold; only the oracle reads this constant
+# (``WHERE rk <= IVFADC_MASSIGN``).  Pin the two together so a future
+# tuning change fails loudly instead of silently drifting the twin.
+assert IVFADC_MASSIGN == 2, (
+    "ann_ivfadc_topk's Spark side takes top-2 multi-assignment from "
+    "multiprobe_from_parts; retune both together (it wraps "
+    "topn_probes_from_parts, so pass the new nprobe there and here)."
+)
 
 
 def _ivfadc_oracle() -> str:
@@ -1185,6 +1195,7 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_session1.py."""
     from hadoopmapreduce_spark.operators.dedup import (
         _semantic_assignment_parts,
+        _topn_assign_pandas,
         multiprobe_from_parts,
     )
 
@@ -1197,14 +1208,21 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE centroid aggregation feeds both sides: the corpus cell
     # multi-assignment and the query probe ranking share the same cent1
     # broadcast subtree (ReuseExchange collapses the two references)
-    e2, cent1, nrm2, scored_arr = _semantic_assignment_parts(spark, sf_dir)
+    e2, cent1, nrm2, scored_arr, g = _semantic_assignment_parts(
+        spark, sf_dir
+    )
     # corpus cell multi-assignment: SemDeDup's shuffle-free top-2 probes
     # double as the IVF multi-assignment — each vector is indexed under
     # both cells, so boundary vectors stay reachable; a (query, vec) pair
-    # matched via both cells dedups in the candidate DISTINCT
-    cells = multiprobe_from_parts(e2, cent1, nrm2, scored_arr).select(
-        "vec_id", F.col("cluster").alias("cell")
+    # matched via both cells dedups in the candidate DISTINCT.  At
+    # derived-K (G>1, probe fixtures) the Arrow-vectorized scorer
+    # replaces the in-row fold — same assignment bit-for-bit.
+    massign = (
+        multiprobe_from_parts(e2, cent1, nrm2, scored_arr)
+        if g == 1
+        else _topn_assign_pandas(e2, cent1, nprobe=IVFADC_MASSIGN)
     )
+    cells = massign.select("vec_id", F.col("cluster").alias("cell"))
     # query probe set: top-NPROBE cells by the SAME scored array the
     # assignment folds over, ranked (cos DESC, cell ASC) like the twin
     qs = (

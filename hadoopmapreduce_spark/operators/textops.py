@@ -2329,3 +2329,120 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("dsir_score"),
         F.when(score >= 0, 1).otherwise(0).cast("int").alias("kept"),
     )
+
+
+@query(
+    "pipeline_temperature_mix",
+    oracle="""
+    WITH per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(text, '\\s+'))
+                      ) AS BIGINT) AS tokens
+      FROM documents GROUP BY 1),
+    w AS (
+      SELECT lang, n_docs, tokens,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS k0
+      FROM per),
+    iw AS (  -- guarded integer sqrt: exact for any int64 either engine
+      SELECT lang, n_docs, tokens,
+             CASE WHEN k0 * k0 > tokens THEN k0 - 1
+                  WHEN (k0 + 1) * (k0 + 1) <= tokens THEN k0 + 1
+                  ELSE k0 END AS wgt
+      FROM w),
+    tot AS (
+      SELECT lang, n_docs, tokens, wgt,
+             CAST(SUM(wgt) OVER () AS BIGINT) AS wsum,
+             CAST(SUM(tokens) OVER () // 2 AS BIGINT) AS b
+      FROM iw),
+    base AS (
+      SELECT lang, n_docs, tokens, wgt, b,
+             (b * wgt) // wsum AS q0,
+             (b * wgt) % wsum AS rem,
+             b - CAST(SUM((b * wgt) // wsum) OVER () AS BIGINT) AS extra
+      FROM tot),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr
+      FROM base)
+    SELECT lang, n_docs, tokens,
+           CAST(wgt AS BIGINT) AS weight,
+           CAST(q0 + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS quota_tokens,
+           CAST(1000000 * (q0 + CASE WHEN rr <= extra THEN 1 ELSE 0 END)
+                // greatest(tokens, 1) AS BIGINT) AS factor_ppm,
+           CAST((q0 + CASE WHEN rr <= extra THEN 1 ELSE 0 END)
+                // greatest(tokens, 1) AS BIGINT) AS full_epochs
+    FROM rk
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SAMPLED data mixture (the multilingual-LM standard,
+    alpha = 1/2): per-language sampling weights proportional to
+    tokens^alpha flatten the natural distribution — low-resource
+    languages are UPSAMPLED (factor_ppm > 1e6, full_epochs >= 1 means
+    whole-corpus repeats), the complement of
+    ``pipeline_mixture_cap_rebalance``'s no-repetition water-filling.
+
+    Exactness: tokens^(1/2) is the GUARDED integer sqrt — floor(sqrt(x))
+    via libm, then the classic +/-1 correction against k² <= x < (k+1)²,
+    so the weight is the true isqrt on BOTH engines regardless of how
+    their sqrt rounds near perfect squares; the token budget (half the
+    corpus, the cap_rebalance convention) splits by largest remainder
+    (fin_prorate discipline: base b·w div W, extras to the biggest
+    remainders, ties lang ASC), so sum(quota_tokens) == budget EXACTLY
+    (pinned in tests) and every downstream number is one integer
+    division.
+
+    Scale shape: one corpus scan into a per-lang partial+final aggregate;
+    every window runs over the LANGUAGE-sized table — metadata-sized no
+    matter the corpus, same as the other mixture queries."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).alias("tokens"),
+    )
+    k0 = F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long")
+    iw = per.withColumn("k0", k0).withColumn(
+        "wgt",
+        F.when(F.col("k0") * F.col("k0") > F.col("tokens"), F.col("k0") - 1)
+        .when(
+            (F.col("k0") + 1) * (F.col("k0") + 1) <= F.col("tokens"),
+            F.col("k0") + 1,
+        )
+        .otherwise(F.col("k0")),
+    )
+    tot = iw.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        "wgt",
+        F.sum("wgt").over(W.partitionBy()).alias("wsum"),
+        F.expr("sum(tokens) over () div 2").alias("b"),
+    )
+    base = tot.select(
+        "*",
+        F.expr("(b * wgt) div wsum").alias("q0"),
+        ((F.col("b") * F.col("wgt")) % F.col("wsum")).alias("rem"),
+    ).withColumn(
+        "extra",
+        F.col("b") - F.sum("q0").over(W.partitionBy()),
+    )
+    rr = F.row_number().over(W.orderBy(F.desc("rem"), F.asc("lang")))
+    quota = F.col("q0") + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+    return (
+        base.withColumn("rr", rr)
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            F.col("wgt").cast("long").alias("weight"),
+            quota.cast("long").alias("quota_tokens"),
+            F.expr(
+                "1000000 * (q0 + CASE WHEN rr <= extra THEN 1 ELSE 0 END)"
+                " div greatest(tokens, 1)"
+            ).cast("long").alias("factor_ppm"),
+            F.expr(
+                "(q0 + CASE WHEN rr <= extra THEN 1 ELSE 0 END)"
+                " div greatest(tokens, 1)"
+            ).cast("long").alias("full_epochs"),
+        )
+    )

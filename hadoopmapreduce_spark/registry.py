@@ -27,86 +27,16 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round-10 pin (scripts/repin_window.py over CORRECTNESS_r1..r9, then
-# hand-adjusted per VERDICT r9 ask #1): slots 1-4 are the four r9
-# ADJUDICATION_DEFERRED registrations (never-checked, so they outrank
-# rotation); slots 5-6 reserve the two planned round-10 registrations
-# (names pinned ahead of registration — ``ordered_queries`` skips any not
-# yet registered); slots 7-23 drain the LAST 17 stale r3 verdicts; the
-# remaining slots start the r4 rotation (oldest-by-name).  After this
-# window goes green, every registered query has a verdict and none is
-# older than r4.  Queries not named here keep registration order after
-# the pinned prefix — nothing is ever dropped, so verdicts union toward
-# full coverage.
+# Round-11 pin (scripts/repin_window.py over CORRECTNESS_r1..r10, per
+# VERDICT r10 ask #1): slots 1-8 are the eight r10 ADJUDICATION_DEFERRED
+# registrations (never-checked, so they outrank rotation); slots 9-31
+# drain the 23 remaining stale r4 verdicts; slots 32-50 start the r5
+# rotation (oldest-by-name).  After this window goes green, every query
+# registered through r10 has a verdict and none is older than r5.
+# Queries not named here keep registration order after the pinned prefix
+# — nothing is ever dropped, so verdicts union toward full coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # --- r9 deferred registrations (never-checked) ---
-    "dq_k_anonymity",
-    "embedding_top_component",
-    "ts_holt_linear",
-    "scan_fixed_width_source",
-    # --- round-10 registrations (never-checked; pinned ahead) plus the
-    # one r9-green query whose code changed this round (reworked-code-
-    # first priority: dedup_semantic_eval gained the multiprobe columns)
-    "dedup_semantic_multiprobe",
-    "ann_ivfadc_topk",
-    "dedup_semantic_eval",
-    # --- the last 17 stale r3 verdicts ---
-    "join_range_banded",
-    "lang_id_markers",
-    "merge_upsert",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "pii_redact",
-    "pmi_top_pairs",
-    "quality_score",
-    "scd2_customer_history",
-    "sessionize_events",
-    "set_union_schema_evolution",
-    "text_stats",
-    "tfidf_top_terms",
-    "topk_terms",
-    "udf_grouped_normalize",
-    "udf_pandas_scalar",
-    "vocab_coverage",
-    # --- r4 rotation, oldest-by-name ---
-    "agg_equidepth_histogram",
-    "agg_mode_deterministic",
-    "agg_string_concat_groups",
-    "cohort_retention",
-    "ctr_flagship",
-    "dedup_clusters_twostar",
-    "dq_anomaly_sigma",
-    "dq_referential_integrity",
-    "ewma_user_value",
-    "existence_join",
-    "fn_array_setops",
-    "fn_array_suite",
-    "fn_bitwise_suite",
-    "fn_cast_suite",
-    "fn_conditional_suite",
-    "fn_explode_suite",
-    "fn_fuzzy_suite",
-    "fn_interval_suite",
-    "fn_json_suite",
-    "fn_map_suite",
-    "fn_map_transform_suite",
-    "fn_regex_suite",
-    "fn_trycast_suite",
-    "fn_variant_suite",
-    "funnel_steps_per_user",
-    "graph_bfs_distances",
-)
-
-# Registered queries with NO driver verdict yet that deliberately sit
-# OUTSIDE this round's 50-slot window.  Mid-round registrations that do
-# not fit the window land here and FRONT the next round's window
-# (tests/test_parity.py enforces every never-checked query is in exactly
-# one of the two lists).  The four r9 deferrals now front the r10 window;
-# round-10 registrations beyond the two reserved slots above defer here
-# rather than displace the VERDICT-r9-mandated rotation picks (the
-# round-7 precedent).  Each entry below is locally oracle-verified at
-# sf0.001+sf0.01 and test-pinned before landing.
-ADJUDICATION_DEFERRED: tuple[str, ...] = (
+    # --- r10 deferred registrations (never-checked) ---
     "sample_importance_dsir",
     "image_gif_lzw_decode",
     "streaming_join_left_outer_expiry",
@@ -115,6 +45,69 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "eval_rouge2_pairs",
     "graph_louvain_move_pass",
     "eval_matryoshka_truncation",
+    # --- the 23 remaining stale r4 verdicts, oldest-by-name ---
+    "graph_copurchase_triangles",
+    "graph_pagerank_int",
+    "group_avg_ctr",
+    "incremental_agg_merge",
+    "join_bucketed_colocated",
+    "layout_zorder_stats",
+    "maintenance_compact_roundtrip",
+    "mm_payload_stats",
+    "pack_token_budget",
+    "q22_sales_opportunity",
+    "sample_split_train_val_test",
+    "sample_stratified",
+    "scan_csv_source",
+    "sink_partitioned_pruned",
+    "streaming_merge_upsert",
+    "streaming_static_enrich",
+    "token_count_bpe",
+    "ts_gapfill_locf",
+    "ts_interpolate_linear",
+    "ts_resample_ohlc",
+    "ts_rollup_time_hierarchy",
+    "udf_cogrouped_asof",
+    "udtf_bigram_expand",
+    # --- r5 rotation, oldest-by-name ---
+    "agg_bitmap_distinct",
+    "agg_cms_heavy_hitters",
+    "agg_cube_grouping_id",
+    "agg_decile_lift_table",
+    "agg_pareto_nation_n80",
+    "agg_weighted_avg_exact",
+    "agg_weighted_quantile_exact",
+    "dedup_fuzzy_blocking",
+    "dedup_incremental_corpus",
+    "dedup_minhash_eval",
+    "dedup_substring_spans",
+    "doc_containment_pairs",
+    "dq_benford_first_digit",
+    "dq_freshness_lag",
+    "dq_uniqueness_audit",
+    "event_attribution_last_touch",
+    "event_attribution_linear",
+    "fn_url_suite",
+    "fn_xxhash64_suite",
+)
+
+# Registered queries with NO driver verdict yet that deliberately sit
+# OUTSIDE this round's 50-slot window.  Mid-round registrations that do
+# not fit the window land here and FRONT the next round's window
+# (tests/test_parity.py enforces every never-checked query is in exactly
+# one of the two lists).  The eight r10 deferrals now front the r11
+# window above; round-11 registrations defer here rather than displace
+# the VERDICT-r10-mandated rotation picks (the round-7 precedent).  Each
+# entry below must be locally oracle-verified at sf0.001+sf0.01 and
+# test-pinned before landing.
+ADJUDICATION_DEFERRED: tuple[str, ...] = (
+    "streaming_join_right_outer_expiry",
+    "streaming_join_full_outer_expiry",
+    "graph_louvain_phase1",
+    "image_gif_interlaced_decode",
+    "eval_mrr_label_match",
+    "pipeline_temperature_mix",
+    "graph_louvain_phase2_aggregate",
 )
 
 

@@ -44,6 +44,12 @@ ModuleNotFoundError; ``pyspark/jars`` still carries only the Hadoop
 avro deps (avro/avro-ipc/avro-mapred 1.12.1, not the ``spark-avro``
 DataSource) and no delta/iceberg/hudi runtime.  Every env-gate and its
 ready-to-register follow-up stands.
+
+Round-11 re-probe (2026-08-16, VERDICT r10 ask #8): still unchanged —
+``import google`` itself is ModuleNotFoundError (so
+transformWithStateInPandas stays env-gated), delta/deltalake/pyiceberg
+absent, ``pyspark/jars`` has exactly the three Hadoop avro jars
+(1.12.1) and no spark-avro DataSource, no delta/iceberg/hudi runtime.
 """
 
 from __future__ import annotations

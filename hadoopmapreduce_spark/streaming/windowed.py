@@ -1225,6 +1225,39 @@ def streaming_join_left_outer_expiry(
     evicts both sides); the outer semantics add no state, only the
     null-extended emission on eviction — the production shape for
     "views that never converted" funnels on infinite streams."""
+    views, purchases, cond = _vp_streams(spark, sf_dir)
+    joined = views.join(purchases, cond, "left_outer").select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("delta_us"),
+    )
+    emitted = _run_stream_to_parquet(
+        spark, joined, "join_left_outer_expiry", output_mode="append",
+        sf_dir=sf_dir,
+    )
+    margin = _expiry_margin(spark, sf_dir)
+    return emitted.filter(
+        F.col("purchase_id").isNotNull() | (F.col("view_ts") <= margin)
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "delta_us",
+        F.when(F.col("purchase_id").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("matched"),
+    )
+
+
+def _vp_streams(spark: SparkSession, sf_dir: str):
+    """The view/purchase stream pair of the stream-stream join family
+    (1-hour watermark on each side) — shared by the left/right/full
+    outer variants so all three join the identical inputs."""
     src = _events_stream(spark, sf_dir)
     views = (
         src.filter(F.col("event_type") == "view")
@@ -1244,43 +1277,194 @@ def streaming_join_left_outer_expiry(
         )
         .withWatermark("purchase_ts", "1 hour")
     )
-    joined = views.join(
-        purchases,
+    cond = (
         (F.col("v_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
-        ),
-        "left_outer",
-    ).select(
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return views, purchases, cond
+
+
+def _expiry_margin(spark: SparkSession, sf_dir: str):
+    """The shared eviction-boundary safety margin of the outer-join
+    family: null-extended rows are kept only when their event time is at
+    least 2 h + 1 min before the max event time — strictly inside the
+    watermark-eviction region under EITHER engine's <=/< choice (see
+    ``streaming_join_left_outer_expiry``).  The margin is conservative
+    for the right side too (its true eviction lag is ~1 h: a purchase
+    expires when the view watermark passes purchase_ts), which is safe:
+    both the stream result and the oracle twin apply the identical
+    predicate, so rows in the discarded band never enter the compare."""
+    maxts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    return F.lit(maxts) - F.expr("INTERVAL 2 HOURS") - F.expr(
+        "INTERVAL 1 MINUTE"
+    )
+
+
+@query(
+    "streaming_join_right_outer_expiry",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS maxts FROM events)
+    SELECT v.view_id, p.purchase_id, p.user_id,
+           CAST(date_diff('microseconds', CAST(v.view_ts AS TIMESTAMP),
+                          CAST(p.purchase_ts AS TIMESTAMP)) AS BIGINT)
+             AS delta_us,
+           CAST(1 AS INT) AS matched
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT NULL, p.purchase_id, p.user_id, NULL, CAST(0 AS INT)
+    FROM p, mx
+    WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = p.user_id
+              AND p.purchase_ts >= v.view_ts
+              AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+      AND CAST(p.purchase_ts AS TIMESTAMP)
+          <= mx.maxts - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+    """,
+)
+def streaming_join_right_outer_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER join (VERDICT r10 ask #5): a purchase
+    with NO view in the preceding hour still emits, null-extended, once
+    the view-side watermark proves no match can ever arrive — the
+    mirror of ``streaming_join_left_outer_expiry`` ("purchases with no
+    attributable view": the orphan-conversion audit on infinite
+    streams).
+
+    Eviction geometry differs from the left form: a purchase can match
+    views with ``view_ts ∈ [purchase_ts − 1 h, purchase_ts]``, so its
+    state expires (and emits null) when the view watermark passes
+    ``purchase_ts`` itself — a ~1 h true lag vs the left side's 2 h.
+    The shared 2 h + 1 min margin (``_expiry_margin``) is therefore
+    strictly conservative here; both engines drop the identical
+    boundary band, so the compare stays exact.
+
+    Scale shape: identical bounded join state to the inner and left
+    forms — the watermark evicts both sides; outer semantics add only
+    the null emission on eviction."""
+    views, purchases, cond = _vp_streams(spark, sf_dir)
+    joined = views.join(purchases, cond, "right_outer").select(
         "view_id",
         "purchase_id",
-        F.col("v_user").alias("user_id"),
-        "view_ts",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
         (
             F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
         ).alias("delta_us"),
     )
     emitted = _run_stream_to_parquet(
-        spark, joined, "join_left_outer_expiry", output_mode="append",
+        spark, joined, "join_right_outer_expiry", output_mode="append",
         sf_dir=sf_dir,
     )
-    maxts = (
-        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    )
-    margin = F.lit(maxts) - F.expr("INTERVAL 2 HOURS") - F.expr(
-        "INTERVAL 1 MINUTE"
-    )
+    margin = _expiry_margin(spark, sf_dir)
     return emitted.filter(
-        F.col("purchase_id").isNotNull() | (F.col("view_ts") <= margin)
+        F.col("view_id").isNotNull() | (F.col("purchase_ts") <= margin)
     ).select(
         "view_id",
         "purchase_id",
         "user_id",
         "delta_us",
-        F.when(F.col("purchase_id").isNotNull(), 1)
+        F.when(F.col("view_id").isNotNull(), 1)
         .otherwise(0)
         .cast("int")
         .alias("matched"),
+    )
+
+
+@query(
+    "streaming_join_full_outer_expiry",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS maxts FROM events)
+    SELECT v.view_id, p.purchase_id, v.user_id,
+           CAST(date_diff('microseconds', CAST(v.view_ts AS TIMESTAMP),
+                          CAST(p.purchase_ts AS TIMESTAMP)) AS BIGINT)
+             AS delta_us,
+           CAST(1 AS INT) AS matched
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.view_id, NULL, v.user_id, NULL, CAST(0 AS INT)
+    FROM v, mx
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
+              AND p.purchase_ts >= v.view_ts
+              AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+      AND CAST(v.view_ts AS TIMESTAMP)
+          <= mx.maxts - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+    UNION ALL
+    SELECT NULL, p.purchase_id, p.user_id, NULL, CAST(0 AS INT)
+    FROM p, mx
+    WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = p.user_id
+              AND p.purchase_ts >= v.view_ts
+              AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+      AND CAST(p.purchase_ts AS TIMESTAMP)
+          <= mx.maxts - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+    """,
+)
+def streaming_join_full_outer_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — closes the watermark-expiry join
+    matrix (inner r9, left/right per VERDICT r9 ask / r10 ask #5): both
+    the views that never converted AND the purchases with no
+    attributable view emit null-extended on state eviction, alongside
+    every matched pair.
+
+    The stream result unions the two eviction geometries, so the
+    boundary handling applies PER SIDE: an unmatched view survives the
+    compare only under the left margin, an unmatched purchase only
+    under the (conservative) right margin — both 2 h + 1 min before max
+    event time, identical in the oracle twin.  ``user_id`` coalesces
+    across sides, non-null by construction.
+
+    Scale shape: the SAME state as the one-sided forms (Spark keeps
+    both sides' watermark-bounded state for any outer type); only the
+    emission set widens."""
+    views, purchases, cond = _vp_streams(spark, sf_dir)
+    joined = views.join(purchases, cond, "full_outer").select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("delta_us"),
+    )
+    emitted = _run_stream_to_parquet(
+        spark, joined, "join_full_outer_expiry", output_mode="append",
+        sf_dir=sf_dir,
+    )
+    margin = _expiry_margin(spark, sf_dir)
+    matched = F.col("view_id").isNotNull() & F.col("purchase_id").isNotNull()
+    return emitted.filter(
+        matched
+        | (F.col("purchase_id").isNull() & (F.col("view_ts") <= margin))
+        | (F.col("view_id").isNull() & (F.col("purchase_ts") <= margin))
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "delta_us",
+        F.when(matched, 1).otherwise(0).cast("int").alias("matched"),
     )

@@ -168,29 +168,28 @@ def test_pi_grid_sql_twin_matches_python():
 # --- VERDICT r9 ask #2: SemDeDup multi-probe assignment -------------------
 
 
-def test_multiprobe_two_probes_primary_matches_single(spark):
-    """Each vector gets exactly two probes (fixture has K >= 2 clusters)
-    and the rank-1 probe IS the single-probe assignment."""
+def test_multiprobe_nprobe_probes_primary_matches_single(spark):
+    """Each vector gets exactly SEMDEDUP_NPROBE probes (fixture has
+    K >= NPROBE clusters), the rank-1 probe IS the single-probe
+    assignment, and every vector's probed clusters are distinct."""
     from hadoopmapreduce_spark.operators.dedup import (
+        SEMDEDUP_NPROBE,
         semantic_assignment,
         semantic_assignment_multiprobe,
     )
 
     sf = "/root/testdata/sf0.001"
     probes = semantic_assignment_multiprobe(spark, sf)
-    per_vec = probes.groupBy("vec_id").count().collect()
-    assert all(r["count"] == 2 for r in per_vec)
-    # rank-1 == single-probe cluster, and rank-2 differs from rank-1
-    import pyspark.sql.functions as F
-
-    p1 = {r["vec_id"]: r["cluster"] for r in probes.filter(
-        F.col("probe_rank") == 1).collect()}
-    p2 = {r["vec_id"]: r["cluster"] for r in probes.filter(
-        F.col("probe_rank") == 2).collect()}
+    per_vec: dict = {}
+    for r in probes.collect():
+        per_vec.setdefault(r["vec_id"], {})[r["probe_rank"]] = r["cluster"]
+    assert all(len(v) == SEMDEDUP_NPROBE for v in per_vec.values())
+    assert all(
+        len(set(v.values())) == SEMDEDUP_NPROBE for v in per_vec.values()
+    )
     single = {r["vec_id"]: r["cluster"] for r in semantic_assignment(
         spark, sf).collect()}
-    assert p1 == single
-    assert all(p2[v] != p1[v] for v in p1)
+    assert {vid: v[1] for vid, v in per_vec.items()} == single
 
 
 def test_multiprobe_only_drops_more(spark):
@@ -223,9 +222,11 @@ def test_multiprobe_only_drops_more(spark):
 
 
 def test_multiprobe_recall_materially_higher(spark):
-    """The point of the second probe: recall vs the global exact referee
-    must rise materially (sf0.01 measured 261,992 -> 634,686 ppm)."""
+    """The point of the extra probes: recall vs the global exact referee
+    must rise materially (sf0.01 ladder: 261,992 single-probe -> 634,686
+    top-2 -> 881,918 at the registered top-3)."""
     from hadoopmapreduce_spark import registry
+    from hadoopmapreduce_spark.operators.dedup import SEMDEDUP_NPROBE
 
     registry.load_all()
     row = (
@@ -236,9 +237,15 @@ def test_multiprobe_recall_materially_higher(spark):
         .asDict()
     )
     assert row["recall_multiprobe_ppm"] >= row["recall_ppm"] + 100_000, row
+    assert row["recall_multiprobe_ppm"] >= 800_000, row  # r10 ask #3 bar
     assert row["n_hits_multiprobe"] >= row["n_hits"]
-    # the work trade stays bounded: probe rows double, pair work <= 4x
-    assert row["n_candidates_multiprobe"] <= 4 * row["n_candidates"]
+    # the work trade stays bounded: probe rows are nprobe x, pair work
+    # ~nprobe^2 x (sf0.01 measures 9.002x at nprobe=3 — slightly over
+    # nprobe^2 because probe rows concentrate in the larger clusters);
+    # allow the skew a 10% margin
+    assert row["n_candidates_multiprobe"] <= (
+        1.1 * SEMDEDUP_NPROBE**2 * row["n_candidates"]
+    )
 
 
 def test_multiprobe_assignment_is_shuffle_free(spark):
@@ -304,9 +311,6 @@ def test_ivfadc_candidates_are_cell_bounded(spark):
     import pyspark.sql.functions as F
 
     from hadoopmapreduce_spark import registry
-    from hadoopmapreduce_spark.operators.dedup import (
-        semantic_assignment_multiprobe,
-    )
     from hadoopmapreduce_spark.operators.similarity import (
         IVFADC_MASSIGN,
         IVFADC_NPROBE,
@@ -314,8 +318,19 @@ def test_ivfadc_candidates_are_cell_bounded(spark):
 
     registry.load_all()
     sf_dir = "/root/testdata/sf0.001"
+    # reconstruct the corpus multi-assignment with the SAME top-2 helper
+    # ann_ivfadc_topk uses (semantic_assignment_multiprobe now probes
+    # SEMDEDUP_NPROBE=3 for the dedup family; IVFADC stays massign=2)
+    from hadoopmapreduce_spark.operators.dedup import (
+        _semantic_assignment_parts,
+        multiprobe_from_parts,
+    )
+
+    e0, cent0, nrm0, scored0, _g0 = _semantic_assignment_parts(
+        spark, sf_dir
+    )
     cells: dict = {}
-    for r in semantic_assignment_multiprobe(spark, sf_dir).collect():
+    for r in multiprobe_from_parts(e0, cent0, nrm0, scored0).collect():
         cells.setdefault(r["vec_id"], set()).add(r["cluster"])
     assert all(len(v) == IVFADC_MASSIGN for v in cells.values())
     out = registry.QUERIES["ann_ivfadc_topk"](spark, sf_dir).collect()
@@ -324,7 +339,9 @@ def test_ivfadc_candidates_are_cell_bounded(spark):
         _semantic_assignment_parts,
     )
 
-    e2, cent1, nrm2, scored_arr = _semantic_assignment_parts(spark, sf_dir)
+    e2, cent1, nrm2, scored_arr, _g = _semantic_assignment_parts(
+        spark, sf_dir
+    )
     qs = (
         e2.filter(F.col("vec_id") < 10)
         .withColumn("nrm", nrm2)
