@@ -1911,15 +1911,18 @@ def _louvain_graph_parts(spark: SparkSession, sf_dir: str):
 
 
 def _louvain_apply_round(directed, labels, k, m_df):
-    """One conflict-free Louvain round: (moves, applied, new_labels) —
-    moves/applied eagerly checkpointed, new_labels checkpointed with the
-    k-core/BFS lineage discipline.  See graph_louvain_phase1 for the
-    monotonicity argument."""
+    """One conflict-free Louvain round: (moves, applied, new_labels).
+    Only ``moves`` (the expensive evaluation) and ``new_labels`` (the
+    k-core/BFS lineage discipline) are eagerly checkpointed; ``applied``
+    is a cheap window over the checkpointed move table and stays lazy —
+    a third checkpoint action per round measured ~0.5 s of pure
+    scheduling on the fixture-sized graph.  See graph_louvain_phase1 for
+    the monotonicity argument."""
     from pyspark.sql import Window as W
 
     moves = _louvain_best_moves(directed, labels, k, m_df).select(
         "node", "o", "c", "gain_num"
-    )
+    ).localCheckpoint()
     wcl = W.partitionBy("comm").orderBy(F.desc("gain_num"), F.asc("node"))
     applied = (
         moves.select(
@@ -1927,13 +1930,11 @@ def _louvain_apply_round(directed, labels, k, m_df):
             F.explode(F.array("o", "c")).alias("comm"),
         )
         .withColumn("rnk", F.row_number().over(wcl))
-        .groupBy("node", "c")
+        .groupBy("node", "c", "gain_num")
         .agg(F.max("rnk").alias("mx"))
         .filter(F.col("mx") == 1)
-        .select("node", F.col("c").alias("new_c"))
+        .select("node", F.col("c").alias("new_c"), "gain_num")
     )
-    moves = moves.localCheckpoint()
-    applied = applied.localCheckpoint()
     new_labels = (
         labels.join(F.broadcast(applied), "node", "left")
         .select(
@@ -1990,40 +1991,46 @@ def graph_louvain_phase1(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, directed, k, m_count, m_df, labels = _louvain_graph_parts(
         spark, sf_dir
     )
-    rows = []
-    for r in range(1, LOUVAIN_ROUNDS + 1):
-        moves, applied, labels = _louvain_apply_round(
-            directed, labels, k, m_df
-        )
-        # ONE stats action per round: proposal/applied counts + the two
-        # modularity pieces of the post-round partition, crossJoined 1-row
-        # aggregates
-        lu = labels.select(
-            F.col("node").alias("u"), F.col("community").alias("cu")
-        )
-        lv = labels.select(
-            F.col("node").alias("v"), F.col("community").alias("cv")
-        )
-        intra_df = (
-            edges.join(F.broadcast(lu), "u")
-            .join(F.broadcast(lv), "v")
-            .where(F.col("cu") == F.col("cv"))
-            .agg(F.count(F.lit(1)).alias("intra"))
-        )
-        sumd2_df = (
+    # Q of the seed partition, computed ONCE; every later round derives
+    # its q from the exact identity ΔQ·4m² = Σ 2·gain_num over the
+    # applied (conflict-free) moves — the first draft recomputed
+    # intra/Σd² from the full graph every round and doubled the wall.  The
+    # oracle twin still derives q from the labels independently, so the
+    # driver's hash compare PROVES the identity on every round.
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    st0 = (
+        edges.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .agg(F.count(F.lit(1)).alias("intra"))
+        .crossJoin(
             labels.join(k, "node")
             .groupBy("community")
             .agg(F.sum("ki").alias("d"))
             .agg(F.sum(F.col("d") * F.col("d")).alias("sumd2"))
         )
+        .first()
+    )
+    q_cur = 4 * m_count * st0["intra"] - int(st0["sumd2"])
+    rows = []
+    for r in range(1, LOUVAIN_ROUNDS + 1):
+        moves, applied, labels = _louvain_apply_round(
+            directed, labels, k, m_df
+        )
+        # ONE stats action per round over the two checkpointed move
+        # tables (community-pair-bounded, never graph-sized)
         st = (
             moves.agg(F.count(F.lit(1)).alias("n_prop"))
-            .crossJoin(applied.agg(F.count(F.lit(1)).alias("n_ap")))
-            .crossJoin(intra_df)
-            .crossJoin(sumd2_df)
+            .crossJoin(
+                applied.agg(
+                    F.count(F.lit(1)).alias("n_ap"),
+                    F.coalesce(F.sum("gain_num"), F.lit(0)).alias("gsum"),
+                )
+            )
             .first()
         )
-        q_cur = 4 * m_count * st["intra"] - int(st["sumd2"])
+        q_cur = q_cur + 2 * int(st["gsum"])
         rows.append((r, st["n_prop"], st["n_ap"], q_cur))
     return spark.createDataFrame(
         rows, "round int, n_proposed bigint, n_applied bigint, q_num bigint"
