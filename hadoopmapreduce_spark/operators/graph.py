@@ -103,9 +103,12 @@ _CACHED: list[DataFrame] = []
 
 def release_graph_caches() -> None:
     """Unpersist every graph cache created so far (non-blocking — safe only
-    once the caller has materialized any results it still needs)."""
+    once the caller has materialized any results it still needs).  Also
+    drops the Louvain per-fixture state so its checkpointed label tables
+    can be GC-reclaimed with the rest of the family's residents."""
     while _CACHED:
         _CACHED.pop().unpersist(blocking=False)
+    _LOUVAIN_STATE.clear()
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -1889,6 +1892,80 @@ def _louvain_phase1_oracle() -> str:
     """
 
 
+# Louvain phase-1 state per (SparkContext, fixture): the checkpointed graph
+# parts, the six-round trace rows, and the FINAL label table (VERDICT r11
+# ask #3 — phase 2 reran the entire phase-1 loop before its one contraction
+# aggregate, ~95% duplicate work and the suite's second-most-expensive
+# query).  Same discipline as the cached co-purchase edge tables above:
+# deterministic per fixture, shared across the family, dropped by
+# release_graph_caches().  Keyed by applicationId so a fresh SparkContext
+# never reads another context's dead localCheckpoint.
+_LOUVAIN_STATE: dict[tuple[str, str], dict] = {}
+
+
+def _louvain_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Run the LOUVAIN_ROUNDS phase-1 loop ONCE per (app, fixture) and
+    memoize {"parts": (edges, directed, k, m_count, m_df, labels0),
+    "trace": [(round, n_proposed, n_applied, q_num), ...],
+    "labels": final checkpointed label table}.  phase 1 reports the
+    trace, phase 2 / the multilevel sweep consume the labels — the pair
+    costs one loop, not two."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    got = _LOUVAIN_STATE.get(key)
+    if got is not None:
+        return got
+    edges, directed, k, m_count, m_df, labels = _louvain_graph_parts(
+        spark, sf_dir
+    )
+    parts = (edges, directed, k, m_count, m_df, labels)
+    # Q of the seed partition, computed ONCE; every later round derives
+    # its q from the exact identity ΔQ·4m² = Σ 2·gain_num over the
+    # applied (conflict-free) moves — the first draft recomputed
+    # intra/Σd² from the full graph every round and doubled the wall.  The
+    # oracle twin still derives q from the labels independently, so the
+    # driver's hash compare PROVES the identity on every round.
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    st0 = (
+        edges.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .agg(F.count(F.lit(1)).alias("intra"))
+        .crossJoin(
+            labels.join(k, "node")
+            .groupBy("community")
+            .agg(F.sum("ki").alias("d"))
+            .agg(F.sum(F.col("d") * F.col("d")).alias("sumd2"))
+        )
+        .first()
+    )
+    q_cur = 4 * m_count * st0["intra"] - int(st0["sumd2"])
+    rows = []
+    for r in range(1, LOUVAIN_ROUNDS + 1):
+        moves, applied, labels = _louvain_apply_round(
+            directed, labels, k, m_df
+        )
+        # ONE stats action per round over the two checkpointed move
+        # tables (community-pair-bounded, never graph-sized)
+        st = (
+            moves.agg(F.count(F.lit(1)).alias("n_prop"))
+            .crossJoin(
+                applied.agg(
+                    F.count(F.lit(1)).alias("n_ap"),
+                    F.coalesce(F.sum("gain_num"), F.lit(0)).alias("gsum"),
+                )
+            )
+            .first()
+        )
+        q_cur = q_cur + 2 * int(st["gsum"])
+        rows.append((r, st["n_prop"], st["n_ap"], q_cur))
+    out = {"parts": parts, "trace": rows, "labels": labels}
+    _LOUVAIN_STATE[key] = out
+    return out
+
+
 def _louvain_graph_parts(spark: SparkSession, sf_dir: str):
     """Checkpointed inputs of the Louvain loop over the support-thresholded
     co-purchase graph: (edges, directed, k, m_count, m_df, labels0)."""
@@ -1910,17 +1987,53 @@ def _louvain_graph_parts(spark: SparkSession, sf_dir: str):
     return edges, directed, k, m_count, m_df, labels
 
 
-def _louvain_apply_round(directed, labels, k, m_df):
+def _stats_clean(df: DataFrame) -> DataFrame:
+    """Re-wrap a checkpointed DataFrame's materialized RDD WITHOUT the
+    origin plan's Catalyst statistics.
+
+    ``localCheckpoint`` truncates lineage but CARRIES the optimized
+    plan's estimated stats into the resulting LogicalRDD.  In an
+    iterated loop whose round plan references the evolving table
+    several times multiplicatively (the Louvain move evaluation joins
+    the label table ~5 ways), sizeInBytes therefore compounds
+    geometrically across rounds: measured at sf0.001, the level-1
+    final label table's carried sizeInBytes had **74,628 decimal
+    digits**, and four level-2 rounds seeded from it pushed stats
+    estimation into minutes of driver-side ``BigInteger.multiply``
+    (Karatsuba/Toom-Cook frames in jstack; 1.9→6.7→37→302 s/round with
+    constant plans, cut lineage, and 25-row data).  Re-wrapping the
+    SAME materialized InternalRow RDD drops originStats — the
+    estimate falls back to ``spark.sql.defaultSizeInBytes`` (19
+    digits, constant) — with zero runtime cost; join planning still
+    adapts at runtime via AQE.  Falls back to the input unchanged if
+    the private ``internalCreateDataFrame`` surface moves (stats
+    stay carried; correctness is unaffected either way)."""
+    jdf = df._jdf
+    try:
+        clean = jdf.sparkSession().internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(clean, df.sparkSession)
+    except Exception:  # pragma: no cover - depends on private JVM API
+        return df
+
+
+def _louvain_apply_round(directed, labels, k, m_df, best_moves_fn=None):
     """One conflict-free Louvain round: (moves, applied, new_labels).
     Only ``moves`` (the expensive evaluation) and ``new_labels`` (the
     k-core/BFS lineage discipline) are eagerly checkpointed; ``applied``
     is a cheap window over the checkpointed move table and stays lazy —
     a third checkpoint action per round measured ~0.5 s of pure
     scheduling on the fixture-sized graph.  See graph_louvain_phase1 for
-    the monotonicity argument."""
+    the monotonicity argument.  ``best_moves_fn`` defaults to the
+    unweighted evaluator; the level-2 multilevel sweep passes the
+    weighted one — the conflict-free selection and re-label are
+    evaluator-agnostic."""
     from pyspark.sql import Window as W
 
-    moves = _louvain_best_moves(directed, labels, k, m_df).select(
+    if best_moves_fn is None:
+        best_moves_fn = _louvain_best_moves
+    moves = best_moves_fn(directed, labels, k, m_df).select(
         "node", "o", "c", "gain_num"
     ).localCheckpoint()
     wcl = W.partitionBy("comm").orderBy(F.desc("gain_num"), F.asc("node"))
@@ -1935,7 +2048,10 @@ def _louvain_apply_round(directed, labels, k, m_df):
         .filter(F.col("mx") == 1)
         .select("node", F.col("c").alias("new_c"), "gain_num")
     )
-    new_labels = (
+    # _stats_clean: without it the carried stats compound ~5x in digit
+    # count per round and stats estimation goes BigInteger-quadratic —
+    # see the helper's docstring for the measured blow-up
+    new_labels = _stats_clean(
         labels.join(F.broadcast(applied), "node", "left")
         .select(
             "node",
@@ -1987,53 +2103,15 @@ def graph_louvain_phase1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns one row per round: (round, n_proposed, n_applied, q_num)
     with q_num the partition's Σ(4·m·e_c − d_c²) AFTER the round —
-    strictly increasing while n_applied > 0 (pinned in tests)."""
-    edges, directed, k, m_count, m_df, labels = _louvain_graph_parts(
-        spark, sf_dir
-    )
-    # Q of the seed partition, computed ONCE; every later round derives
-    # its q from the exact identity ΔQ·4m² = Σ 2·gain_num over the
-    # applied (conflict-free) moves — the first draft recomputed
-    # intra/Σd² from the full graph every round and doubled the wall.  The
-    # oracle twin still derives q from the labels independently, so the
-    # driver's hash compare PROVES the identity on every round.
-    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
-    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
-    st0 = (
-        edges.join(F.broadcast(lu), "u")
-        .join(F.broadcast(lv), "v")
-        .where(F.col("cu") == F.col("cv"))
-        .agg(F.count(F.lit(1)).alias("intra"))
-        .crossJoin(
-            labels.join(k, "node")
-            .groupBy("community")
-            .agg(F.sum("ki").alias("d"))
-            .agg(F.sum(F.col("d") * F.col("d")).alias("sumd2"))
-        )
-        .first()
-    )
-    q_cur = 4 * m_count * st0["intra"] - int(st0["sumd2"])
-    rows = []
-    for r in range(1, LOUVAIN_ROUNDS + 1):
-        moves, applied, labels = _louvain_apply_round(
-            directed, labels, k, m_df
-        )
-        # ONE stats action per round over the two checkpointed move
-        # tables (community-pair-bounded, never graph-sized)
-        st = (
-            moves.agg(F.count(F.lit(1)).alias("n_prop"))
-            .crossJoin(
-                applied.agg(
-                    F.count(F.lit(1)).alias("n_ap"),
-                    F.coalesce(F.sum("gain_num"), F.lit(0)).alias("gsum"),
-                )
-            )
-            .first()
-        )
-        q_cur = q_cur + 2 * int(st["gsum"])
-        rows.append((r, st["n_prop"], st["n_ap"], q_cur))
+    strictly increasing while n_applied > 0 (pinned in tests).
+
+    The loop itself lives in ``_louvain_state`` (memoized per fixture —
+    VERDICT r11 ask #3), so within one session the phase-1/phase-2/
+    multilevel trio pays for ONE loop; the trace rows here are that
+    state's byproduct."""
     return spark.createDataFrame(
-        rows, "round int, n_proposed bigint, n_applied bigint, q_num bigint"
+        _louvain_state(spark, sf_dir)["trace"],
+        "round int, n_proposed bigint, n_applied bigint, q_num bigint",
     )
 
 
@@ -2064,10 +2142,13 @@ def graph_louvain_phase2_aggregate(
     supernode's self-loop — the input to the next phase-1 sweep in the
     full Louvain recursion (Blondel et al. 2008 §2).
 
-    The phase-1 loop reruns here verbatim (shared ``_louvain_apply_round``
-    — same LOUVAIN_ROUNDS conflict-free rounds, same final partition the
-    trace query reports), then ONE community-keyed aggregate builds the
-    contracted multigraph.  Modularity is INVARIANT under this
+    The phase-1 partition comes from the memoized ``_louvain_state``
+    (VERDICT r11 ask #3: this query used to rerun the whole
+    LOUVAIN_ROUNDS loop verbatim — ~95% duplicate work of
+    ``graph_louvain_phase1`` and the suite's second-most-expensive
+    query; now the pair costs one loop), then ONE community-keyed
+    aggregate builds the contracted multigraph.  Modularity is
+    INVARIANT under this
     contraction — Q of the weighted community graph under the identity
     partition equals Q of the phase-1 partition on the original graph
     (self-loop weight = intra edge count, weighted supernode degree =
@@ -2081,13 +2162,9 @@ def graph_louvain_phase2_aggregate(
     plus two broadcast label joins and one (c_a, c_b)-keyed aggregate;
     the output is community-graph-sized — the whole point of phase 2 is
     that the next sweep runs on THIS much smaller graph."""
-    edges, directed, k, m_count, m_df, labels = _louvain_graph_parts(
-        spark, sf_dir
-    )
-    for _r in range(1, LOUVAIN_ROUNDS + 1):
-        _moves, _applied, labels = _louvain_apply_round(
-            directed, labels, k, m_df
-        )
+    st = _louvain_state(spark, sf_dir)
+    edges = st["parts"][0]
+    labels = st["labels"]
     lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
     lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
     return (
@@ -2103,4 +2180,312 @@ def graph_louvain_phase2_aggregate(
         .groupBy("c_a", "c_b", "is_self")
         .agg(F.count(F.lit(1)).alias("weight"))
         .select("c_a", "c_b", "weight", "is_self")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-level Louvain: the phase-1 sweep run ON the phase-2 contracted
+# graph (Blondel et al. 2008 §2 — the step that makes it the full algorithm)
+# --------------------------------------------------------------------------
+
+L2_ROUNDS = 4  # bounded level-2 rounds; the contracted fixture graph has
+               # ~20 supernodes, and the oracle unrolls the same count
+
+
+def _louvain_best_moves_w(
+    directed_w: DataFrame, labels: DataFrame, k: DataFrame, m: DataFrame
+) -> DataFrame:
+    """Weighted twin of ``_louvain_best_moves`` for the contracted graph:
+    ``directed_w`` carries (node, nbr, w) for NON-self edges in both
+    directions, ``k`` is the full weighted degree INCLUDING 2x the
+    node's self-loop weight (self-loops never enter k_ic — they stay
+    intra under any move — but they do count in k_i and Σ).  The gain
+    numerator 2m·(k_ic − k_io) − k_i·(Σ_c − (Σ_o − k_i)) is unchanged;
+    k_ic/k_io become weight sums.  Total edge weight m is INVARIANT
+    under contraction, so the same m table serves both levels."""
+    tot = (
+        labels.join(k, "node")
+        .groupBy("community")
+        .agg(F.sum("ki").alias("sig"))
+    )
+    links = (
+        directed_w.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("community").alias("c")
+            ),
+            "nbr",
+        )
+        .groupBy("node", "c")
+        .agg(F.sum("w").alias("kic"))
+    )
+    own = (
+        links.join(labels, "node")
+        .groupBy("node", F.col("community").alias("o"))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("c") == F.col("community"), F.col("kic"))
+                ),
+                F.lit(0),
+            ).alias("kio")
+        )
+    )
+    cand = (
+        links.join(own, "node")
+        .filter(F.col("c") != F.col("o"))
+        .join(k, "node")
+        .join(
+            tot.select(F.col("community").alias("o"), F.col("sig").alias("sig_o")),
+            "o",
+        )
+        .join(
+            tot.select(F.col("community").alias("c"), F.col("sig").alias("sig_c")),
+            "c",
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            "o",
+            "c",
+            (
+                2 * F.col("m") * (F.col("kic") - F.col("kio"))
+                - F.col("ki")
+                * (F.col("sig_c") - (F.col("sig_o") - F.col("ki")))
+            ).alias("gain_num"),
+            F.col("m").alias("m_edges"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("node").orderBy(F.desc("gain_num"), F.asc("c"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("gain_num") > 0))
+        .drop("rk")
+    )
+
+
+def _louvain_round_sql_w(r: int) -> str:
+    """One WEIGHTED Louvain round over the contracted graph as a CTE
+    block (level-2 twin of ``_louvain_round_sql``; all names suffixed
+    'b' to coexist with the level-1 chain in one WITH)."""
+    return f"""
+    totb{r} AS MATERIALIZED (
+               SELECT l.community, CAST(SUM(k.ki) AS BIGINT) AS sig
+               FROM lab2_{r} l JOIN k2 k ON k.node = l.node GROUP BY 1),
+    linksb{r} AS MATERIALIZED (
+                 SELECT d.node, ln.community AS c,
+                        CAST(SUM(d.w) AS BIGINT) AS kic
+                 FROM directed2_m d JOIN lab2_{r} ln ON ln.node = d.nbr
+                 GROUP BY 1, 2),
+    ownb{r} AS (SELECT li.node, l.community AS o,
+                       COALESCE(MAX(CASE WHEN li.c = l.community
+                                         THEN li.kic END), 0) AS kio
+                FROM linksb{r} li JOIN lab2_{r} l ON l.node = li.node
+                GROUP BY 1, 2),
+    candb{r} AS (SELECT li.node, ow.o, li.c,
+                        2 * mm.m * (li.kic - ow.kio)
+                        - k.ki * (sc.sig - (so.sig - k.ki)) AS gain_num
+                 FROM linksb{r} li
+                 JOIN ownb{r} ow ON ow.node = li.node
+                 JOIN k2 k ON k.node = li.node
+                 JOIN totb{r} so ON so.community = ow.o
+                 JOIN totb{r} sc ON sc.community = li.c
+                 CROSS JOIN mm
+                 WHERE li.c <> ow.o),
+    bestb{r} AS (SELECT node, o, c, gain_num,
+                        ROW_NUMBER() OVER (PARTITION BY node
+                                           ORDER BY gain_num DESC, c ASC)
+                          AS rk
+                 FROM candb{r}),
+    mvb{r} AS MATERIALIZED (
+               SELECT node, o, c, gain_num FROM bestb{r}
+               WHERE rk = 1 AND gain_num > 0),
+    clb{r} AS (SELECT m.node, m.c, m.gain_num, u.comm
+               FROM mvb{r} m, UNNEST([m.o, m.c]) AS u(comm)),
+    rnkb{r} AS (SELECT node, c,
+                       ROW_NUMBER() OVER (PARTITION BY comm
+                                          ORDER BY gain_num DESC, node ASC)
+                         AS rnk
+                FROM clb{r}),
+    apb{r} AS MATERIALIZED (
+               SELECT node, c FROM rnkb{r}
+               GROUP BY node, c HAVING MAX(rnk) = 1),
+    lab2_{r + 1} AS MATERIALIZED (
+                    SELECT l.node, COALESCE(a.c, l.community) AS community
+                    FROM lab2_{r} l LEFT JOIN apb{r} a ON a.node = l.node),
+    qb{r} AS (SELECT CAST(4 * mm.m *
+                     (SELECT SUM(e.w) FROM ced e
+                      JOIN lab2_{r + 1} lu ON e.u2 = lu.node
+                      JOIN lab2_{r + 1} lv ON e.v2 = lv.node
+                      WHERE lu.community = lv.community)
+                   - (SELECT SUM(d * d) FROM
+                      (SELECT CAST(SUM(k.ki) AS BIGINT) AS d
+                       FROM lab2_{r + 1} l JOIN k2 k ON k.node = l.node
+                       GROUP BY l.community))
+                   AS BIGINT) AS q FROM mm),
+    trb{r} AS (SELECT {r} AS round,
+                      (SELECT COUNT(*) FROM mvb{r}) AS n_proposed,
+                      (SELECT COUNT(*) FROM apb{r}) AS n_applied,
+                      (SELECT q FROM qb{r}) AS q_num)"""
+
+
+def _louvain_multilevel_oracle() -> str:
+    fin = f"lab{LOUVAIN_ROUNDS + 1}"
+    rounds2 = "".join(
+        "," + _louvain_round_sql_w(r) for r in range(1, L2_ROUNDS + 1)
+    )
+    u1 = "\n    UNION ALL ".join(
+        f"SELECT 1 AS level, round, n_proposed, n_applied, q_num FROM tr{r}"
+        for r in range(1, LOUVAIN_ROUNDS + 1)
+    )
+    u2 = "\n    UNION ALL ".join(
+        f"SELECT 2 AS level, round, n_proposed, n_applied, q_num FROM trb{r}"
+        for r in range(1, L2_ROUNDS + 1)
+    )
+    return f"""
+    {_louvain_chain_sql()},
+    ced AS MATERIALIZED (
+      SELECT LEAST(lu.community, lv.community) AS u2,
+             GREATEST(lu.community, lv.community) AS v2,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM tedges_m e
+      JOIN {fin} lu ON e.u = lu.node
+      JOIN {fin} lv ON e.v = lv.node
+      GROUP BY 1, 2),
+    directed2_m AS MATERIALIZED (
+      SELECT u2 AS node, v2 AS nbr, w FROM ced WHERE u2 <> v2
+      UNION ALL SELECT v2 AS node, u2 AS nbr, w FROM ced WHERE u2 <> v2),
+    selfw AS (SELECT u2 AS node, w FROM ced WHERE u2 = v2),
+    nodes2 AS (SELECT DISTINCT node FROM (
+      SELECT u2 AS node FROM ced UNION ALL SELECT v2 AS node FROM ced)),
+    k2 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(COALESCE(ds.s, 0) + 2 * COALESCE(sw.w, 0) AS BIGINT) AS ki
+      FROM nodes2 n
+      LEFT JOIN (SELECT node, SUM(w) AS s FROM directed2_m GROUP BY 1) ds
+             ON ds.node = n.node
+      LEFT JOIN selfw sw ON sw.node = n.node),
+    lab2_1 AS MATERIALIZED (SELECT node, node AS community FROM nodes2)
+    {rounds2}
+    SELECT CAST(level AS INT) AS level,
+           CAST(round AS INT) AS round,
+           CAST(n_proposed AS BIGINT) AS n_proposed,
+           CAST(n_applied AS BIGINT) AS n_applied,
+           CAST(q_num AS BIGINT) AS q_num
+    FROM ({u1}
+    UNION ALL {u2})
+    """
+
+
+@query("graph_louvain_multilevel", oracle=_louvain_multilevel_oracle())
+def graph_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-level Louvain (VERDICT r11 ask #4): the phase-1 sweep
+    run ON the phase-2 contracted graph, completing the Blondel et al.
+    2008 recursion over the support-thresholded co-purchase graph.
+
+    Level 1 is the memoized ``_louvain_state`` loop (LOUVAIN_ROUNDS
+    conflict-free rounds from the brand seed — the exact trace
+    ``graph_louvain_phase1`` reports).  Its final partition is
+    contracted exactly as ``graph_louvain_phase2_aggregate`` does
+    (supernode per community, parallel edges summed to integer weights,
+    intra edges as self-loops), and level 2 reruns the SAME conflict-free
+    machinery with the weighted move evaluator from the identity seed
+    (each supernode its own community).
+
+    Cross-level exactness: total edge weight and degree mass are
+    invariant under contraction, so level 2 opens at q_num EXACTLY equal
+    to level 1's final q_num (the phase-2 Q-invariance identity — pinned
+    in tests), and the whole two-level trace is monotone: each level-2
+    round applies the conflict-free move set whose ΔQ·4m² = Σ 2·gain_num
+    > 0 identity holds verbatim in weights (self-loops stay intra under
+    any move, so they never perturb k_ic; they DO ride along in k_i and
+    Σ, which the weighted-degree table accounts for).
+
+    Returns (level, round, n_proposed, n_applied, q_num): LOUVAIN_ROUNDS
+    level-1 rows then L2_ROUNDS level-2 rows, q_num non-decreasing
+    end-to-end.
+
+    Scale shape: level 2's per-round cost is the level-1 plan on a graph
+    |communities| big — the whole point of the recursion is that each
+    level runs on a geometrically smaller graph, so the fixture's level-2
+    wall is pure scheduling (~20 supernodes); at 100 TB the contracted
+    graph still has millions of supernodes and the same conflict-free
+    parallelism bound applies."""
+    st = _louvain_state(spark, sf_dir)
+    edges = st["parts"][0]
+    m_count, m_df = st["parts"][3], st["parts"][4]
+    labels1 = st["labels"]
+    lu = labels1.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels1.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    ced = (
+        edges.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .select(
+            F.least("cu", "cv").alias("u2"),
+            F.greatest("cu", "cv").alias("v2"),
+        )
+        .groupBy("u2", "v2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()  # community-graph-sized; feeds every round
+    )
+    nonself = ced.filter(F.col("u2") != F.col("v2"))
+    directed2 = (
+        nonself.selectExpr("u2 AS node", "v2 AS nbr", "w")
+        .unionAll(nonself.selectExpr("v2 AS node", "u2 AS nbr", "w"))
+        .localCheckpoint()
+    )
+    selfw = ced.filter(F.col("u2") == F.col("v2")).selectExpr(
+        "u2 AS node", "w AS sw"
+    )
+    nodes2 = (
+        ced.selectExpr("u2 AS node")
+        .unionAll(ced.selectExpr("v2 AS node"))
+        .distinct()
+    )
+    k2 = (
+        nodes2.join(
+            directed2.groupBy("node").agg(F.sum("w").alias("ds")), "node", "left"
+        )
+        .join(selfw, "node", "left")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("ds"), F.lit(0))
+                + 2 * F.coalesce(F.col("sw"), F.lit(0))
+            ).cast("long").alias("ki"),
+        )
+        .localCheckpoint()
+    )
+    labels2 = nodes2.select("node", F.col("node").alias("community"))
+    # level-2 opening q: under the identity partition intra weight is the
+    # self-loop mass, Σd² the supernode degree masses — EXACTLY level 1's
+    # final q_num by the contraction invariance (tests pin the equality)
+    st0 = (
+        selfw.agg(F.coalesce(F.sum("sw"), F.lit(0)).alias("intra"))
+        .crossJoin(k2.agg(F.sum(F.col("ki") * F.col("ki")).alias("sumd2")))
+        .first()
+    )
+    q_cur = 4 * m_count * int(st0["intra"]) - int(st0["sumd2"])
+    rows = [(1, r, p, a, q) for (r, p, a, q) in st["trace"]]
+    for r in range(1, L2_ROUNDS + 1):
+        moves, applied, labels2 = _louvain_apply_round(
+            directed2, labels2, k2, m_df, best_moves_fn=_louvain_best_moves_w
+        )
+        stt = (
+            moves.agg(F.count(F.lit(1)).alias("n_prop"))
+            .crossJoin(
+                applied.agg(
+                    F.count(F.lit(1)).alias("n_ap"),
+                    F.coalesce(F.sum("gain_num"), F.lit(0)).alias("gsum"),
+                )
+            )
+            .first()
+        )
+        q_cur = q_cur + 2 * int(stt["gsum"])
+        rows.append((2, r, stt["n_prop"], stt["n_ap"], q_cur))
+    return spark.createDataFrame(
+        rows,
+        "level int, round int, n_proposed bigint, n_applied bigint, "
+        "q_num bigint",
     )

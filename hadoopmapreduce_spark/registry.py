@@ -27,88 +27,80 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round-11 pin (scripts/repin_window.py over CORRECTNESS_r1..r10, per
-# VERDICT r10 ask #1): slots 1-8 are the eight r10 ADJUDICATION_DEFERRED
-# registrations (never-checked, so they outrank rotation); slots 9-31
-# drain the 23 remaining stale r4 verdicts; slots 32-50 start the r5
+# Round-12 pin (scripts/repin_window.py over CORRECTNESS_r1..r11, per
+# VERDICT r11 ask #1): slots 1-7 are the seven r11 ADJUDICATION_DEFERRED
+# registrations (never-checked, so they outrank rotation); slots 8-38
+# drain the 31 remaining stale r5 verdicts; slots 39-50 start the r6
 # rotation (oldest-by-name).  After this window goes green, every query
-# registered through r10 has a verdict and none is older than r5.
+# registered through r11 has a verdict and none is older than r6.
 # Queries not named here keep registration order after the pinned prefix
 # — nothing is ever dropped, so verdicts union toward full coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    # --- r10 deferred registrations (never-checked) ---
-    "sample_importance_dsir",
-    "image_gif_lzw_decode",
-    "streaming_join_left_outer_expiry",
-    "agg_hll_portable_estimate",
-    "ts_changepoint_cusum",
-    "eval_rouge2_pairs",
-    "graph_louvain_move_pass",
-    "eval_matryoshka_truncation",
-    # --- the 23 remaining stale r4 verdicts, oldest-by-name ---
-    "graph_copurchase_triangles",
-    "graph_pagerank_int",
-    "group_avg_ctr",
-    "incremental_agg_merge",
-    "join_bucketed_colocated",
-    "layout_zorder_stats",
-    "maintenance_compact_roundtrip",
-    "mm_payload_stats",
-    "pack_token_budget",
-    "q22_sales_opportunity",
-    "sample_split_train_val_test",
-    "sample_stratified",
-    "scan_csv_source",
-    "sink_partitioned_pruned",
-    "streaming_merge_upsert",
-    "streaming_static_enrich",
-    "token_count_bpe",
-    "ts_gapfill_locf",
-    "ts_interpolate_linear",
-    "ts_resample_ohlc",
-    "ts_rollup_time_hierarchy",
-    "udf_cogrouped_asof",
-    "udtf_bigram_expand",
-    # --- r5 rotation, oldest-by-name ---
-    "agg_bitmap_distinct",
-    "agg_cms_heavy_hitters",
-    "agg_cube_grouping_id",
-    "agg_decile_lift_table",
-    "agg_pareto_nation_n80",
-    "agg_weighted_avg_exact",
-    "agg_weighted_quantile_exact",
-    "dedup_fuzzy_blocking",
-    "dedup_incremental_corpus",
-    "dedup_minhash_eval",
-    "dedup_substring_spans",
-    "doc_containment_pairs",
-    "dq_benford_first_digit",
-    "dq_freshness_lag",
-    "dq_uniqueness_audit",
-    "event_attribution_last_touch",
-    "event_attribution_linear",
-    "fn_url_suite",
-    "fn_xxhash64_suite",
+    "streaming_join_right_outer_expiry",  # never-checked
+    "streaming_join_full_outer_expiry",  # never-checked
+    "graph_louvain_phase1",  # never-checked
+    "image_gif_interlaced_decode",  # never-checked
+    "eval_mrr_label_match",  # never-checked
+    "pipeline_temperature_mix",  # never-checked
+    "graph_louvain_phase2_aggregate",  # never-checked
+    "graph_basket_lift_top",  # last verdict r5
+    "graph_kcore_peel_trace",  # last verdict r5
+    "graph_wcc_components",  # last verdict r5
+    "join_bloom_multiprobe",  # last verdict r5
+    "join_bloom_prefilter",  # last verdict r5
+    "join_broadcast_fallback",  # last verdict r5
+    "join_interval_overlap",  # last verdict r5
+    "join_partition_pruned_dynamic",  # last verdict r5
+    "knn_filtered_topk",  # last verdict r5
+    "mm_cdc_chunking",  # last verdict r5
+    "mm_chunk_manifest",  # last verdict r5
+    "pipeline_training_data_prep",  # last verdict r5
+    "scan_dirty_json_quarantine",  # last verdict r5
+    "scan_nested_struct_pruned",  # last verdict r5
+    "scd2_asof_lookup",  # last verdict r5
+    "simhash_dedup",  # last verdict r5
+    "sink_textkv_writer_roundtrip",  # last verdict r5
+    "streaming_dim_refresh_enrich",  # last verdict r5
+    "streaming_late_data_audit",  # last verdict r5
+    "streaming_sliding_topk",  # last verdict r5
+    "table_diff_reconcile",  # last verdict r5
+    "text_bpe_learn_merges",  # last verdict r5
+    "topk_terms_per_lang",  # last verdict r5
+    "ts_mom_revenue_change",  # last verdict r5
+    "ts_seasonal_decompose",  # last verdict r5
+    "udaf_pandas_grouped_agg",  # last verdict r5
+    "udaf_tdigest_quantiles",  # last verdict r5
+    "window_distribution_suite",  # last verdict r5
+    "window_gap_islands",  # last verdict r5
+    "window_rolling_median_exact",  # last verdict r5
+    "window_running_distinct",  # last verdict r5
+    "agg_filter_clause",  # last verdict r6
+    "agg_gini_coefficient",  # last verdict r6
+    "agg_herfindahl_index",  # last verdict r6
+    "agg_pareto_frontier_2d",  # last verdict r6
+    "agg_percentile_disc",  # last verdict r6
+    "agg_rfm_segmentation",  # last verdict r6
+    "agg_share_of_parent",  # last verdict r6
+    "dedup_prefix_filter_jaccard",  # last verdict r6
+    "dedup_url_canonicalize",  # last verdict r6
+    "dq_completeness_profile",  # last verdict r6
+    "dq_cross_field_rules",  # last verdict r6
+    "dq_duplicate_payments",  # last verdict r6
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
 # OUTSIDE this round's 50-slot window.  Mid-round registrations that do
 # not fit the window land here and FRONT the next round's window
 # (tests/test_parity.py enforces every never-checked query is in exactly
-# one of the two lists).  The eight r10 deferrals now front the r11
-# window above; round-11 registrations defer here rather than displace
-# the VERDICT-r10-mandated rotation picks (the round-7 precedent).  Each
-# entry below must be locally oracle-verified at sf0.001+sf0.01 and
-# test-pinned before landing.
+# one of the two lists).  The seven r11 deferrals now front the r12
+# window above; round-12 registrations defer here rather than displace
+# the VERDICT-r11-mandated rotation picks.  Each entry below must be
+# locally oracle-verified at sf0.001+sf0.01 and test-pinned before
+# landing.
 ADJUDICATION_DEFERRED: tuple[str, ...] = (
-    "streaming_join_right_outer_expiry",
-    "streaming_join_full_outer_expiry",
-    "graph_louvain_phase1",
-    "image_gif_interlaced_decode",
-    "eval_mrr_label_match",
-    "pipeline_temperature_mix",
-    "graph_louvain_phase2_aggregate",
+    "graph_louvain_multilevel",
 )
+
 
 
 def ordered_queries() -> dict[str, QueryFn]:
