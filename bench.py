@@ -354,7 +354,8 @@ def main() -> None:
         "graph_louvain_phase2_aggregate", "image_gif_interlaced_decode",
         "eval_mrr_label_match", "pipeline_temperature_mix",
         # round-12 registrations
-        "graph_louvain_multilevel",
+        "graph_louvain_multilevel", "text_bm25_topk",
+        "image_bmp_rle8_decode",
     ]
     outliers = adjudicate_outliers(timings, prior, sf)
     samples = sorted(s[1] for s in canary_series if s[1] > 0)

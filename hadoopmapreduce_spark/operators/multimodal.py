@@ -2329,3 +2329,320 @@ def image_gif_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas over one pruned scan."""
     assets = gif_interlaced_assets(spark, sf_dir).select("doc_id", "payload")
     return assets.mapInPandas(_gif_interlaced_batch, schema=_GIF_I_SCHEMA)
+
+
+# --- real BMP synthesis + RLE8 entropy DECODE — codec family #8 -------------
+#
+# Windows BMP with BI_RLE8 compression is the second mainstream image
+# format (after GIF's LZW) whose entropy coding is implementable exactly
+# from the spec with no external codec library: run-length packets,
+# absolute-mode literal stretches with word-boundary padding, end-of-line
+# and end-of-bitmap escapes, and BOTTOM-UP row storage.  The pixel LAW is
+# defined in top-down SCREEN space, so a decoder that skips the vertical
+# flip lands every feature on the wrong row and breaks poschk — the same
+# load-bearing positional trap as the GIF interlace query.
+
+BMP_W_MOD = 13  # width = text byte length % 13 + 4
+BMP_H_MOD = 5   # height = doc_id % 5 + 4
+
+
+def bmp_pixel_law(x: int, y: int, seed: int, nc: int) -> int:
+    """Index at SCREEN position (x, y): even rows run in length-4 blocks
+    (exercising encoded-mode packets), odd rows change every pixel
+    (exercising absolute mode)."""
+    if y % 2 == 0:
+        return ((x // 4) + y + seed) % nc
+    return (x + 3 * y + seed) % nc
+
+
+def rle8_encode_row(row: list) -> bytes:
+    """One row of BI_RLE8: maximal repeats as encoded-mode packets
+    (count, value); stretches of non-repeating pixels as absolute-mode
+    packets (0x00, count>=3, literals, word-padded) or 1-2 encoded
+    singles when too short for absolute mode.  No delta escapes."""
+    out = bytearray()
+    runs: list[tuple[int, int]] = []  # (value, length), maximal
+    for v in row:
+        if runs and runs[-1][0] == v and runs[-1][1] < 255:
+            runs[-1] = (v, runs[-1][1] + 1)
+        else:
+            runs.append((v, 1))
+    lits: list[int] = []
+
+    def flush_lits():
+        nonlocal lits
+        while lits:
+            if len(lits) >= 3:
+                take = lits[:255]
+                out.append(0)
+                out.append(len(take))
+                out.extend(take)
+                if len(take) % 2:
+                    out.append(0)  # word-boundary pad
+                lits = lits[len(take):]
+            else:
+                for v in lits:  # 1-2 leftovers: encoded singles
+                    out.extend((1, v))
+                lits = []
+
+    for v, n in runs:
+        if n >= 3:
+            flush_lits()
+            out.extend((n, v))
+        else:
+            lits.extend([v] * n)
+    flush_lits()
+    return bytes(out)
+
+
+def synthesize_bmp_rle8(
+    width: int, height: int, seed: int, ncolors: int
+) -> bytes:
+    """Standards-valid 8-bit BI_RLE8 BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER(40) + a ``ncolors``-entry BGRX palette under the
+    deterministic palette law + the RLE8 pixel stream with rows stored
+    BOTTOM-UP, each ended by the 00 00 escape and the bitmap by 00 01.
+    ncolors is any 2..256 (BMP's biClrUsed, unlike GIF's power-of-two
+    tables)."""
+    import struct
+
+    if not 2 <= ncolors <= 256:
+        raise ValueError(f"ncolors {ncolors} outside 2..256")
+    stream = bytearray()
+    for yf in range(height):  # file order: bottom row first
+        y = height - 1 - yf
+        row = [bmp_pixel_law(x, y, seed, ncolors) for x in range(width)]
+        stream += rle8_encode_row(row)
+        stream += b"\x00\x01" if yf == height - 1 else b"\x00\x00"
+    palette = bytearray()
+    for i in range(ncolors):
+        palette += bytes(
+            (
+                (i * 29 + seed) % 256,  # B
+                (i * 13 + seed) % 256,  # G
+                (i * 5 + seed) % 256,   # R
+                0,
+            )
+        )
+    data_off = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8, 1,  # BI_RLE8
+        len(stream), 2835, 2835, ncolors, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", data_off + len(stream), 0, 0, data_off)
+    return head + info + bytes(palette) + bytes(stream)
+
+
+def rle8_decode(stream: bytes, width: int, height: int) -> list:
+    """REAL BI_RLE8 entropy decode into TOP-DOWN screen order: encoded
+    packets, absolute mode with its word-boundary padding, end-of-line
+    and end-of-bitmap escapes, and the bottom-up -> screen flip.  Raises
+    ValueError on any structural violation (row overrun, missing
+    escapes, truncation, delta escapes — which this pipeline's encoder
+    never emits)."""
+    screen = [None] * (width * height)
+    pos = 0
+    x, yf = 0, 0  # yf = file row (bottom-up)
+
+    def put(v: int):
+        nonlocal x
+        if yf >= height or x >= width:
+            raise ValueError(f"pixel overrun at file row {yf}, x {x}")
+        screen[(height - 1 - yf) * width + x] = v
+        x += 1
+
+    done = False
+    while not done:
+        if pos + 2 > len(stream):
+            raise ValueError("RLE8 stream truncated")
+        b0, b1 = stream[pos], stream[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded mode
+            for _ in range(b0):
+                put(b1)
+        elif b1 == 0:  # end of line
+            if x != width:
+                raise ValueError(f"EOL at x={x} != width {width}")
+            x, yf = 0, yf + 1
+        elif b1 == 1:  # end of bitmap
+            if x != width or yf != height - 1:
+                raise ValueError("EOB before the last row completed")
+            done = True
+        elif b1 == 2:
+            raise ValueError("delta escape unsupported by this pipeline")
+        else:  # absolute mode
+            if pos + b1 > len(stream):
+                raise ValueError("absolute packet truncated")
+            for i in range(b1):
+                put(stream[pos + i])
+            pos += b1 + (b1 % 2)  # word-boundary pad
+    if pos != len(stream):
+        raise ValueError(f"{len(stream) - pos} trailing bytes after EOB")
+    if any(v is None for v in screen):
+        raise ValueError("holes in the decoded bitmap")
+    return screen
+
+
+def parse_bmp_features(payload: bytes) -> dict:
+    """Strict BMP walk + REAL RLE8 decode: validates both headers, the
+    BI_RLE8 compression tag, palette and data-offset accounting, decodes
+    the pixel stream (bottom-up -> screen flip), and derives the
+    closed-form features.  Raises ValueError on any violation."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"bad signature {payload[:2]!r}")
+    fsize, _r1, _r2, data_off = struct.unpack_from("<IHHI", payload, 2)
+    if fsize != len(payload):
+        raise ValueError(f"file size field {fsize} != {len(payload)}")
+    (hsz, w, h, planes, bpp, comp, simg, _xp, _yp, clr, _imp) = (
+        struct.unpack_from("<IiiHHIIiiII", payload, 14)
+    )
+    if hsz != 40 or planes != 1 or bpp != 8 or comp != 1:
+        raise ValueError(f"not an RLE8 BITMAPINFOHEADER ({hsz},{planes},{bpp},{comp})")
+    if w <= 0 or h <= 0:
+        raise ValueError("top-down or degenerate dimensions")
+    if clr < 2 or data_off != 14 + 40 + 4 * clr:
+        raise ValueError("palette/data-offset accounting broken")
+    palette = payload[14 + 40 : data_off]
+    if any(palette[4 * i + 3] != 0 for i in range(clr)):
+        raise ValueError("nonzero palette reserved byte")
+    stream = payload[data_off:]
+    if simg != len(stream):
+        raise ValueError(f"biSizeImage {simg} != stream {len(stream)}")
+    idx = rle8_decode(stream, w, h)
+    if max(idx) >= clr:
+        raise ValueError("pixel index outside the palette")
+    poschk = 0
+    for i, v in enumerate(idx):
+        poschk += (i + 1) * v
+    return {
+        "width": w,
+        "height": h,
+        "ncolors": clr,
+        "n_pixels": len(idx),
+        "sum_idx": sum(idx),
+        "max_idx": max(idx),
+        "poschk": poschk % 1000000007,
+        "palette_sum": sum(palette),
+    }
+
+
+_BMP_SCHEMA = (
+    "doc_id long, width int, height int, ncolors int, n_pixels long, "
+    "sum_idx long, max_idx int, poschk long, palette_sum long"
+)
+
+
+def _bmp_probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [parse_bmp_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real RLE8 BMP payloads per document: width from the text byte
+    length, height/seed from the doc id, 5-color palettes on odd ids and
+    16-color on even (non-power-of-two tables are legal in BMP, unlike
+    GIF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(
+        w: pd.Series, h: pd.Series, seed: pd.Series, nc: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_bmp_rle8(int(a), int(b), int(c), int(d))
+                for a, b, c, d in zip(w, h, seed, nc)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.length(F.encode(F.col("text"), "utf-8")) % BMP_W_MOD + 4)
+        .cast("int")
+        .alias("w_spec"),
+        (F.col("doc_id") % BMP_H_MOD + 4).cast("int").alias("h_spec"),
+        (F.col("doc_id") % 256).cast("int").alias("seed_spec"),
+        F.when(F.col("doc_id") % 2 == 1, 5).otherwise(16)
+        .cast("int")
+        .alias("nc_spec"),
+    ).withColumn(
+        "payload",
+        _synth(
+            F.col("w_spec"), F.col("h_spec"), F.col("seed_spec"),
+            F.col("nc_spec"),
+        ),
+    )
+
+
+BMP_PROBE_ORACLE_SQL = f"""
+    WITH spec AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % {BMP_W_MOD} + 4 AS w,
+             CAST(doc_id % {BMP_H_MOD} + 4 AS INT) AS h,
+             CAST(doc_id % 256 AS INT) AS seed,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 16 END AS INT) AS nc
+      FROM documents),
+    px AS (
+      SELECT s.doc_id,
+             CASE WHEN y.y % 2 = 0
+                  THEN ((x.x // 4) + y.y + s.seed) % s.nc
+                  ELSE (x.x + 3 * y.y + s.seed) % s.nc END AS v,
+             ((y.y * s.w + x.x) + 1)
+               * (CASE WHEN y.y % 2 = 0
+                       THEN ((x.x // 4) + y.y + s.seed) % s.nc
+                       ELSE (x.x + 3 * y.y + s.seed) % s.nc END) AS pv
+      FROM spec s, LATERAL unnest(range(0, s.w)) AS x(x),
+                   LATERAL unnest(range(0, s.h)) AS y(y)),
+    pal AS (
+      SELECT s.doc_id,
+             SUM((i.i * 29 + s.seed) % 256 + (i.i * 13 + s.seed) % 256
+                 + (i.i * 5 + s.seed) % 256) AS psum
+      FROM spec s, LATERAL unnest(range(0, s.nc)) AS i(i)
+      GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(s.w AS INT) AS width,
+           s.h AS height,
+           s.nc AS ncolors,
+           CAST(s.w * s.h AS BIGINT) AS n_pixels,
+           CAST(p.sum_v AS BIGINT) AS sum_idx,
+           CAST(p.max_v AS INT) AS max_idx,
+           CAST(p.sum_pv % 1000000007 AS BIGINT) AS poschk,
+           CAST(pal.psum AS BIGINT) AS palette_sum
+    FROM spec s
+    JOIN (SELECT doc_id, SUM(v) AS sum_v, MAX(v) AS max_v,
+                 SUM(pv) AS sum_pv
+          FROM px GROUP BY doc_id) p USING (doc_id)
+    JOIN pal USING (doc_id)
+"""
+
+
+@query("image_bmp_rle8_decode", oracle=BMP_PROBE_ORACLE_SQL)
+def image_bmp_rle8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image run-length decode — codec family #8
+    (VERDICT r11 ask #7): synthesize standards-valid BI_RLE8 BMPs
+    (5- and 16-color palettes — BMP allows non-power-of-two tables),
+    then walk both headers strictly and RLE8-DECOMPRESS the pixel
+    stream: encoded packets, absolute-mode literals with word-boundary
+    padding, end-of-line/end-of-bitmap escapes, and the BOTTOM-UP row
+    flip.  The pixel law alternates run-friendly even rows (length-4
+    blocks -> encoded mode) with per-pixel-varying odd rows (-> absolute
+    mode), so BOTH packet types run on every image.
+
+    The features are closed-form functions of the synthesis law (the
+    GIF-family discipline), so the DuckDB twin adjudicates the whole
+    encode->decode round trip without implementing RLE8; poschk is
+    defined in top-down SCREEN space while the file stores rows
+    bottom-up, so skipping the flip breaks it (differential
+    test-pinned).
+
+    Scale shape: shuffle-free Arrow-batched mapInPandas over one pruned
+    scan — identical posture to the other eight codec queries."""
+    assets = bmp_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_bmp_probe_batch, schema=_BMP_SCHEMA)

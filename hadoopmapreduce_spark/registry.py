@@ -99,6 +99,8 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 # landing.
 ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "graph_louvain_multilevel",
+    "text_bm25_topk",
+    "image_bmp_rle8_decode",
 )
 
 

@@ -50,6 +50,13 @@ Round-11 re-probe (2026-08-16, VERDICT r10 ask #8): still unchanged —
 transformWithStateInPandas stays env-gated), delta/deltalake/pyiceberg
 absent, ``pyspark/jars`` has exactly the three Hadoop avro jars
 (1.12.1) and no spark-avro DataSource, no delta/iceberg/hudi runtime.
+
+Round-12 re-probe (2026-08-16, VERDICT r11 ask #8): still unchanged —
+find_spec returns None for delta/deltalake/pyiceberg/google/PIL/cv2/
+soundfile/av and ModuleNotFoundError for google.protobuf; the jar dir
+still carries only avro/avro-ipc/avro-mapred 1.12.1 (no spark-avro
+DataSource) and no delta/iceberg/hudi jars.  Every env-gate and its
+ready-to-register follow-up stands.
 """
 
 from __future__ import annotations
