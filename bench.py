@@ -355,7 +355,7 @@ def main() -> None:
         "eval_mrr_label_match", "pipeline_temperature_mix",
         # round-12 registrations
         "graph_louvain_multilevel", "text_bm25_topk",
-        "image_bmp_rle8_decode",
+        "image_bmp_rle8_decode", "eval_bleu_components",
     ]
     outliers = adjudicate_outliers(timings, prior, sf)
     samples = sorted(s[1] for s in canary_series if s[1] > 0)

@@ -864,3 +864,157 @@ def eval_mrr_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_rk").cast("int").alias("first_rel_rank"),
         F.expr("1000000 div first_rk").cast("long").alias("rr_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# BLEU components (Papineni et al. 2002): clipped n-gram precisions +
+# brevity ratio, in exact integers — the companion to eval_rouge2_pairs
+# --------------------------------------------------------------------------
+
+BLEU_MAX_N = 4
+
+
+def _bleu_ngram_sql(n: int, side: str) -> str:
+    """DuckDB CTE body: tagged n-grams of one side (multiset — no
+    dedup), n prepended so all orders share one join key space."""
+    gram = " || ' ' || ".join(f"ts[i.i + {j}]" for j in range(n))
+    return f"""
+      SELECT doc_id, '{n}:' || {gram} AS gram
+      FROM ts_{side}, LATERAL (SELECT unnest(range(1, len(ts) + 2 - {n})) AS i) i
+    """
+
+
+def _bleu_oracle() -> str:
+    cand_grams = "\n      UNION ALL ".join(
+        _bleu_ngram_sql(n, "c") for n in range(1, BLEU_MAX_N + 1)
+    )
+    ref_grams = "\n      UNION ALL ".join(
+        _bleu_ngram_sql(n, "r") for n in range(1, BLEU_MAX_N + 1)
+    )
+    p_cols = ",\n           ".join(
+        f"CAST(CASE WHEN SUM(CASE WHEN n = {n} THEN total END) = 0 THEN NULL"
+        f" ELSE SUM(CASE WHEN n = {n} THEN clipped END) * 1000000"
+        f" // SUM(CASE WHEN n = {n} THEN total END) END AS BIGINT)"
+        f" AS p{n}_ppm"
+        for n in range(1, BLEU_MAX_N + 1)
+    )
+    return f"""
+    WITH ts0 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
+                 FROM documents),
+    ts_c AS (SELECT * FROM ts0 WHERE doc_id % 2 = 0),
+    ts_r AS (SELECT doc_id - 1 AS doc_id, ts FROM ts0 WHERE doc_id % 2 = 1),
+    ctf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tfc
+            FROM ({cand_grams}) GROUP BY 1, 2),
+    rtf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tfr
+            FROM ({ref_grams}) GROUP BY 1, 2),
+    j AS (SELECT c.doc_id,
+                 CAST(SUBSTR(c.gram, 1, 1) AS INT) AS n,
+                 c.tfc AS total,
+                 LEAST(c.tfc, COALESCE(r.tfr, 0)) AS clipped
+          FROM ctf c LEFT JOIN rtf r
+            ON r.doc_id = c.doc_id AND r.gram = c.gram),
+    lens AS (SELECT c.doc_id, CAST(len(c.ts) AS BIGINT) AS len_c,
+                    CAST(len(r.ts) AS BIGINT) AS len_r
+             FROM ts_c c JOIN ts_r r USING (doc_id)),
+    px AS (SELECT doc_id, {p_cols} FROM j GROUP BY doc_id)
+    SELECT l.doc_id AS cand_id, l.doc_id + 1 AS ref_id,
+           l.len_c, l.len_r,
+           CAST(CASE WHEN l.len_r = 0 THEN NULL
+                     ELSE l.len_c * 1000000 // l.len_r END AS BIGINT)
+             AS brevity_ppm,
+           px.p1_ppm, px.p2_ppm, px.p3_ppm, px.p4_ppm
+    FROM lens l JOIN px USING (doc_id)
+    """
+
+
+@query("eval_bleu_components", oracle=_bleu_oracle())
+def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU's exact-integer decomposition (Papineni et al. 2002) over the
+    same even→odd candidate/reference pairing as ``eval_rouge2_pairs``:
+    the four MODIFIED (clipped-multiset) n-gram precisions p1..p4 —
+    clip(g) = min(tf_cand(g), tf_ref(g)), the multiset form ROUGE-2's
+    distinct-set query deliberately does not cover — and the brevity
+    RATIO len_c/len_r, each as one truncating ppm division.
+
+    The geometric mean + exp brevity penalty (the scalar BLEU) needs
+    exp/ln, so the query ships the exact integer COMPONENTS and leaves
+    the one libm fold to the consumer — the no-libm discipline
+    (cross-engine bit-stability beats a pre-folded float), identical to
+    how eval_rouge2_pairs leaves the mean to the consumer.
+
+    Plan shape: ONE explode produces all four tagged n-gram orders
+    ('n:gram' keys), multiset tf via (doc, gram) map-side-combined
+    counts, one LEFT hash join candidate→reference on (pair, gram) —
+    never a cross product — then a per-pair conditional pivot to the
+    four precision columns.  Docs are ≥10 tokens at every fixture so
+    all four orders are populated; the NULL guards still mirror.
+
+    Scale shape: keys on (pair, gram) end to end, one row per pair out;
+    at 100 TB the pairing key is the eval set's alignment column.
+    [REF] parity: composes the reference's join+aggregate surface
+    (ClickThru.java:98-168) at MT-eval semantics."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = d.select("doc_id", F.split("text", r"\s+").alias("ts"))
+    grams_expr = "concat(" + ", ".join(
+        f"transform(sequence(1, greatest(size(ts) - {n - 1}, 0)), "
+        f"i -> '{n}:' || "
+        + " || ' ' || ".join(f"element_at(ts, i + {j})" for j in range(n))
+        + ")"
+        for n in range(1, BLEU_MAX_N + 1)
+    ) + ")"
+    grams = ts.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+    tf = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = tf.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"), "gram", F.col("tf").alias("tfc")
+    )
+    rtf = tf.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("cand_id"),
+        "gram",
+        F.col("tf").alias("tfr"),
+    )
+    j = ctf.join(rtf, ["cand_id", "gram"], "left").select(
+        "cand_id",
+        F.substring("gram", 1, 1).cast("int").alias("n"),
+        F.col("tfc").alias("total"),
+        F.least(F.col("tfc"), F.coalesce(F.col("tfr"), F.lit(0))).alias(
+            "clipped"
+        ),
+    )
+    px = j.groupBy("cand_id").agg(
+        *[
+            F.expr(
+                f"CAST(CASE WHEN SUM(CASE WHEN n = {n} THEN total END) = 0"
+                f" THEN NULL ELSE SUM(CASE WHEN n = {n} THEN clipped END)"
+                f" * 1000000 div SUM(CASE WHEN n = {n} THEN total END)"
+                f" END AS BIGINT)"
+            ).alias(f"p{n}_ppm")
+            for n in range(1, BLEU_MAX_N + 1)
+        ]
+    )
+    lens = ts.select(
+        "doc_id", F.size("ts").cast("long").alias("len")
+    )
+    lc = lens.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"), F.col("len").alias("len_c")
+    )
+    lr = lens.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("cand_id"), F.col("len").alias("len_r")
+    )
+    return (
+        lc.join(lr, "cand_id")
+        .join(px, "cand_id")
+        .select(
+            "cand_id",
+            (F.col("cand_id") + 1).alias("ref_id"),
+            "len_c",
+            "len_r",
+            F.expr(
+                "CAST(CASE WHEN len_r = 0 THEN NULL"
+                " ELSE len_c * 1000000 div len_r END AS BIGINT)"
+            ).alias("brevity_ppm"),
+            "p1_ppm",
+            "p2_ppm",
+            "p3_ppm",
+            "p4_ppm",
+        )
+    )

@@ -101,6 +101,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "graph_louvain_multilevel",
     "text_bm25_topk",
     "image_bmp_rle8_decode",
+    "eval_bleu_components",
 )
 
 

@@ -295,3 +295,31 @@ def test_bmp_absolute_mode_padding_roundtrip():
     assert f["sum_idx"] == sum(
         bmp_pixel_law(x, y, seed, nc) for y in range(h) for x in range(w)
     )
+
+
+# --- BLEU components (eval-family completion) --------------------------------
+
+
+def test_bleu_components_semantics(spark, sf_dir):
+    """Fixture pins on the clipped-precision decomposition: p1 >= p2 >=
+    p3 >= p4 on every pair of THIS corpus (matching a higher-order gram
+    requires matching its constituents, so precision falls with order on
+    natural-ish data; clipping admits contrived exceptions, hence a
+    fixture pin, not a theorem claim); each pn in [0, 1e6];
+    brevity_ppm = 1e6*len_c div len_r exactly; one row per even/odd
+    adjacent pair."""
+    registry = _registry()
+    rows = registry.QUERIES["eval_bleu_components"](spark, sf_dir).collect()
+    assert rows, "no pairs"
+    for r in rows:
+        assert r.cand_id % 2 == 0 and r.ref_id == r.cand_id + 1
+        ps = [r.p1_ppm, r.p2_ppm, r.p3_ppm, r.p4_ppm]
+        assert all(p is not None and 0 <= p <= 1_000_000 for p in ps), r
+        assert ps == sorted(ps, reverse=True), r
+        assert r.brevity_ppm == r.len_c * 1_000_000 // r.len_r
+    # the corpus is word soup: unigram overlap is substantial, 4-gram
+    # overlap is rare — the decomposition must show the spread
+    import statistics
+
+    assert statistics.median(r.p1_ppm for r in rows) > 300_000
+    assert statistics.median(r.p4_ppm for r in rows) < 200_000
