@@ -55,6 +55,26 @@ HEADLINERS = [
     ("agg_pareto_frontier_2d", "two-phase skyline: bucket-threshold broadcast prune, then exact sweep over the survivor set only"),
     ("fin_prorate_largest_remainder", "three per-order windows + digest agg sharing ONE orderkey exchange (pinned <=2 exchanges)"),
     ("dedup_prefix_filter_jaccard", "rarest-shingle prefix equi-join + candidate-only exact verify — no cartesian, no Python"),
+    ("text_bm25_topk", "BM25 postings join: broadcast query panel against (doc, term) tf — per-query work = 3 terms' postings"),
+    ("image_bmp_rle8_decode", "codec posture: one pruned scan into Arrow-batched mapInPandas, shuffle-free"),
+    ("eval_bleu_components", "one explode emits 4 tagged n-gram orders; (pair, gram) hash join; conditional pivot to p1..p4"),
+    # round-12: queries the r11 sidecar pushed over the 1.5 s coverage
+    # threshold (ambient-loaded run — plans documented regardless)
+    ("agg_cube", "CUBE over two dims: one Expand + partial/final hash aggregate, no extra shuffles"),
+    ("doc_fingerprint", "rolling-hash shingle fingerprints: position explode + per-doc hash agg, one shuffle"),
+    ("dq_observe_metrics", "observe() metrics ride the scan: zero extra passes, metrics surface via the returned summary"),
+    ("eval_matryoshka_truncation", "4 broadcast-probe scoring passes (one per dim prefix) over a single corpus scan each"),
+    ("eval_mrr_label_match", "shared broadcast probe-panel top-k; everything downstream is a panel-sized groupBy"),
+    ("eval_ndcg_label_match", "same broadcast probe-panel top-k; NDCG folds per-probe over rank-indexed integers"),
+    ("graph_label_propagation", "bounded LPA rounds: per-round neighbor-majority agg over the cached edge table, checkpointed labels"),
+    ("graph_louvain_phase1", "6 conflict-free move rounds over checkpointed inputs; returned trace is a LocalTableScan (rounds ran eagerly)"),
+    ("graph_louvain_phase2_aggregate", "ONE community-keyed contraction aggregate over the memoized phase-1 labels (loop not rerun)"),
+    ("merge_upsert", "MERGE emulation: versioned snapshot read-back after the foldLeft of upsert batches"),
+    ("streaming_join_right_outer_expiry", "stream-stream right outer join; returned plan is the margin-filtered epoch-sink read-back"),
+    ("streaming_join_full_outer_expiry", "stream-stream full outer join; same epoch-sink read-back shape as the one-sided forms"),
+    ("streaming_sliding_counts", "sliding windowed counts; returned plan scans the append sink"),
+    ("streaming_sliding_topk", "sliding windows + per-window rank filter; returned plan scans the append sink"),
+    ("streaming_windowed_counts", "tumbling windowed counts; returned plan scans the append sink"),
     ("dq_completeness_profile", "single scan through Expand multi-distinct + stack to long format"),
     ("event_markov_transitions", "one user-keyed lead window; transition matrix bounded by |types|^2"),
     ("agg_rfm_segmentation", "quartile thresholds broadcast against the per-customer aggregate — no ranking window"),
