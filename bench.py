@@ -356,6 +356,7 @@ def main() -> None:
         # round-12 registrations
         "graph_louvain_multilevel", "text_bm25_topk",
         "image_bmp_rle8_decode", "eval_bleu_components",
+        "graph_leiden_refine",
     ]
     outliers = adjudicate_outliers(timings, prior, sf)
     samples = sorted(s[1] for s in canary_series if s[1] > 0)

@@ -2489,3 +2489,196 @@ def graph_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level int, round int, n_proposed bigint, n_applied bigint, "
         "q_num bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Leiden-style refinement: singleton-seeded sweep INSIDE each phase-1
+# community (Traag et al. 2019's refinement idea, deterministic variant)
+# --------------------------------------------------------------------------
+
+REFINE_ROUNDS = 4  # bounded refinement rounds; the oracle unrolls the same
+
+
+def _louvain_round_sql_r(r: int) -> str:
+    """One refinement round as a CTE block — the level-1 round machinery
+    over the INTRA-community subgraph with singleton seed (all names
+    suffixed 'r' to coexist with the level-1 chain in one WITH).
+    Community ids here are node ids (BIGINT), so the (gain DESC, c ASC)
+    tie-break is integer — identical ordering in both engines."""
+    return f"""
+    totr{r} AS MATERIALIZED (
+               SELECT l.community, CAST(SUM(k.ki) AS BIGINT) AS sig
+               FROM labr{r} l JOIN kr k ON k.node = l.node GROUP BY 1),
+    linksr{r} AS MATERIALIZED (
+                 SELECT d.node, ln.community AS c,
+                        CAST(COUNT(*) AS BIGINT) AS kic
+                 FROM directedr_m d JOIN labr{r} ln ON ln.node = d.nbr
+                 GROUP BY 1, 2),
+    ownr{r} AS (SELECT li.node, l.community AS o,
+                       COALESCE(MAX(CASE WHEN li.c = l.community
+                                         THEN li.kic END), 0) AS kio
+                FROM linksr{r} li JOIN labr{r} l ON l.node = li.node
+                GROUP BY 1, 2),
+    candr{r} AS (SELECT li.node, ow.o, li.c,
+                        2 * mmr.m * (li.kic - ow.kio)
+                        - k.ki * (sc.sig - (so.sig - k.ki)) AS gain_num
+                 FROM linksr{r} li
+                 JOIN ownr{r} ow ON ow.node = li.node
+                 JOIN kr k ON k.node = li.node
+                 JOIN totr{r} so ON so.community = ow.o
+                 JOIN totr{r} sc ON sc.community = li.c
+                 CROSS JOIN mmr
+                 WHERE li.c <> ow.o),
+    bestr{r} AS (SELECT node, o, c, gain_num,
+                        ROW_NUMBER() OVER (PARTITION BY node
+                                           ORDER BY gain_num DESC, c ASC)
+                          AS rk
+                 FROM candr{r}),
+    mvr{r} AS MATERIALIZED (
+               SELECT node, o, c, gain_num FROM bestr{r}
+               WHERE rk = 1 AND gain_num > 0),
+    clr{r} AS (SELECT m.node, m.c, m.gain_num, u.comm
+               FROM mvr{r} m, UNNEST([m.o, m.c]) AS u(comm)),
+    rnkr{r} AS (SELECT node, c,
+                       ROW_NUMBER() OVER (PARTITION BY comm
+                                          ORDER BY gain_num DESC, node ASC)
+                         AS rnk
+                FROM clr{r}),
+    apr{r} AS MATERIALIZED (
+               SELECT node, c FROM rnkr{r}
+               GROUP BY node, c HAVING MAX(rnk) = 1),
+    labr{r + 1} AS MATERIALIZED (
+                    SELECT l.node, COALESCE(a.c, l.community) AS community
+                    FROM labr{r} l LEFT JOIN apr{r} a ON a.node = l.node),
+    qr{r} AS (SELECT CAST(4 * mmr.m *
+                     (SELECT COUNT(*) FROM iedges_m e
+                      JOIN labr{r + 1} lu ON e.u = lu.node
+                      JOIN labr{r + 1} lv ON e.v = lv.node
+                      WHERE lu.community = lv.community)
+                   - (SELECT SUM(d * d) FROM
+                      (SELECT CAST(SUM(k.ki) AS BIGINT) AS d
+                       FROM labr{r + 1} l JOIN kr k ON k.node = l.node
+                       GROUP BY l.community))
+                   AS BIGINT) AS q FROM mmr),
+    trr{r} AS (SELECT {r} AS round,
+                      (SELECT COUNT(*) FROM mvr{r}) AS n_proposed,
+                      (SELECT COUNT(*) FROM apr{r}) AS n_applied,
+                      (SELECT q FROM qr{r}) AS q_num)"""
+
+
+def _leiden_refine_oracle() -> str:
+    fin = f"lab{LOUVAIN_ROUNDS + 1}"
+    rounds = "".join(
+        "," + _louvain_round_sql_r(r) for r in range(1, REFINE_ROUNDS + 1)
+    )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM trr{r}" for r in range(1, REFINE_ROUNDS + 1)
+    )
+    return f"""
+    {_louvain_chain_sql()},
+    iedges_m AS MATERIALIZED (
+      SELECT e.u, e.v FROM tedges_m e
+      JOIN {fin} lu ON e.u = lu.node
+      JOIN {fin} lv ON e.v = lv.node
+      WHERE lu.community = lv.community),
+    directedr_m AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM iedges_m
+      UNION ALL SELECT v AS node, u AS nbr FROM iedges_m),
+    kr AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS ki
+      FROM directedr_m GROUP BY 1),
+    mmr AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM iedges_m),
+    labr1 AS MATERIALIZED (
+      SELECT DISTINCT node, node AS community FROM directedr_m)
+    {rounds}
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_proposed AS BIGINT) AS n_proposed,
+           CAST(n_applied AS BIGINT) AS n_applied,
+           CAST(q_num AS BIGINT) AS q_num
+    FROM ({union})
+    """
+
+
+@query("graph_leiden_refine", oracle=_leiden_refine_oracle())
+def graph_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-STYLE refinement of the phase-1 partition (the idea behind
+    Traag et al. 2019's refinement phase, deterministic variant): seed
+    every node as a SINGLETON and run the exact conflict-free move
+    machinery on the INTRA-community subgraph — the union of the
+    subgraphs each phase-1 community induces.  Because the intra
+    subgraph has no edges between different phase-1 communities, a node
+    never sees a foreign community in its neighbor links, so moves can
+    only merge singletons WITHIN their phase-1 community — the
+    refinement constraint emerges from the edge filter, no explicit
+    guard needed (test-pinned: every refined community maps into
+    exactly one phase-1 community).  Leiden's randomized merge is
+    replaced by the deterministic (gain DESC, id ASC) conflict-free
+    selection, whose per-round ΔQ·4m'² = Σ 2·gain identity holds
+    verbatim on the subgraph (m' = intra edge count).
+
+    The singleton seed is the fine-grained regime the phase-1 docstring
+    promises at production scale: round 1 proposes a move per connected
+    node and the conflict-free matching applies ⌊#communities/2⌋-bounded
+    BATCHES of them — on this fixture dozens of applied moves per round
+    versus phase 1's 3-8 from the 25-brand seed.
+
+    Returns the (round, n_proposed, n_applied, q_num) trace over
+    REFINE_ROUNDS rounds, q_num the intra-subgraph modularity numerator
+    (opens NEGATIVE at the singleton partition: zero intra pairs, so
+    q1 ≥ q0 = −Σk_i² strictly as soon as anything moves); monotone by
+    the same proof as phase 1.
+
+    Scale shape: identical to phase 1 (linear move scan + two
+    community-keyed aggregates per round over checkpointed inputs, the
+    one 1-row stats action), on a subgraph that is by construction a
+    disjoint union of communities — at 100 TB the per-community pieces
+    are independent and the conflict-free matching parallelizes across
+    all of them at once."""
+    st = _louvain_state(spark, sf_dir)
+    edges = st["parts"][0]
+    labels1 = st["labels"]
+    lu = labels1.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels1.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    iedges = (
+        edges.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    directed = (
+        iedges.selectExpr("u AS node", "v AS nbr")
+        .unionAll(iedges.selectExpr("v AS node", "u AS nbr"))
+        .localCheckpoint()
+    )
+    k = directed.groupBy("node").agg(
+        F.count(F.lit(1)).alias("ki")
+    ).localCheckpoint()
+    m_count = iedges.count()
+    m_df = spark.createDataFrame([(m_count,)], "m bigint")
+    labels = directed.select("node").distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    # q0 of the singleton partition: zero intra edges, so q0 = -Σ k_i²
+    q_cur = -int(
+        k.agg(F.sum(F.col("ki") * F.col("ki")).alias("s")).first()["s"]
+    )
+    rows = []
+    for r in range(1, REFINE_ROUNDS + 1):
+        moves, applied, labels = _louvain_apply_round(directed, labels, k, m_df)
+        stt = (
+            moves.agg(F.count(F.lit(1)).alias("n_prop"))
+            .crossJoin(
+                applied.agg(
+                    F.count(F.lit(1)).alias("n_ap"),
+                    F.coalesce(F.sum("gain_num"), F.lit(0)).alias("gsum"),
+                )
+            )
+            .first()
+        )
+        q_cur = q_cur + 2 * int(stt["gsum"])
+        rows.append((r, stt["n_prop"], stt["n_ap"], q_cur))
+    return spark.createDataFrame(
+        rows, "round int, n_proposed bigint, n_applied bigint, q_num bigint"
+    )

@@ -102,6 +102,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "text_bm25_topk",
     "image_bmp_rle8_decode",
     "eval_bleu_components",
+    "graph_leiden_refine",
 )
 
 
