@@ -946,8 +946,11 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('n:gram' keys), multiset tf via (doc, gram) map-side-combined
     counts, one LEFT hash join candidate→reference on (pair, gram) —
     never a cross product — then a per-pair conditional pivot to the
-    four precision columns.  Docs are ≥10 tokens at every fixture so
-    all four orders are populated; the NULL guards still mirror.
+    four precision columns.  Docs shorter than n tokens contribute ZERO
+    n-grams for that order (per-order IF guard — Spark's sequence()
+    DESCENDS when stop < start, so an unguarded short doc would crash
+    element_at under ANSI mode; test-pinned on 1–3-token docs), making
+    that order's precision NULL exactly as the oracle's empty range().
 
     Scale shape: keys on (pair, gram) end to end, one row per pair out;
     at 100 TB the pairing key is the eval set's alignment column.
@@ -955,11 +958,17 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ClickThru.java:98-168) at MT-eval semantics."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ts = d.select("doc_id", F.split("text", r"\s+").alias("ts"))
+    # Per-order emptiness guard: sequence(1, stop) DESCENDS when stop < 1
+    # (default step -1), so a doc shorter than n tokens would evaluate
+    # element_at at index 0 / past the end and crash under ANSI mode.
+    # IF(size >= n, ..., array()) yields zero grams instead — mirroring
+    # the oracle's range(1, len + 2 - n), which is empty for short docs.
     grams_expr = "concat(" + ", ".join(
-        f"transform(sequence(1, greatest(size(ts) - {n - 1}, 0)), "
+        f"IF(size(ts) >= {n}, "
+        f"transform(sequence(1, size(ts) - {n - 1}), "
         f"i -> '{n}:' || "
         + " || ' ' || ".join(f"element_at(ts, i + {j})" for j in range(n))
-        + ")"
+        + "), array())"
         for n in range(1, BLEU_MAX_N + 1)
     ) + ")"
     grams = ts.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))

@@ -25,6 +25,8 @@ Scale notes
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2007,15 +2009,39 @@ def _stats_clean(df: DataFrame) -> DataFrame:
     digits, constant) — with zero runtime cost; join planning still
     adapts at runtime via AQE.  Falls back to the input unchanged if
     the private ``internalCreateDataFrame`` surface moves (stats
-    stay carried; correctness is unaffected either way)."""
-    jdf = df._jdf
+    stay carried; correctness is unaffected either way) — but WARNS
+    once on stderr when that happens (ADVICE r12): a silent fallback
+    would reintroduce the measured minutes-per-round blow-up on a
+    Spark upgrade with nothing but a unit test noticing, so a strict
+    bench artifact's stderr records that stats cleaning was inactive."""
     try:
-        clean = jdf.sparkSession().internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(clean, df.sparkSession)
-    except Exception:  # pragma: no cover - depends on private JVM API
+        return _internal_create_dataframe(df)
+    except Exception as exc:  # pragma: no cover - depends on private JVM API
+        global _STATS_CLEAN_WARNED
+        if not _STATS_CLEAN_WARNED:
+            _STATS_CLEAN_WARNED = True
+            print(
+                "WARNING: _stats_clean inactive (private"
+                f" internalCreateDataFrame surface failed: {exc!r});"
+                " carried Catalyst stats will compound across iterated"
+                " checkpoints — expect driver-side stats-estimation"
+                " slowdowns in iterative graph queries",
+                file=sys.stderr,
+            )
         return df
+
+
+_STATS_CLEAN_WARNED = False
+
+
+def _internal_create_dataframe(df: DataFrame) -> DataFrame:
+    """The private-JVM-surface half of ``_stats_clean``, split out so the
+    fallback path is testable by monkeypatching this symbol."""
+    jdf = df._jdf
+    clean = jdf.sparkSession().internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(clean, df.sparkSession)
 
 
 def _louvain_apply_round(directed, labels, k, m_df, best_moves_fn=None):

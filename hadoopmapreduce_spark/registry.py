@@ -27,83 +27,78 @@ ORACLES: dict[str, str] = {}
 # The driver adjudicates the FIRST 50 entries of ``queries()`` in iteration
 # order each round.  This list pins that window explicitly so verification
 # coverage rotates across rounds instead of re-checking the same prefix.
-# Round-12 pin (scripts/repin_window.py over CORRECTNESS_r1..r11, per
-# VERDICT r11 ask #1): slots 1-7 are the seven r11 ADJUDICATION_DEFERRED
-# registrations (never-checked, so they outrank rotation); slots 8-38
-# drain the 31 remaining stale r5 verdicts; slots 39-50 start the r6
-# rotation (oldest-by-name).  After this window goes green, every query
-# registered through r11 has a verdict and none is older than r6.
-# Queries not named here keep registration order after the pinned prefix
-# — nothing is ever dropped, so verdicts union toward full coverage.
+# Round-13 pin (scripts/repin_window.py over CORRECTNESS_r1..r12, per
+# VERDICT r12 ask #1): slots 1-5 are the five r12 ADJUDICATION_DEFERRED
+# registrations (never-checked, so they outrank rotation); slots 6-43
+# drain the r6 cohort completely (38 stale r6 verdicts); slots 44-50
+# start the r7 rotation (oldest-by-name).  After this window goes green,
+# every query registered through r12 has a verdict and none is older
+# than r7.  Queries not named here keep registration order after the
+# pinned prefix — nothing is ever dropped, so verdicts union toward full
+# coverage.
 ADJUDICATION_PRIORITY: tuple[str, ...] = (
-    "streaming_join_right_outer_expiry",  # never-checked
-    "streaming_join_full_outer_expiry",  # never-checked
-    "graph_louvain_phase1",  # never-checked
-    "image_gif_interlaced_decode",  # never-checked
-    "eval_mrr_label_match",  # never-checked
-    "pipeline_temperature_mix",  # never-checked
-    "graph_louvain_phase2_aggregate",  # never-checked
-    "graph_basket_lift_top",  # last verdict r5
-    "graph_kcore_peel_trace",  # last verdict r5
-    "graph_wcc_components",  # last verdict r5
-    "join_bloom_multiprobe",  # last verdict r5
-    "join_bloom_prefilter",  # last verdict r5
-    "join_broadcast_fallback",  # last verdict r5
-    "join_interval_overlap",  # last verdict r5
-    "join_partition_pruned_dynamic",  # last verdict r5
-    "knn_filtered_topk",  # last verdict r5
-    "mm_cdc_chunking",  # last verdict r5
-    "mm_chunk_manifest",  # last verdict r5
-    "pipeline_training_data_prep",  # last verdict r5
-    "scan_dirty_json_quarantine",  # last verdict r5
-    "scan_nested_struct_pruned",  # last verdict r5
-    "scd2_asof_lookup",  # last verdict r5
-    "simhash_dedup",  # last verdict r5
-    "sink_textkv_writer_roundtrip",  # last verdict r5
-    "streaming_dim_refresh_enrich",  # last verdict r5
-    "streaming_late_data_audit",  # last verdict r5
-    "streaming_sliding_topk",  # last verdict r5
-    "table_diff_reconcile",  # last verdict r5
-    "text_bpe_learn_merges",  # last verdict r5
-    "topk_terms_per_lang",  # last verdict r5
-    "ts_mom_revenue_change",  # last verdict r5
-    "ts_seasonal_decompose",  # last verdict r5
-    "udaf_pandas_grouped_agg",  # last verdict r5
-    "udaf_tdigest_quantiles",  # last verdict r5
-    "window_distribution_suite",  # last verdict r5
-    "window_gap_islands",  # last verdict r5
-    "window_rolling_median_exact",  # last verdict r5
-    "window_running_distinct",  # last verdict r5
-    "agg_filter_clause",  # last verdict r6
-    "agg_gini_coefficient",  # last verdict r6
-    "agg_herfindahl_index",  # last verdict r6
-    "agg_pareto_frontier_2d",  # last verdict r6
-    "agg_percentile_disc",  # last verdict r6
-    "agg_rfm_segmentation",  # last verdict r6
-    "agg_share_of_parent",  # last verdict r6
-    "dedup_prefix_filter_jaccard",  # last verdict r6
-    "dedup_url_canonicalize",  # last verdict r6
-    "dq_completeness_profile",  # last verdict r6
-    "dq_cross_field_rules",  # last verdict r6
-    "dq_duplicate_payments",  # last verdict r6
+    "graph_louvain_multilevel",  # never-checked
+    "text_bm25_topk",  # never-checked
+    "image_bmp_rle8_decode",  # never-checked
+    "eval_bleu_components",  # never-checked
+    "graph_leiden_refine",  # never-checked
+    "dq_fact_detail_reconcile",  # last verdict r6
+    "dq_mad_outliers",  # last verdict r6
+    "dq_observe_metrics",  # last verdict r6
+    "event_funnel_24h",  # last verdict r6
+    "event_markov_transitions",  # last verdict r6
+    "event_new_vs_returning",  # last verdict r6
+    "event_rolling_28d_actives",  # last verdict r6
+    "event_top_journeys",  # last verdict r6
+    "fin_fifo_inventory_match",  # last verdict r6
+    "fin_prorate_largest_remainder",  # last verdict r6
+    "fn_array_hof_suite",  # last verdict r6
+    "fn_binary_suite",  # last verdict r6
+    "fn_struct_suite",  # last verdict r6
+    "graph_degree_assortativity",  # last verdict r6
+    "graph_degree_distribution",  # last verdict r6
+    "graph_neighbor_jaccard_top",  # last verdict r6
+    "graph_ppr_seeded",  # last verdict r6
+    "join_asof_nearest_view",  # last verdict r6
+    "join_null_safe_eq",  # last verdict r6
+    "mm_cdc_dedup_report",  # last verdict r6
+    "pipeline_curriculum_mix",  # last verdict r6
+    "sample_bottomk_per_group",  # last verdict r6
+    "sample_weighted_bottomk",  # last verdict r6
+    "scan_parquet_footer_stats",  # last verdict r6
+    "sort_collation_unicode",  # last verdict r6
+    "sort_topk_with_ties",  # last verdict r6
+    "sql_shared_correlated",  # last verdict r6
+    "sql_shared_ctr",  # last verdict r6
+    "sql_shared_revenue",  # last verdict r6
+    "text_inverted_index",  # last verdict r6
+    "text_trigram_novelty",  # last verdict r6
+    "text_zipf_fit",  # last verdict r6
+    "ts_cusum_alerts",  # last verdict r6
+    "ts_linear_trend",  # last verdict r6
+    "ts_weekday_profile",  # last verdict r6
+    "window_max_drawdown",  # last verdict r6
+    "window_session_bounce",  # last verdict r6
+    "agg_approx_quantiles",  # last verdict r7
+    "agg_collation_ci_groups",  # last verdict r7
+    "agg_moments",  # last verdict r7
+    "agg_salted_skew",  # last verdict r7
+    "agg_time_decay_revenue",  # last verdict r7
+    "agg_unpivot",  # last verdict r7
+    "audio_decode_features",  # last verdict r7
+    "dedup_chunk_rewrite",  # last verdict r7
 )
 
 # Registered queries with NO driver verdict yet that deliberately sit
 # OUTSIDE this round's 50-slot window.  Mid-round registrations that do
 # not fit the window land here and FRONT the next round's window
 # (tests/test_parity.py enforces every never-checked query is in exactly
-# one of the two lists).  The seven r11 deferrals now front the r12
-# window above; round-12 registrations defer here rather than displace
-# the VERDICT-r11-mandated rotation picks.  Each entry below must be
+# one of the two lists).  The five r12 deferrals now front the r13
+# window above; round-13 registrations defer here rather than displace
+# the VERDICT-r12-mandated rotation picks.  Each entry below must be
 # locally oracle-verified at sf0.001+sf0.01 and test-pinned before
 # landing.
-ADJUDICATION_DEFERRED: tuple[str, ...] = (
-    "graph_louvain_multilevel",
-    "text_bm25_topk",
-    "image_bmp_rle8_decode",
-    "eval_bleu_components",
-    "graph_leiden_refine",
-)
+ADJUDICATION_DEFERRED: tuple[str, ...] = ()
 
 
 

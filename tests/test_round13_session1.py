@@ -1,0 +1,148 @@
+"""Round-13 session-1 pins.
+
+Covers the ADVICE r12 fixes (BLEU short-doc guard, comparator defaults,
+_stats_clean fallback warning) and the round's new operators as they land.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+
+import pytest
+
+
+def _registry():
+    from hadoopmapreduce_spark import registry
+
+    registry.load_all()
+    return registry
+
+
+# --- BLEU short-doc guard (ADVICE r12, medium) --------------------------------
+
+
+def test_bleu_components_short_docs(spark, tmp_path):
+    """ADVICE r12: sequence(1, stop) DESCENDS when stop < 1, so an
+    unguarded doc shorter than n tokens evaluated element_at at index 0
+    and past the end — INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI.
+    The per-order IF guard must yield zero grams instead: p_n is NULL
+    (0-denominator) for every order longer than the candidate, and the
+    populated orders still score exactly."""
+    registry = _registry()
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),  # cand: 3 tokens -> p4 NULL
+            (1, "a b d"),  # ref
+            (2, "x"),  # cand: 1 token -> p2..p4 NULL
+            (3, "x"),  # ref
+            (4, "p q"),  # cand: 2 tokens -> p3, p4 NULL
+            (5, "q r s t"),  # ref longer than cand
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.cand_id: r
+        for r in registry.QUERIES["eval_bleu_components"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {0, 2, 4}
+
+    r0 = rows[0]  # 3-token pair: unigrams a,b,c vs a,b,d -> 2/3 clipped
+    assert r0.p1_ppm == 2 * 1_000_000 // 3
+    assert r0.p2_ppm == 1_000_000 // 2  # "a b" matches, "b c" doesn't
+    assert r0.p3_ppm == 0  # "a b c" vs "a b d"
+    assert r0.p4_ppm is None  # no 4-grams in a 3-token doc
+    assert r0.brevity_ppm == 1_000_000
+
+    r2 = rows[2]  # 1-token exact match
+    assert r2.p1_ppm == 1_000_000
+    assert r2.p2_ppm is None and r2.p3_ppm is None and r2.p4_ppm is None
+
+    r4 = rows[4]  # 2 tokens vs 4: q matches, "p q" doesn't
+    assert r4.p1_ppm == 500_000
+    assert r4.p2_ppm == 0
+    assert r4.p3_ppm is None and r4.p4_ppm is None
+    assert r4.brevity_ppm == 2 * 1_000_000 // 4
+
+
+# --- compare_bench default arguments (ADVICE r12, low) ------------------------
+
+
+def test_compare_bench_defaults(tmp_path, monkeypatch, capsys):
+    """ADVICE r12: the docstring advertises zero-arg defaults but main()
+    exited with a usage error.  Defaults are now real: OLD = committed
+    bench_full.json (git show HEAD:...), NEW = working tree; the last
+    stdout line is one machine-readable JSON verdict (VERDICT r12 ask
+    #7)."""
+    import json
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import compare_bench
+
+    importlib.reload(compare_bench)
+
+    def mk(qs, cmin):
+        return {
+            "queries": qs,
+            "canary": {"min": cmin, "series": []},
+        }
+
+    monkeypatch.chdir(tmp_path)
+    subprocess.run(["git", "init", "-q"], check=True)
+    subprocess.run(["git", "config", "user.email", "t@t"], check=True)
+    subprocess.run(["git", "config", "user.name", "t"], check=True)
+    (tmp_path / "bench_full.json").write_text(
+        json.dumps(mk({"q": 1.0, "r": 2.0}, 0.4))
+    )
+    subprocess.run(["git", "add", "-A"], check=True)
+    subprocess.run(["git", "commit", "-qm", "prior"], check=True)
+    # working tree: host 2x slower by canary; code unchanged
+    (tmp_path / "bench_full.json").write_text(
+        json.dumps(mk({"q": 2.0, "r": 4.0}, 0.8))
+    )
+    monkeypatch.setattr(sys, "argv", ["compare_bench.py"])
+    assert compare_bench.main() == 0
+    out = capsys.readouterr().out
+    res = json.loads(out.splitlines()[-1])
+    assert res["old"] == "git:HEAD:bench_full.json"
+    assert res["median_ratio_raw"] == pytest.approx(2.0)
+    assert res["canary_anchor"] == pytest.approx(2.0)
+    assert res["median_ratio_anchored"] == pytest.approx(1.0)
+    # one arg is still a usage error
+    monkeypatch.setattr(sys, "argv", ["compare_bench.py", "x.json"])
+    assert compare_bench.main() == 2
+
+
+# --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
+
+
+def test_stats_clean_fallback_warns(spark, monkeypatch, capsys):
+    """_stats_clean swallowing a JVM-surface failure silently would
+    reintroduce the minutes-per-round BigInteger stats blow-up on a Spark
+    upgrade with only a unit test noticing.  The fallback path must emit
+    one stderr warning (once per process, like bench.py's canary-failure
+    warning) so a strict bench artifact records stats cleaning was
+    inactive."""
+    from hadoopmapreduce_spark.operators import graph as G
+
+    df = spark.range(5).toDF("id")
+    monkeypatch.setattr(G, "_STATS_CLEAN_WARNED", False)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated private-API drift")
+
+    monkeypatch.setattr(
+        G, "_internal_create_dataframe", boom, raising=True
+    )
+    out = G._stats_clean(df)
+    err = capsys.readouterr().err
+    assert out is df
+    assert "stats_clean" in err and "inactive" in err
+    # second call: warn once, not per checkpoint
+    G._stats_clean(df)
+    assert "stats_clean" not in capsys.readouterr().err
