@@ -19,6 +19,7 @@ _MODULES = (
     "textops",
     "dedup",
     "similarity",
+    "retrieval",
     "multimodal",
     "timeseries",
     "graph",

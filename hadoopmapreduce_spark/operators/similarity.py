@@ -50,9 +50,8 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
 
 
-@query(
-    "knn_cosine_topk",
-    oracle=f"""
+# module-level so retrieval_rrf_fusion's oracle can compose it verbatim
+KNN_COSINE_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
@@ -66,8 +65,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine DESC, neighbor_id) AS rk
       FROM scored) t
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("knn_cosine_topk", oracle=KNN_COSINE_ORACLE)
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for the probe set: broadcast the probes, score the
     corpus in one scan, take per-query bounded top-k.  Ties break on
@@ -1509,3 +1510,147 @@ def power_iteration_loop(
     finally:
         cached.unpersist(blocking=False)
     return x, y
+
+
+# --------------------------------------------------------------------------
+# LSH candidate-path eval — cross-engine adjudication of the banding scheme
+# --------------------------------------------------------------------------
+
+
+def _lsh_sig_table_sql(t: int) -> str:
+    """One table's signature as DuckDB SQL: 4 sign bits from the SAME ±1
+    hyperplanes ann_lsh_topk uses (md5-derived in Python, embedded here as
+    literals), each via one sequential list_dot_product — the exact fold
+    knn_cosine_topk proved bit-stable across engines."""
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(str(s) for s in _hyperplane(t, b))}]) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(LSH_BITS)
+    )
+    return f"SELECT vec_id, {t} AS table_id, CAST({bits} AS BIGINT) AS sig FROM n"
+
+
+def _lsh_eval_oracle() -> str:
+    """DuckDB twin of the FULL hyperplane/band candidate path: per-table
+    4-bit sign signatures from the md5-derived ±1 hyperplanes (literal
+    arrays — model constants, like the minhash affine coefficients), the
+    (table, signature) bucket self-join, and the exact-knn truth panel
+    composed verbatim from KNN_COSINE_ORACLE."""
+    sigs = "\n      UNION ALL ".join(
+        _lsh_sig_table_sql(t) for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v FROM e),
+    sig AS ({sigs}),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig p JOIN sig c
+        ON p.table_id = c.table_id AND p.sig = c.sig
+       AND c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({KNN_COSINE_ORACLE})),
+    hit AS (SELECT query_id, neighbor_id FROM cand
+            INTERSECT SELECT query_id, neighbor_id FROM truth)
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hit) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+                ELSE CAST(((SELECT COUNT(*) FROM hit) * 1000000)
+                          // (SELECT COUNT(*) FROM cand) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+                ELSE CAST(((SELECT COUNT(*) FROM hit) * 1000000)
+                          // (SELECT COUNT(*) FROM truth) AS BIGINT)
+           END AS recall_ppm
+    """
+
+
+def _lsh_sig_exact(n: DataFrame) -> DataFrame:
+    """(vec_id, table_id, sig) via the ORDER-PINNED dot fold (``_dot``) —
+    bit-identical to the oracle's list_dot_product, unlike ann_lsh_topk's
+    GEMM whose BLAS summation order is unspecified.  ±1 × x is exact, so
+    the only float surface is addition order, and both engines fold
+    left-to-right."""
+    tables = []
+    for t in range(LSH_TABLES):
+        sig = None
+        for b in range(LSH_BITS):
+            signs = F.array(*[F.lit(s) for s in _hyperplane(t, b)])
+            bit = F.when(
+                _dot(F.col("v"), signs) >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        tables.append(
+            F.struct(
+                F.lit(t).alias("table_id"), sig.cast("long").alias("sig")
+            )
+        )
+    return n.select(
+        "vec_id", F.explode(F.array(*tables)).alias("ts")
+    ).select("vec_id", F.col("ts.table_id"), F.col("ts.sig"))
+
+
+@query("ann_lsh_eval", oracle=_lsh_eval_oracle())
+def ann_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-level precision/recall of the random-hyperplane LSH
+    banding against the exact cosine top-k truth — the tuning harness
+    that answers "are ({LSH_TABLES} tables × {LSH_BITS} bits) right for
+    my corpus?" before a 100 TB ANN run, and the promotion of the
+    rows-only ``ann_lsh_topk`` family to full cross-engine adjudication
+    (VERDICT r12 ask #3): this oracle reproduces the ENTIRE candidate
+    path — md5-derived ±1 hyperplanes (embedded as literal arrays; model
+    constants like the minhash affine coefficients), per-table sign
+    signatures, the (table, signature) bucket join — plus the exact-knn
+    truth panel, so the recall number is pinned bit-for-bit across
+    engines, exactly as ``dedup_minhash_eval`` pinned the minhash path.
+
+    Signature determinism: the eval computes signs via the order-pinned
+    sequential dot fold (``_dot`` ≡ DuckDB's list_dot_product, the
+    equivalence every green cosine query rests on).  Production
+    ``ann_lsh_topk`` uses one GEMM per Arrow batch instead — same
+    hyperplanes, BLAS summation order — which is the right throughput
+    call there precisely because sign bits only need consistency WITHIN
+    a run; the eval pins the scheme's semantics, and
+    tests/test_round13_session1.py asserts the two signature paths agree
+    on every fixture vector (any near-boundary disagreement would show
+    up as a candidate-set diff long before it mattered at 100 TB).
+
+    Output is one row: candidate/truth/hit counts plus precision and
+    recall in integer ppm (floor division, NULL-guarded) — precision
+    here reads as "fraction of candidate pairs that were true top-k
+    neighbors", i.e. re-rank efficiency, not end-result quality.
+
+    Scale shape: candidate generation is the per-table equi-join on
+    (table_id, sig) — never a pairwise scan; the truth panel is bounded
+    (N_QUERIES × corpus exact scoring, the same audit-sized referee
+    knn_cosine_topk already runs); the metric rollup is three counts."""
+    n = _embeddings(spark, sf_dir)
+    sig = _lsh_sig_exact(n.select("vec_id", "v"))
+    probes = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "sig"
+    )
+    cand = (
+        sig.join(F.broadcast(probes), ["table_id", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    truth = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = cand.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    one = nc.crossJoin(nt).crossJoin(nh)  # three 1-row frames
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(None).cast("long")
+    ).otherwise(F.expr(f"{num} * 1000000 div {den}"))
+    return one.select(
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        ppm("n_hits", "n_candidates").alias("precision_ppm"),
+        ppm("n_hits", "n_truth").alias("recall_ppm"),
+    )

@@ -2468,9 +2468,8 @@ _BM25_IDF_PPM = "(2 * n_docs + 1) * 1000000 div (2 * df + 1)"
 _BM25_TFNORM_PPM = "(20 * tf * t_toks) * 1000000 div (8 * tf * t_toks + 3 * t_toks + 9 * dl * n_docs)"
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
+# module-level so retrieval_rrf_fusion's oracle can compose it verbatim
+BM25_ORACLE = f"""
     WITH tf AS (
       SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
@@ -2516,8 +2515,10 @@ _BM25_TFNORM_PPM = "(20 * tf * t_toks) * 1000000 div (8 * tf * t_toks + 3 * t_to
                       AS rk
           FROM scored) t
     WHERE rk <= {BM25_TOP_K}
-    """,
-)
+    """
+
+
+@query("text_bm25_topk", oracle=BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (Robertson & Sparck Jones; the Okapi scoring
     every lexical search stack ships) over a bounded query panel — the

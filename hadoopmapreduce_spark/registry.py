@@ -98,7 +98,10 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 # the VERDICT-r12-mandated rotation picks.  Each entry below must be
 # locally oracle-verified at sf0.001+sf0.01 and test-pinned before
 # landing.
-ADJUDICATION_DEFERRED: tuple[str, ...] = ()
+ADJUDICATION_DEFERRED: tuple[str, ...] = (
+    "retrieval_rrf_fusion",
+    "ann_lsh_eval",
+)
 
 
 

@@ -118,6 +118,113 @@ def test_compare_bench_defaults(tmp_path, monkeypatch, capsys):
     assert compare_bench.main() == 2
 
 
+# --- retrieval_rrf_fusion (VERDICT r12 ask #4) ---------------------------------
+
+
+def test_rrf_fusion_semantics(spark, sf_dir):
+    """RRF invariants on the fixture: every fused row's rrf_units equals
+    the exact reciprocal sum recomputed from its contributing ranks; the
+    probe never appears in its own fused list; items present in BOTH
+    panels outrank any single-panel item with the same best rank; ranks
+    are dense 1..k per query over the shared probe set."""
+    from hadoopmapreduce_spark.operators.retrieval import (
+        RRF_K,
+        RRF_TOP_K,
+        RRF_UNIT,
+    )
+
+    registry = _registry()
+    rows = registry.QUERIES["retrieval_rrf_fusion"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.item_id != r.query_id
+        expect = sum(
+            RRF_UNIT // (RRF_K + rk)
+            for rk in (r.lex_rank, r.sem_rank)
+            if rk is not None
+        )
+        assert r.rrf_units == expect and expect > 0, r
+        assert r.lex_rank is not None or r.sem_rank is not None
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RRF_TOP_K
+        # fused order is non-increasing in units with item_id tiebreak
+        units = [r.rrf_units for r in rs]
+        assert units == sorted(units, reverse=True)
+    # both panels contribute somewhere (the fusion isn't degenerate)
+    assert any(r.lex_rank is not None and r.sem_rank is None for r in rows)
+    assert any(r.sem_rank is not None and r.lex_rank is None for r in rows)
+
+
+def test_rrf_unit_is_exact_lcm():
+    """Every reciprocal the fused score sums must be an exact integer in
+    RRF_UNIT units — the no-float-rank-arithmetic guarantee."""
+    from hadoopmapreduce_spark.operators.retrieval import (
+        RRF_K,
+        RRF_TOP_K,
+        RRF_UNIT,
+    )
+
+    for r in range(1, RRF_TOP_K + 1):
+        assert RRF_UNIT % (RRF_K + r) == 0
+
+
+# --- ann_lsh_eval (VERDICT r12 ask #3) ------------------------------------------
+
+
+def test_lsh_eval_signature_paths_agree(spark, sf_dir):
+    """The eval's order-pinned fold signatures and production
+    ann_lsh_topk's GEMM signatures must assign every fixture vector the
+    same (table, sig) — BLAS summation order only matters when a
+    projection sits within one ulp-reorder of zero, and any such
+    near-boundary flip must surface here, not in a 100 TB run."""
+    import numpy as np
+
+    from hadoopmapreduce_spark.operators import similarity as S
+
+    registry = _registry()  # noqa: F841 - ensures registration side-effects
+    n = S._embeddings(spark, sf_dir)
+    exact = {
+        (r.vec_id, r.table_id): r.sig
+        for r in S._lsh_sig_exact(n.select("vec_id", "v")).collect()
+    }
+    planes = np.array(
+        [
+            S._hyperplane(t, b)
+            for t in range(S.LSH_TABLES)
+            for b in range(S.LSH_BITS)
+        ]
+    )
+    bit_weights = np.array([1 << b for b in range(S.LSH_BITS)])
+    rows = n.select("vec_id", "v").collect()
+    V = np.stack([np.array(r.v) for r in rows])
+    proj = V @ planes.T >= 0
+    sigs = (
+        proj.reshape(len(V), S.LSH_TABLES, S.LSH_BITS) * bit_weights
+    ).sum(axis=2)
+    gemm = {
+        (r.vec_id, t): int(sigs[i, t])
+        for i, r in enumerate(rows)
+        for t in range(S.LSH_TABLES)
+    }
+    assert exact == gemm
+
+
+def test_lsh_eval_recall_floor(spark, sf_dir):
+    """The banding scheme's measured recall on the fixture (0.90 at
+    sf0.001, 0.98 at sf0.01 — the numbers the module header documents)
+    must stay above the 0.8 floor test_similarity.py pins for the
+    production query, now read off the adjudicated metric row."""
+    registry = _registry()
+    row = registry.QUERIES["ann_lsh_eval"](spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert row.recall_ppm >= 800_000
+    assert 0 < row.n_hits <= row.n_candidates
+
+
 # --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
 
 
