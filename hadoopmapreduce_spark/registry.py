@@ -101,6 +101,7 @@ ADJUDICATION_PRIORITY: tuple[str, ...] = (
 ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "retrieval_rrf_fusion",
     "ann_lsh_eval",
+    "text_bpe_train_merges",
 )
 
 

@@ -225,6 +225,54 @@ def test_lsh_eval_recall_floor(spark, sf_dir):
     assert 0 < row.n_hits <= row.n_candidates
 
 
+# --- text_bpe_train_merges (VERDICT r12 ask #2) ---------------------------------
+
+
+def test_bpe_train_marker_semantics(spark, sf_dir):
+    """Structural pins on the marked trainer: a marker-bearing symbol is
+    word-final so it can NEVER be a pair's lhs (nothing follows it);
+    merged = lhs||rhs; rounds dense from 1; n_symbols grows by at most 1
+    per round (merging adds one type, may absorb lhs/rhs types); the
+    fixture trace exercises BOTH regimes (word-final and mid-word
+    merges)."""
+    registry = _registry()
+    rows = registry.QUERIES["text_bpe_train_merges"](spark, sf_dir).collect()
+    assert rows
+    rows.sort(key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, len(rows) + 1))
+    from hadoopmapreduce_spark.operators.textops import BPE_EOW
+
+    for r in rows:
+        assert BPE_EOW not in r.lhs, r
+        assert r.merged == r.lhs + r.rhs
+        assert r.pair_count > 0 and r.n_symbols > 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_symbols <= prev.n_symbols + 1
+    assert any(r.merged.endswith(BPE_EOW) for r in rows)
+    assert any(not r.merged.endswith(BPE_EOW) for r in rows)
+
+
+def test_bpe_train_hand_computed_and_exhaustion(spark, tmp_path):
+    """Hand-computable corpus: 'ab ab b a' has vocab {ab:2, b:1, a:1};
+    the only adjacent pair is (a, b$) with weight 2, so round 1 merges
+    ab$ (symbols afterwards: ab$, b$, a$ -> 3 types) and the trainer must
+    then STOP (pair exhaustion), emitting exactly one trace row — the
+    oracle's empty b2 likewise ends its UNION."""
+    registry = _registry()
+    docs = spark.createDataFrame(
+        [(0, "ab ab b a", "en", "t", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = registry.QUERIES["text_bpe_train_merges"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.round, r.lhs, r.rhs, r.merged) == (1, "a", "b$", "ab$")
+    assert r.pair_count == 2 and r.n_symbols == 3
+
+
 # --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
 
 
