@@ -102,6 +102,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "retrieval_rrf_fusion",
     "ann_lsh_eval",
     "text_bpe_train_merges",
+    "image_jpeg_huffman_decode",
 )
 
 

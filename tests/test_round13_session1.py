@@ -273,6 +273,116 @@ def test_bpe_train_hand_computed_and_exhaustion(spark, tmp_path):
     assert r.pair_count == 2 and r.n_symbols == 3
 
 
+# --- image_jpeg_huffman_decode (VERDICT r12 ask #5, codec family #9) ------------
+
+
+def _jpeg_expected(wb, hb, seed):
+    from hadoopmapreduce_spark.operators.multimodal import _jpeg_coeff_law
+
+    nb = wb * hb
+    dc = dc_final = sum_dc = dc_poschk = 0
+    n_ac = sum_acd = ac_poschk = 0
+    for b, (diff, acs) in enumerate(_jpeg_coeff_law(nb, seed)):
+        dc += diff
+        sum_dc += dc
+        dc_poschk += (b + 1) * dc
+        for p, v in acs:
+            n_ac += 1
+            sum_acd += v * (p + 1)
+            ac_poschk += (64 * b + p) * v
+        dc_final = dc
+    return dict(
+        n_blocks=nb,
+        dc_final=dc_final,
+        sum_dc_dequant=sum_dc,
+        dc_poschk=dc_poschk,
+        n_nonzero_ac=n_ac,
+        sum_ac_dequant=sum_acd,
+        ac_poschk=ac_poschk,
+    )
+
+
+def test_jpeg_huffman_roundtrip_exact():
+    """Encode→decode must reproduce the coefficient law exactly for every
+    (grid, seed) the fixture generates, including seeds whose scans carry
+    stuffed 0xFF bytes and every block's forced ZRL gap."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        decode_jpeg_huffman,
+        synthesize_jpeg_baseline,
+    )
+
+    stuffed = 0
+    for doc_id in range(256):
+        wb, hb, s = doc_id % 3 + 1, doc_id % 2 + 1, doc_id % 256
+        payload = synthesize_jpeg_baseline(wb, hb, s)
+        if b"\xff\x00" in payload[2:-2]:
+            stuffed += 1
+        assert decode_jpeg_huffman(payload) == _jpeg_expected(wb, hb, s)
+    # the law must actually drive the unstuff path somewhere in the corpus
+    assert stuffed > 0
+
+
+def test_jpeg_huffman_structural_violations():
+    """Corruptions must FAIL LOUDLY, not produce plausible numbers: a
+    truncated scan exhausts the bit reader; a bogus in-scan marker is
+    rejected; a DHT symbol-count mismatch is rejected; and flipping one
+    magnitude bit shifts a checksum (the decode is bit-load-bearing)."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        decode_jpeg_huffman,
+        synthesize_jpeg_baseline,
+    )
+
+    good = synthesize_jpeg_baseline(2, 2, 37)
+    base = decode_jpeg_huffman(good)
+
+    # truncate the entropy scan (drop 3 bytes before EOI)
+    with pytest.raises(ValueError):
+        decode_jpeg_huffman(good[:-5] + good[-2:])
+    # corrupt a stuffed/scan byte into a marker: find a non-FF scan byte
+    # near the end and make it FF followed by a non-0/EOI byte
+    bad = bytearray(good)
+    bad[-4] = 0xFF
+    bad[-3] = 0xC3
+    with pytest.raises(ValueError):
+        decode_jpeg_huffman(bytes(bad))
+    # DHT mismatch: claim one more length-6 code than symbols provided
+    dht_at = good.index(bytes((0xFF, 0xC4)))
+    bad2 = bytearray(good)
+    # BITS array starts at dht_at+5 (marker, len16, tc_th); bump a count
+    bad2[dht_at + 5] += 1
+    with pytest.raises(ValueError):
+        decode_jpeg_huffman(bytes(bad2))
+    # flip one bit in the second-to-last scan byte (the LAST byte's low
+    # bits are 1-padding the decoder never consumes, so flip before it):
+    # either the decode fails (broken symbol) or a checksum moves
+    bad3 = bytearray(good)
+    bad3[-4] ^= 0x01
+    try:
+        got = decode_jpeg_huffman(bytes(bad3))
+        assert got != base
+    except ValueError:
+        pass
+
+
+def test_jpeg_huffman_tables_read_from_stream():
+    """The decoder must derive its Huffman tables from DHT, not constants:
+    permuting the DHT symbol order (a different but valid canonical
+    table) while re-encoding with the permuted codes must still decode
+    exactly."""
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    # rebuild a payload whose AC DHT lists symbols in REVERSED order;
+    # encode with the matching codes — a table-faithful decoder is
+    # invariant, a constants-assuming one breaks
+    orig = M._JPEG_HUFF_AC_SYMBOLS
+    try:
+        M._JPEG_HUFF_AC_SYMBOLS = tuple(reversed(orig))
+        payload = M.synthesize_jpeg_baseline(3, 2, 91)
+    finally:
+        M._JPEG_HUFF_AC_SYMBOLS = orig
+    assert M.decode_jpeg_huffman(payload) == _jpeg_expected(3, 2, 91)
+
+
 # --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
 
 
