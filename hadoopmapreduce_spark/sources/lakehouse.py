@@ -57,6 +57,12 @@ soundfile/av and ModuleNotFoundError for google.protobuf; the jar dir
 still carries only avro/avro-ipc/avro-mapred 1.12.1 (no spark-avro
 DataSource) and no delta/iceberg/hudi jars.  Every env-gate and its
 ready-to-register follow-up stands.
+
+Round-13 re-probe (2026-08-16, VERDICT r12 ask #8): still unchanged —
+find_spec None for delta/pyiceberg, ``import google.protobuf`` still
+ModuleNotFoundError ('google' itself absent), both pyspark/jars and
+$SPARK_HOME/jars carry only the three Hadoop avro 1.12.1 jars (no
+spark-avro DataSource) and zero delta/iceberg/hudi runtime jars.
 """
 
 from __future__ import annotations

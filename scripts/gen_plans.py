@@ -58,6 +58,14 @@ HEADLINERS = [
     ("text_bm25_topk", "BM25 postings join: broadcast query panel against (doc, term) tf — per-query work = 3 terms' postings"),
     ("image_bmp_rle8_decode", "codec posture: one pruned scan into Arrow-batched mapInPandas, shuffle-free"),
     ("eval_bleu_components", "one explode emits 4 tagged n-gram orders; (pair, gram) hash join; conditional pivot to p1..p4"),
+    # round-13 (VERDICT r12 ask #6: the two r12 post-close registrations,
+    # plus this round's additions)
+    ("graph_louvain_multilevel", "memoized level-1 trace + phase-2 contraction + 4 weighted rounds ON the community graph; _stats_clean on every checkpoint"),
+    ("graph_leiden_refine", "intra-community edge filter (broadcast label joins) -> singleton seed -> shared conflict-free move machinery; per-round 1-row stats action"),
+    ("retrieval_rrf_fusion", "RRF: both ranked panels bounded; full outer join on (query, item) + one bounded window — upstream plans unchanged"),
+    ("ann_lsh_eval", "LSH tuning referee: (table, sig) bucket equi-join candidates semi-joined vs exact-knn truth; counts only cross the final stage"),
+    ("text_bpe_train_merges", "marked BPE round: vocab-sized pair explode + partial-agg argmax; substr-fold rewrite is pure codegen with literal pair"),
+    ("image_jpeg_huffman_decode", "baseline-JPEG entropy decode: one pruned scan into Arrow-batched mapInPandas, shuffle-free"),
     # round-12: queries the r11 sidecar pushed over the 1.5 s coverage
     # threshold (ambient-loaded run — plans documented regardless)
     ("agg_cube", "CUBE over two dims: one Expand + partial/final hash aggregate, no extra shuffles"),
