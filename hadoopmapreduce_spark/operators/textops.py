@@ -1577,6 +1577,220 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# WordPiece-style trainer — likelihood-scored merges (the BPE trainer's
+# sibling: same loop, different argmax)
+# --------------------------------------------------------------------------
+
+WP_TRAIN_ROUNDS = 5
+# WordPiece picks the pair maximizing count(ab) / (count(a)·count(b)) —
+# the pairwise likelihood-ratio score (Schuster & Nakajima 2012; the
+# BERT tokenizer's training rule) — where count(s) is the frequency-
+# weighted occurrence count of SYMBOL s across the vocabulary.  Exact
+# rational argmax needs arbitrary precision, so the REGISTERED semantics
+# quantize: score_key = (cnt << 30) div (cnt_lhs · cnt_rhs), with total
+# tie-break (score_key DESC, cnt DESC, lhs, rhs) — deterministic and
+# identical in both engines; 2^30 resolves relative score differences
+# down to ~1e-9 at fixture counts.  int64 bounds: cnt ≤ total symbol
+# positions P, so cnt·2^30 needs P < 2^33 (~8.6e9 positions); beyond
+# that the key moves to DECIMAL, which both engines widen exactly.
+WP_SCORE_SHIFT = 30
+
+
+def _wp_train_ctes(rounds: int) -> list[str]:
+    """Unrolled ladder: the marked-BPE v0/el/p CTEs plus a per-round
+    symbol-count CTE and the likelihood-scored argmax."""
+    ctes = [
+        r"""vocab AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY 1)""",
+        f"""v0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '#\\1', 'g') || '{BPE_EOW}' AS sym,
+             freq FROM vocab)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""el{i} AS MATERIALIZED (
+      SELECT sym, freq, string_split(sym, '#')[2:] AS el FROM v{i - 1})"""
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT el[j.j] AS lhs, el[j.j + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM el{i}, LATERAL (SELECT unnest(range(1, len(el))) AS j) j
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""sc{i} AS MATERIALIZED (
+      SELECT s, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT unnest(el) AS s, freq FROM el{i}) t GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT p.lhs, p.rhs, p.cnt, cl.c AS lc, cr.c AS rc,
+             CAST((p.cnt * {1 << WP_SCORE_SHIFT}) // (cl.c * cr.c)
+                  AS BIGINT) AS score_key
+      FROM p{i} p
+      JOIN sc{i} cl ON cl.s = p.lhs
+      JOIN sc{i} cr ON cr.s = p.rhs
+      ORDER BY score_key DESC, p.cnt DESC, p.lhs, p.rhs LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+      SELECT list_reduce(list_prepend('', el),
+               (acc, s) -> CASE
+                 WHEN ends_with(acc, '#' || b.lhs) AND s = b.rhs
+                 THEN substr(acc, 1, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+                 ELSE acc || '#' || s END) AS sym,
+             freq
+      FROM el{i} CROSS JOIN b{i} b)"""
+        )
+    return ctes
+
+
+def _wp_train_oracle(rounds: int) -> str:
+    ctes = _wp_train_ctes(rounds)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, lhs, rhs, lhs || rhs AS merged,"
+        f" cnt AS pair_count, lc AS lhs_count, rc AS rhs_count, score_key"
+        f" FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n    {rows}"
+
+
+@query("text_wordpiece_train_merges", oracle=_wp_train_oracle(WP_TRAIN_ROUNDS))
+def text_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenizer training (Schuster & Nakajima 2012 — the
+    BERT/ALBERT trainer): the same marked-symbol merge loop as
+    :func:`text_bpe_train_merges`, but the argmax is the LIKELIHOOD score
+    count(ab)/(count(a)·count(b)) instead of the raw pair count — the
+    merge that most increases the unigram-LM likelihood of the corpus,
+    which prefers pairs whose parts rarely occur APART (BPE's count
+    argmax prefers pairs that are merely common).  The two trainers on
+    the same corpus make the difference observable: the fixture's BPE
+    round-1 winner (e, r$) loses here to a pair whose constituents are
+    almost always together.
+
+    Determinism contract: the exact score is a rational; the registered
+    semantics are the QUANTIZED key (cnt << {WP_SCORE_SHIFT}) div
+    (cnt_l·cnt_r) with total tie-break (key DESC, cnt DESC, lhs, rhs) —
+    the same expression in both engines, so the argmax is
+    engine-identical even when two pairs quantize to the same key (see
+    the WP_SCORE_SHIFT comment for the int64 bound and the DECIMAL
+    escalation path).
+
+    Scale shape: identical to the BPE trainer — corpus-sized work once,
+    then per round a vocab-sized pair count, a vocab-sized symbol count
+    (one extra explode+groupBy vs BPE, joined to the pair table on the
+    two symbol keys), a 1-row argmax collect, and the codegen fold."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    v = vocab.select(
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", r"#$1"), F.lit(BPE_EOW)
+        ).alias("sym"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    trace: list[tuple] = []
+    for rnd in range(1, WP_TRAIN_ROUNDS + 1):
+        el = F.expr("slice(split(sym, '#'), 2, size(split(sym, '#')) - 1)")
+        ve = v.withColumn("el", el)
+        n = F.size(F.col("el"))
+        pairs = (
+            ve.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("el"), 1, n - 1),
+                        F.slice(F.col("el"), 2, n - 1),
+                        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        syms = (
+            ve.select(F.explode(F.col("el")).alias("s"), "freq")
+            .groupBy("s")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best_rows = (
+            pairs.join(
+                F.broadcast(syms.select(F.col("s").alias("lhs"), F.col("c").alias("lc"))),
+                "lhs",
+            )
+            .join(
+                F.broadcast(syms.select(F.col("s").alias("rhs"), F.col("c").alias("rc"))),
+                "rhs",
+            )
+            .select(
+                "lhs",
+                "rhs",
+                "cnt",
+                "lc",
+                "rc",
+                F.expr(
+                    f"(cnt * {1 << WP_SCORE_SHIFT}) div (lc * rc)"
+                ).alias("score_key"),
+            )
+            .orderBy(
+                F.desc("score_key"), F.desc("cnt"), F.asc("lhs"), F.asc("rhs")
+            )
+            .limit(1)
+            .collect()  # bounded: 1-row model state per round
+        )
+        if not best_rows:
+            break
+        best = best_rows[0]
+        a, b = best["lhs"], best["rhs"]
+        fold = F.aggregate(
+            F.col("el"),
+            F.lit(""),
+            lambda acc, x: F.when(
+                acc.endswith("#" + a) & (x == b),
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - len(a)),
+                    F.lit(a + b),
+                ),
+            ).otherwise(F.concat(acc, F.lit("#"), x)),
+        )
+        v = ve.select(fold.alias("sym"), "freq").localCheckpoint(eager=True)
+        trace.append(
+            (
+                rnd,
+                a,
+                b,
+                int(best["cnt"]),
+                int(best["lc"]),
+                int(best["rc"]),
+                int(best["score_key"]),
+            )
+        )
+
+    out = None
+    for rnd, a, b, cnt, lc, rc, key in trace:
+        row = spark.range(1).select(
+            F.lit(rnd).alias("round"),
+            F.lit(a).alias("lhs"),
+            F.lit(b).alias("rhs"),
+            F.lit(a + b).alias("merged"),
+            F.lit(cnt).cast("long").alias("pair_count"),
+            F.lit(lc).cast("long").alias("lhs_count"),
+            F.lit(rc).cast("long").alias("rhs_count"),
+            F.lit(key).cast("long").alias("score_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @query(
     "text_inverted_index",
     oracle="""

@@ -103,6 +103,8 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "ann_lsh_eval",
     "text_bpe_train_merges",
     "image_jpeg_huffman_decode",
+    "retrieval_rbo_overlap",
+    "text_wordpiece_train_merges",
 )
 
 

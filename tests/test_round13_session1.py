@@ -172,6 +172,41 @@ def test_rrf_unit_is_exact_lcm():
         assert RRF_UNIT % (RRF_K + r) == 0
 
 
+# --- retrieval_rbo_overlap ------------------------------------------------------
+
+
+def test_rbo_constants_exact():
+    """The RBO@5, p=1/2 integerization: per-depth coefficients 1920/(2^d·d),
+    suffix sums for first-counted depth m, and the full-agreement total
+    (1 - p^D)·RBO_UNIT = 1860."""
+    from hadoopmapreduce_spark.operators.retrieval import (
+        RBO_DEPTH,
+        RBO_SUFFIX,
+        RBO_UNIT,
+    )
+
+    assert RBO_UNIT == 1920
+    coeff = [RBO_UNIT // (2**d * d) for d in range(1, RBO_DEPTH + 1)]
+    assert all(RBO_UNIT % (2**d * d) == 0 for d in range(1, RBO_DEPTH + 1))
+    assert RBO_SUFFIX == [sum(coeff[m - 1 :]) for m in range(1, RBO_DEPTH + 1)]
+    assert RBO_SUFFIX == [1322, 362, 122, 42, 12]
+    # identical lists: item at rank r first counted at depth r
+    assert sum(RBO_SUFFIX) == 1860 == RBO_UNIT - RBO_UNIT // 2**RBO_DEPTH
+
+
+def test_rbo_fixture_bounds(spark, sf_dir):
+    registry = _registry()
+    rows = registry.QUERIES["retrieval_rbo_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.rbo_units <= 1860
+        assert 0 <= r.top1_match <= 1
+        assert (r.n_common == 0) == (r.rbo_units == 0)
+        # minimum possible nonzero contribution is the depth-5 suffix
+        if r.n_common:
+            assert r.rbo_units >= 12 * r.n_common
+
+
 # --- ann_lsh_eval (VERDICT r12 ask #3) ------------------------------------------
 
 
@@ -381,6 +416,46 @@ def test_jpeg_huffman_tables_read_from_stream():
     finally:
         M._JPEG_HUFF_AC_SYMBOLS = orig
     assert M.decode_jpeg_huffman(payload) == _jpeg_expected(3, 2, 91)
+
+
+# --- text_wordpiece_train_merges ------------------------------------------------
+
+
+def test_wordpiece_train_semantics(spark, sf_dir):
+    """Structural pins: score_key is exactly the quantized likelihood
+    (cnt << 30) div (lc·rc); marker discipline (lhs never word-final);
+    merged = lhs||rhs; rounds dense; and the DIFFERENTIAL that defines
+    the operator — the likelihood argmax picks a different round-1 merge
+    than BPE's count argmax on the same corpus (BPE learns the most
+    COMMON pair; WordPiece learns the most EXCLUSIVE one)."""
+    from hadoopmapreduce_spark.operators.textops import (
+        BPE_EOW,
+        WP_SCORE_SHIFT,
+    )
+
+    registry = _registry()
+    wp = registry.QUERIES["text_wordpiece_train_merges"](
+        spark, sf_dir
+    ).collect()
+    assert wp
+    wp.sort(key=lambda r: r.round)
+    assert [r.round for r in wp] == list(range(1, len(wp) + 1))
+    for r in wp:
+        assert BPE_EOW not in r.lhs
+        assert r.merged == r.lhs + r.rhs
+        assert r.score_key == (r.pair_count << WP_SCORE_SHIFT) // (
+            r.lhs_count * r.rhs_count
+        )
+        assert 0 < r.pair_count <= min(r.lhs_count, r.rhs_count)
+    bpe = registry.QUERIES["text_bpe_train_merges"](spark, sf_dir).collect()
+    bpe.sort(key=lambda r: r.round)
+    assert (wp[0].lhs, wp[0].rhs) != (bpe[0].lhs, bpe[0].rhs)
+    # composition across rounds: at least one later merge consumes an
+    # earlier round's merged symbol (the w+in -> win -> wind chain)
+    merged_syms = {r.merged for r in wp}
+    assert any(
+        r.lhs in merged_syms or r.rhs in merged_syms for r in wp[1:]
+    )
 
 
 # --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
