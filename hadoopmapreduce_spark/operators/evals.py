@@ -1027,3 +1027,173 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p4_ppm",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# chrF components — character n-gram precision/recall (Popović 2015)
+# --------------------------------------------------------------------------
+
+CHRF_MAX_N = 4  # character n-gram orders 1..4 (chrF's default 6 adds two
+# more explode passes for metrically-redundant orders at this corpus;
+# the clipped-multiset machinery is order-generic either way)
+
+
+def _chrf_oracle() -> str:
+    grams = "\n      UNION ALL ".join(
+        f"SELECT doc_id, '{n}:' || substr(cs, i.i, {n}) AS gram"
+        f" FROM cs, LATERAL (SELECT unnest(range(1, len(cs) - {n} + 2)) AS i) i"
+        for n in range(1, CHRF_MAX_N + 1)
+    )
+    out_cols = ",\n           ".join(
+        f"COALESCE(m.m{n}, 0) AS m{n},\n           "
+        f"CAST(CASE WHEN c.tc{n} = 0 THEN NULL ELSE COALESCE(m.m{n}, 0)"
+        f" * 1000000 // c.tc{n} END AS BIGINT) AS p{n}_ppm,\n           "
+        f"CAST(CASE WHEN r.tr{n} = 0 THEN NULL ELSE COALESCE(m.m{n}, 0)"
+        f" * 1000000 // r.tr{n} END AS BIGINT) AS r{n}_ppm"
+        for n in range(1, CHRF_MAX_N + 1)
+    )
+    msum = ", ".join(
+        f"CAST(SUM(CASE WHEN n = {n} THEN mm END) AS BIGINT) AS m{n}"
+        for n in range(1, CHRF_MAX_N + 1)
+    )
+    tcsum = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN n = {n} THEN tfc END), 0) AS BIGINT)"
+        f" AS tc{n}"
+        for n in range(1, CHRF_MAX_N + 1)
+    )
+    trsum = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN n = {n} THEN tfr END), 0) AS BIGINT)"
+        f" AS tr{n}"
+        for n in range(1, CHRF_MAX_N + 1)
+    )
+    return f"""
+    WITH cs0 AS (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS cs
+                 FROM documents),
+    cs AS (SELECT * FROM cs0),
+    g AS ({grams}),
+    tf AS (SELECT doc_id, gram, CAST(SUBSTR(gram, 1, 1) AS INT) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS tf
+           FROM g GROUP BY 1, 2, 3),
+    ctf AS (SELECT doc_id, gram, n, tf AS tfc FROM tf WHERE doc_id % 2 = 0),
+    rtf AS (SELECT doc_id - 1 AS doc_id, gram, n, tf AS tfr
+            FROM tf WHERE doc_id % 2 = 1),
+    mt AS (SELECT c.doc_id, c.n, LEAST(c.tfc, r.tfr) AS mm
+           FROM ctf c JOIN rtf r USING (doc_id, gram)),
+    m AS (SELECT doc_id, {msum} FROM mt GROUP BY doc_id),
+    c AS (SELECT doc_id, {tcsum} FROM ctf GROUP BY doc_id),
+    r AS (SELECT doc_id, {trsum} FROM rtf GROUP BY doc_id)
+    SELECT c.doc_id AS cand_id, c.doc_id + 1 AS ref_id,
+           {out_cols}
+    FROM c
+    JOIN r USING (doc_id)
+    LEFT JOIN m USING (doc_id)
+    """
+
+
+@query("eval_chrf_components", oracle=_chrf_oracle())
+def eval_chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF's exact-integer decomposition (Popović, WMT 2015) over the
+    same even→odd candidate/reference pairing as the BLEU and ROUGE-2
+    evals: per character-n-gram order 1..{CHRF_MAX_N}, the clipped
+    MULTISET match count m_n = Σ_g min(tf_c, tf_r) — symmetric, so one
+    inner join feeds both directions — with per-order PRECISION
+    (m/total_cand) and RECALL (m/total_ref) in truncating ppm.  chrF is
+    the MT metric that survives tokenizer mismatch (it sees characters,
+    not tokens), which is why data pipelines use it to compare corpora
+    ACROSS tokenizations; the chrF2 scalar (β=2 F-mean) is a nonlinear
+    fold left to the consumer — the BLEU-components discipline.
+
+    Whitespace is removed before gram extraction (the standard chrF
+    preprocessing), so the metric reads subword structure across word
+    boundaries.  Short-doc safety inherited from the BLEU fix: the
+    per-order guard emits zero grams when the char string is shorter
+    than n (Spark's sequence() would descend), mirroring DuckDB's empty
+    range(); m/p/r then read 0/NULL exactly.
+
+    Scale shape: ONE explode emits all {CHRF_MAX_N} tagged orders (rows
+    ≈ 4× corpus chars — the same linear position-table posture as
+    ``dedup_substring_spans``), multiset tf via (doc, gram) map-side
+    combined counts, one (pair, gram) hash join for matches, and three
+    per-pair rollups.  Never a cross product; keys on (pair, gram) end
+    to end."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", r"\s+", "").alias("cs")
+    )
+    grams_expr = "concat(" + ", ".join(
+        f"IF(length(cs) >= {n}, "
+        f"transform(sequence(1, length(cs) - {n} + 1), "
+        f"i -> '{n}:' || substr(cs, i, {n})), array())"
+        for n in range(1, CHRF_MAX_N + 1)
+    ) + ")"
+    tf = (
+        d.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "doc_id",
+            "gram",
+            F.substring("gram", 1, 1).cast("int").alias("n"),
+            "tf",
+        )
+    )
+    ctf = tf.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"), "gram", "n", F.col("tf").alias("tfc")
+    )
+    rtf = tf.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("cand_id"),
+        "gram",
+        "n",
+        F.col("tf").alias("tfr"),
+    )
+    mt = ctf.join(rtf.drop("n"), ["cand_id", "gram"]).select(
+        "cand_id", "n", F.least("tfc", "tfr").alias("mm")
+    )
+    m = mt.groupBy("cand_id").agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col("mm")))
+            .cast("long")
+            .alias(f"m{n}")
+            for n in range(1, CHRF_MAX_N + 1)
+        ]
+    )
+    c = ctf.groupBy("cand_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("tfc"))), F.lit(0))
+            .cast("long")
+            .alias(f"tc{n}")
+            for n in range(1, CHRF_MAX_N + 1)
+        ]
+    )
+    r = rtf.groupBy("cand_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("tfr"))), F.lit(0))
+            .cast("long")
+            .alias(f"tr{n}")
+            for n in range(1, CHRF_MAX_N + 1)
+        ]
+    )
+    out_cols = []
+    for n in range(1, CHRF_MAX_N + 1):
+        mn = F.coalesce(F.col(f"m{n}"), F.lit(0))
+        out_cols.append(mn.cast("long").alias(f"m{n}"))
+        out_cols.append(
+            F.when(F.col(f"tc{n}") == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr(f"coalesce(m{n}, 0) * 1000000 div tc{n}"))
+            .cast("long")
+            .alias(f"p{n}_ppm")
+        )
+        out_cols.append(
+            F.when(F.col(f"tr{n}") == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr(f"coalesce(m{n}, 0) * 1000000 div tr{n}"))
+            .cast("long")
+            .alias(f"r{n}_ppm")
+        )
+    return (
+        c.join(r, "cand_id")
+        .join(m, "cand_id", "left")
+        .select(
+            "cand_id",
+            (F.col("cand_id") + 1).alias("ref_id"),
+            *out_cols,
+        )
+    )

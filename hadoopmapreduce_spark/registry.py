@@ -105,6 +105,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "image_jpeg_huffman_decode",
     "retrieval_rbo_overlap",
     "text_wordpiece_train_merges",
+    "eval_chrf_components",
 )
 
 

@@ -458,6 +458,62 @@ def test_wordpiece_train_semantics(spark, sf_dir):
     )
 
 
+# --- eval_chrf_components -------------------------------------------------------
+
+
+def test_chrf_components_semantics(spark, sf_dir):
+    """Per pair: matches are symmetric-clipped so m_n <= min(total_c,
+    total_r) implies p_n and r_n <= 1e6; m is non-increasing in order on
+    this corpus (matching an n-gram requires matching its chars);
+    p/r NULL only when the corresponding total is 0 (never on fixture
+    docs)."""
+    registry = _registry()
+    rows = registry.QUERIES["eval_chrf_components"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ref_id == r.cand_id + 1
+        ms = [r.m1, r.m2, r.m3, r.m4]
+        assert ms == sorted(ms, reverse=True), r
+        for n in (1, 2, 3, 4):
+            p, rr = getattr(r, f"p{n}_ppm"), getattr(r, f"r{n}_ppm")
+            assert p is not None and 0 <= p <= 1_000_000
+            assert rr is not None and 0 <= rr <= 1_000_000
+
+
+def test_chrf_short_strings(spark, tmp_path):
+    """The BLEU short-doc lesson applied at build time: a candidate with
+    fewer than n chars (after whitespace removal) contributes zero
+    n-grams for that order — p_n NULL via the 0 denominator — and exact
+    hand-computed values on a 2-char pair."""
+    registry = _registry()
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en", "t", 3),   # cs = 'ab' -> no 3/4-grams
+            (1, "ab", "en", "t", 2),    # cs = 'ab'
+            (2, "x", "en", "t", 1),     # cs = 'x' -> only unigrams
+            (3, "y z", "en", "t", 3),   # cs = 'yz'
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.cand_id: r
+        for r in registry.QUERIES["eval_chrf_components"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r0 = rows[0]  # 'ab' vs 'ab': perfect through order 2, no order 3/4
+    assert (r0.m1, r0.m2, r0.m3, r0.m4) == (2, 1, 0, 0)
+    assert r0.p1_ppm == r0.r1_ppm == 1_000_000
+    assert r0.p2_ppm == r0.r2_ppm == 1_000_000
+    assert r0.p3_ppm is None and r0.r3_ppm is None
+    r2 = rows[2]  # 'x' vs 'yz': no overlap anywhere
+    assert r2.m1 == 0 and r2.p1_ppm == 0
+    assert r2.r1_ppm == 0  # 0 matches over 2 ref unigrams
+    assert r2.p2_ppm is None  # cand has no bigrams
+    assert r2.r2_ppm == 0  # ref has one bigram, zero matched
+
+
 # --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
 
 
