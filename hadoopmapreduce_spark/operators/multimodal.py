@@ -714,6 +714,414 @@ def zip_manifest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_zip_manifest_batch, schema=_ZIP_SCHEMA)
 
 
+# --- from-scratch DEFLATE inflate (codec family #10) -----------------------
+#
+# zip_manifest_features above trusts stdlib zlib for the inflate;
+# `archive_deflate_decode` removes that trust: a from-spec RFC 1951
+# decoder — LSB-first bit stream with Huffman codes packed MSB-of-code
+# first (the spec's one genuinely confusing rule, §3.1.1), STORED blocks
+# with LEN/NLEN complement checking, fixed-Huffman literal/length codes
+# across all four length tiers (7/8/9-bit), length/distance extra bits,
+# and OVERLAPPING back-reference copies (distance < length — LZ77's RLE
+# idiom, which a memcpy-based copy gets wrong).  It stops at raw decoded
+# bytes + Adler-32 — the zlib boundary — so the oracle is the closed-form
+# byte law, never a bitstream simulation.  DEFLATE is the entropy layer
+# inside gzip, ZIP and PNG: the one decode a web-scrape pipeline cannot
+# avoid.
+
+# fixed-Huffman code-length table (RFC 1951 §3.2.6) and the length /
+# distance bases + extra bits (§3.2.5) — spec constants, not tuning
+_DEFLATE_LEN_BASE = (
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43, 51,
+    59, 67, 83, 99, 115, 131, 163, 195, 227, 258,
+)
+_DEFLATE_LEN_EXTRA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4,
+    4, 5, 5, 5, 5, 0,
+)
+_DEFLATE_DIST_BASE = (
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257, 385,
+    513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385,
+    24577,
+)
+_DEFLATE_DIST_EXTRA = (
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10,
+    10, 11, 11, 12, 12, 13, 13,
+)
+
+
+def _fixed_litlen_lengths() -> list:
+    """Code lengths for the 288-symbol fixed literal/length alphabet."""
+    return [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+
+
+def _deflate_canonical(lengths: list) -> dict:
+    """symbol -> (code, nbits) via RFC 1951 §3.2.2's canonical algorithm."""
+    max_len = max(lengths)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (max_len + 1)
+    code = 0
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _DeflateBitWriter:
+    """LSB-first bit packer.  ``bits`` writes an integer field LSB-first
+    (extra bits, LEN); ``code`` writes a Huffman code MSB-first — the
+    §3.1.1 asymmetry."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            self.acc |= ((value >> i) & 1) << self.n
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def code(self, code: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def align(self) -> None:
+        if self.n:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.n = 0
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _deflate_law(seed: int):
+    """(decoded_bytes, stored_part, lit_run, match(l, d), tail) — the
+    closed-form content law the oracle mirrors:
+
+      stored[i] = (3i + seed) % 251           (n1 = 40 + seed % 32 bytes)
+      lit[i]    = (5i + 7·seed) % 256         (m = 20 + seed % 13; values
+                                               >143 exercise 9-bit codes)
+      match     = length l = 30 + seed % 100, distance d = 1 + seed % 9
+                  (d < l always -> overlapping copy; byte t of the match
+                  is lit[m - d + (t % d)])
+      tail[i]   = (11i + seed) % 256          (t2 = 5 + seed % 7)
+    """
+    n1 = 40 + seed % 32
+    m = 20 + seed % 13
+    l = 30 + seed % 100
+    d = 1 + seed % 9
+    t2 = 5 + seed % 7
+    stored = bytes((3 * i + seed) % 251 for i in range(n1))
+    lit = bytes((5 * i + 7 * seed) % 256 for i in range(m))
+    tail = bytes((11 * i + seed) % 256 for i in range(t2))
+    match = bytes(lit[m - d + (t % d)] for t in range(l))
+    return stored + lit + match + tail, stored, lit, (l, d), tail
+
+
+def synthesize_deflate(seed: int) -> bytes:
+    """Raw DEFLATE stream (no zlib wrapper): one STORED block carrying the
+    stored segment, then one BFINAL fixed-Huffman block encoding the
+    literal run, ONE length/distance back-reference and the tail."""
+    import struct
+
+    _, stored, lit, (l, d), tail = _deflate_law(seed)
+    litlen = _deflate_canonical(_fixed_litlen_lengths())
+    dist = _deflate_canonical([5] * 30)
+
+    w = _DeflateBitWriter()
+    # block 1: stored
+    w.bits(0, 1)  # BFINAL=0
+    w.bits(0, 2)  # BTYPE=00
+    w.align()
+    w.out += struct.pack("<HH", len(stored), len(stored) ^ 0xFFFF)
+    w.out += stored
+    # block 2: fixed huffman, final
+    w.bits(1, 1)  # BFINAL=1
+    w.bits(1, 2)  # BTYPE=01
+    for b in lit:
+        w.code(*litlen[b])
+    # length symbol: largest base <= l
+    lsym = max(
+        i for i, base in enumerate(_DEFLATE_LEN_BASE) if base <= l
+    )
+    w.code(*litlen[257 + lsym])
+    w.bits(l - _DEFLATE_LEN_BASE[lsym], _DEFLATE_LEN_EXTRA[lsym])
+    dsym = max(
+        i for i, base in enumerate(_DEFLATE_DIST_BASE) if base <= d
+    )
+    w.code(*dist[dsym])
+    w.bits(d - _DEFLATE_DIST_BASE[dsym], _DEFLATE_DIST_EXTRA[dsym])
+    for b in tail:
+        w.code(*litlen[b])
+    w.code(*litlen[256])  # end of block
+    return w.flush()
+
+
+class _DeflateBitReader:
+    """LSB-first bit reader; ``code_bit`` feeds the MSB-first Huffman
+    accumulator one stream bit at a time."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read1(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("DEFLATE: bit stream exhausted")
+        b = (self.data[self.pos] >> self.bit) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.read1() << i
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _deflate_decode_symbol(r: "_DeflateBitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.read1()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("DEFLATE: invalid Huffman code")
+
+
+def _deflate_decode_table(lengths: list) -> dict:
+    """(nbits, code) -> symbol, from the same canonical construction."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _deflate_canonical(lengths).items()
+    }
+
+
+ADLER_MOD = 65521
+
+
+def inflate(payload: bytes) -> dict:
+    """From-spec inflate of STORED + fixed-Huffman blocks: returns the
+    decoded bytes' exact-integer features (length, Adler-32 halves,
+    position-weighted checksum, block/stored censuses).  Raises on LEN/
+    NLEN mismatch, invalid codes, out-of-window distances, and the
+    unimplemented dynamic BTYPE (10) — loud, never plausible garbage."""
+    r = _DeflateBitReader(payload)
+    litlen_tbl = _deflate_decode_table(_fixed_litlen_lengths())
+    dist_tbl = _deflate_decode_table([5] * 30)
+    out = bytearray()
+    n_blocks = n_stored = n_matches = 0
+    while True:
+        bfinal = r.read1()
+        btype = r.bits(2)
+        n_blocks += 1
+        if btype == 0:
+            r.align()
+            if r.pos + 4 > len(r.data):
+                raise ValueError("DEFLATE: truncated stored header")
+            ln = r.data[r.pos] | (r.data[r.pos + 1] << 8)
+            nlen = r.data[r.pos + 2] | (r.data[r.pos + 3] << 8)
+            if ln ^ nlen != 0xFFFF:
+                raise ValueError("DEFLATE: LEN/NLEN mismatch")
+            r.pos += 4
+            if r.pos + ln > len(r.data):
+                raise ValueError("DEFLATE: truncated stored block")
+            out += r.data[r.pos : r.pos + ln]
+            n_stored += ln
+            r.pos += ln
+        elif btype == 1:
+            while True:
+                sym = _deflate_decode_symbol(r, litlen_tbl)
+                if sym == 256:
+                    break
+                if sym < 256:
+                    out.append(sym)
+                    continue
+                if sym > 285:
+                    raise ValueError(f"DEFLATE: bad length symbol {sym}")
+                li = sym - 257
+                length = _DEFLATE_LEN_BASE[li] + r.bits(_DEFLATE_LEN_EXTRA[li])
+                di = _deflate_decode_symbol(r, dist_tbl)
+                if di > 29:
+                    raise ValueError(f"DEFLATE: bad distance symbol {di}")
+                distance = _DEFLATE_DIST_BASE[di] + r.bits(
+                    _DEFLATE_DIST_EXTRA[di]
+                )
+                if distance > len(out):
+                    raise ValueError("DEFLATE: distance beyond window")
+                n_matches += 1
+                # byte-by-byte: overlapping copies (d < l) must re-read
+                # bytes this same copy just wrote
+                start = len(out) - distance
+                for t in range(length):
+                    out.append(out[start + t])
+        elif btype == 2:
+            raise ValueError(
+                "DEFLATE: dynamic-Huffman block not wired in this decoder"
+            )
+        else:
+            raise ValueError("DEFLATE: reserved BTYPE 11")
+        if bfinal:
+            break
+    a = 1
+    b = 0
+    poschk = 0
+    for i, byte in enumerate(out):
+        a = (a + byte) % ADLER_MOD
+        b = (b + a) % ADLER_MOD
+        poschk += (i + 1) * byte
+    return {
+        "n_bytes": len(out),
+        "n_blocks": n_blocks,
+        "n_stored_bytes": n_stored,
+        "n_matches": n_matches,
+        "adler_a": a,
+        "adler_b": b,
+        "poschk": poschk,
+    }
+
+
+_DEFLATE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_blocks int, n_stored_bytes bigint, "
+    "n_matches int, adler_a bigint, adler_b bigint, poschk bigint"
+)
+
+
+def _deflate_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [inflate(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)[
+            [
+                "n_bytes",
+                "n_blocks",
+                "n_stored_bytes",
+                "n_matches",
+                "adler_a",
+                "adler_b",
+                "poschk",
+            ]
+        ]
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out["n_blocks"] = out["n_blocks"].astype("int32")
+        out["n_matches"] = out["n_matches"].astype("int32")
+        yield out
+
+
+
+def _deflate_oracle() -> str:
+    """Adler-32 closed form: a = (1 + Σ byte_i) mod 65521 and
+    b = (n + Σ (n - i)·byte_i) mod 65521 for 0-based i — the prefix-sum
+    identity b = Σ_k a_k."""
+    return f"""
+    WITH spec AS (
+      SELECT doc_id, doc_id % 256 AS s,
+             40 + doc_id % 256 % 32 AS n1,
+             20 + doc_id % 256 % 13 AS m,
+             30 + doc_id % 256 % 100 AS l,
+             1 + doc_id % 256 % 9 AS d,
+             5 + doc_id % 256 % 7 AS t2
+      FROM documents),
+    bytes AS (
+      SELECT doc_id, i.i AS g, (3 * i.i + s) % 251 AS byte
+      FROM spec, LATERAL unnest(range(0, n1)) AS i(i)
+      UNION ALL
+      SELECT doc_id, n1 + i.i, (5 * i.i + 7 * s) % 256
+      FROM spec, LATERAL unnest(range(0, m)) AS i(i)
+      UNION ALL
+      SELECT doc_id, n1 + m + t.t, (5 * (m - d + (t.t % d)) + 7 * s) % 256
+      FROM spec, LATERAL unnest(range(0, l)) AS t(t)
+      UNION ALL
+      SELECT doc_id, n1 + m + l + i.i, (11 * i.i + s) % 256
+      FROM spec, LATERAL unnest(range(0, t2)) AS i(i)),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(byte) AS BIGINT) AS sum_b,
+             CAST(SUM((g + 1) * byte) AS BIGINT) AS poschk
+      FROM bytes GROUP BY doc_id),
+    wagg AS (
+      SELECT b.doc_id,
+             CAST(SUM((a.n - b.g) * b.byte) AS BIGINT) AS wsum
+      FROM bytes b JOIN agg a USING (doc_id) GROUP BY b.doc_id)
+    SELECT sp.doc_id,
+           a.n AS n_bytes,
+           2 AS n_blocks,
+           CAST(sp.n1 AS BIGINT) AS n_stored_bytes,
+           1 AS n_matches,
+           (1 + a.sum_b) % {ADLER_MOD} AS adler_a,
+           (a.n + w.wsum) % {ADLER_MOD} AS adler_b,
+           a.poschk
+    FROM spec sp JOIN agg a USING (doc_id) JOIN wagg w USING (doc_id)
+    """
+
+
+def deflate_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(s: pd.Series) -> pd.Series:
+        return pd.Series([synthesize_deflate(int(si)) for si in s])
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", (F.col("doc_id") % 256).cast("int").alias("s_spec")
+    ).withColumn("payload", _synth(F.col("s_spec")))
+
+
+@query("archive_deflate_decode", oracle=_deflate_oracle())
+def archive_deflate_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch DEFLATE inflate (RFC 1951) — codec family #10, and
+    the archive sibling of the image-side entropy decodes: where
+    ``zip_manifest_features`` trusts stdlib zlib, this decoder earns the
+    bytes itself.  STORED blocks (byte-aligned LEN/NLEN with complement
+    check), fixed-Huffman blocks across all four code-length tiers of
+    the 288-symbol literal/length alphabet, length/distance extra bits,
+    and the law FORCES an overlapping back-reference in every stream
+    (distance 1-9 < length 30-129): the LZ77 RLE idiom a memcpy-style
+    copy corrupts, so the byte-by-byte window copy is load-bearing on
+    every document.  The §3.1.1 asymmetry — LSB-first bit stream,
+    Huffman codes packed MSB-of-code-first — is exercised in both
+    directions (writer + reader), the exact mirror-image of JPEG's
+    MSB-first stream.
+
+    Outputs stop at the zlib boundary: decoded length, REAL Adler-32
+    halves accumulated byte-by-byte, a position-weighted checksum, and
+    block/stored/match censuses.  The oracle computes the same numbers
+    from the closed-form content law (Adler-32 via the prefix-sum
+    identity b = n + Σ(n−i)·byte_i mod 65521) — never by simulating the
+    bit stream.
+
+    Scale: shuffle-free Arrow-batched mapInPandas, one pass per payload;
+    at 100 TB the payloads are gzip members / ZIP entries / PNG IDAT
+    streams and this plan is unchanged."""
+    assets = deflate_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_deflate_batch, schema=_DEFLATE_SCHEMA)
+
+
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize multimodal assets from documents: payload = utf-8 bytes of
     the text (an opaque blob as far as the pipeline is concerned), kind

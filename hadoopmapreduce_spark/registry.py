@@ -106,6 +106,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "retrieval_rbo_overlap",
     "text_wordpiece_train_merges",
     "eval_chrf_components",
+    "archive_deflate_decode",
 )
 
 

