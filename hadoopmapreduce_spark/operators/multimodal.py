@@ -1122,6 +1122,384 @@ def archive_deflate_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_deflate_batch, schema=_DEFLATE_SCHEMA)
 
 
+# --- dynamic-Huffman DEFLATE (the inflate capstone) ------------------------
+#
+# BTYPE=10 is the part of inflate implementations actually get wrong: the
+# block carries its OWN Huffman tables, themselves compressed with a
+# third (code-length) Huffman code whose 3-bit lengths arrive in the
+# spec's permuted order, with run-length codes 16/17/18 expanding the
+# length sequence CONTINUOUSLY across the literal/distance boundary
+# (§3.2.7).  The synthesizer builds complete canonical codes over exactly
+# the symbols the content law uses (Kraft-complete via the
+# 2^L−n-short-codes construction), encodes the length sequence with real
+# 17/18 zero runs, and emits a single dynamic block; the decoder parses
+# HLIT/HDIST/HCLEN, rebuilds all three codes, and inflates.  stdlib zlib
+# cross-validates every synthesized stream in tests — the header is real.
+
+_CL_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+
+def _complete_lengths(symbols: list) -> dict:
+    """Kraft-complete code lengths for a symbol set: with n symbols and
+    L = ceil(log2 n), the first 2^L − n symbols (sorted) get length L−1,
+    the rest L — Σ 2^−l = 1 exactly, so the canonical code is complete
+    (DEFLATE decoders reject over/under-subscribed codes)."""
+    n = len(symbols)
+    if n == 1:
+        return {symbols[0]: 1}  # the spec's one-code special case
+    L = 1
+    while (1 << L) < n:
+        L += 1
+    n_short = (1 << L) - n
+    out = {}
+    for i, sym in enumerate(sorted(symbols)):
+        out[sym] = (L - 1) if i < n_short and L > 1 else L
+    return out
+
+
+def _deflate_dyn_law(seed: int):
+    """Content law for the dynamic block: 4 segments, 2 back-references.
+
+      alpha[j] = (16j + seed) % 256  (16 distinct literal byte values)
+      lit[i]   = alpha[(i² + i + seed) % 16],  m  = 24 + seed % 10
+      match1   = l1 = 10 + seed % 20 @ d1 = 1 + seed % 5 (OVERLAPPING)
+      lit2[i]  = alpha[(3i + 1 + seed) % 16],  t2 = 4 + seed % 5
+      match2   = l2 = 5 + seed % 10 @ d2 = (m+l1+t2) − off, off = seed % 5
+                 (a LONG distance back into the original literal run —
+                 its bytes are lit[off + t], and its distance symbol
+                 needs extra bits, unlike match1's)
+    """
+    m = 24 + seed % 10
+    l1 = 10 + seed % 20
+    d1 = 1 + seed % 5
+    t2 = 4 + seed % 5
+    l2 = 5 + seed % 10
+    off = seed % 5
+    alpha = [(16 * j + seed) % 256 for j in range(16)]
+    lit = [alpha[(i * i + i + seed) % 16] for i in range(m)]
+    lit2 = [alpha[(3 * i + 1 + seed) % 16] for i in range(t2)]
+    match1 = [lit[m - d1 + (t % d1)] for t in range(l1)]
+    match2 = [lit[off + t] for t in range(l2)]
+    d2 = m + l1 + t2 - off
+    decoded = bytes(lit + match1 + lit2 + match2)
+    return decoded, lit, (l1, d1), lit2, (l2, d2)
+
+
+def _len_symbol(length: int) -> int:
+    return max(i for i, b in enumerate(_DEFLATE_LEN_BASE) if b <= length)
+
+
+def _dist_symbol(distance: int) -> int:
+    return max(i for i, b in enumerate(_DEFLATE_DIST_BASE) if b <= distance)
+
+
+def synthesize_deflate_dynamic(seed: int) -> bytes:
+    """One BFINAL dynamic-Huffman block encoding the content law with
+    tables built over exactly the used symbols."""
+    decoded, lit, (l1, d1), lit2, (l2, d2) = _deflate_dyn_law(seed)
+
+    lsym1, lsym2 = _len_symbol(l1), _len_symbol(l2)
+    dsym1, dsym2 = _dist_symbol(d1), _dist_symbol(d2)
+    used_lit = sorted(set(lit) | set(lit2) | {256, 257 + lsym1, 257 + lsym2})
+    used_dist = sorted({dsym1, dsym2})
+    ll_lengths_map = _complete_lengths(used_lit)
+    dist_lengths_map = _complete_lengths(used_dist)
+
+    hlit_n = max(used_lit) + 1  # >= 257 always (256 is used)
+    hdist_n = max(used_dist) + 1
+    ll_lengths = [ll_lengths_map.get(s, 0) for s in range(hlit_n)]
+    dist_lengths = [dist_lengths_map.get(s, 0) for s in range(hdist_n)]
+    seq = ll_lengths + dist_lengths  # ONE continuous sequence (§3.2.7)
+
+    # RLE the sequence into CL symbols: zeros via 17/18, nonzero literal
+    cl_ops = []  # (cl_symbol, extra_value, extra_bits)
+    i = 0
+    while i < len(seq):
+        if seq[i] == 0:
+            run = 1
+            while i + run < len(seq) and seq[i + run] == 0 and run < 138:
+                run += 1
+            if run >= 11:
+                cl_ops.append((18, run - 11, 7))
+                i += run
+            elif run >= 3:
+                cl_ops.append((17, run - 3, 3))
+                i += run
+            else:
+                cl_ops.append((0, 0, 0))
+                i += 1
+        else:
+            cl_ops.append((seq[i], 0, 0))
+            i += 1
+    used_cl = sorted({op[0] for op in cl_ops})
+    cl_lengths_map = _complete_lengths(used_cl)
+    cl_code = {
+        sym: code
+        for sym, code in _deflate_canonical(
+            [cl_lengths_map.get(s, 0) for s in range(19)]
+        ).items()
+    }
+    ll_code = _deflate_canonical(ll_lengths)
+    dist_code = _deflate_canonical(dist_lengths)
+
+    # HCLEN: trailing-trim the permuted-order 3-bit length list (min 4)
+    cl_perm = [cl_lengths_map.get(s, 0) for s in _CL_ORDER]
+    hclen_n = len(cl_perm)
+    while hclen_n > 4 and cl_perm[hclen_n - 1] == 0:
+        hclen_n -= 1
+
+    w = _DeflateBitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(2, 2)  # BTYPE=10
+    w.bits(hlit_n - 257, 5)
+    w.bits(hdist_n - 1, 5)
+    w.bits(hclen_n - 4, 4)
+    for v in cl_perm[:hclen_n]:
+        w.bits(v, 3)
+    for sym, extra, nbits in cl_ops:
+        w.code(*cl_code[sym])
+        if nbits:
+            w.bits(extra, nbits)
+    for b in lit:
+        w.code(*ll_code[b])
+    w.code(*ll_code[257 + lsym1])
+    w.bits(l1 - _DEFLATE_LEN_BASE[lsym1], _DEFLATE_LEN_EXTRA[lsym1])
+    w.code(*dist_code[dsym1])
+    w.bits(d1 - _DEFLATE_DIST_BASE[dsym1], _DEFLATE_DIST_EXTRA[dsym1])
+    for b in lit2:
+        w.code(*ll_code[b])
+    w.code(*ll_code[257 + lsym2])
+    w.bits(l2 - _DEFLATE_LEN_BASE[lsym2], _DEFLATE_LEN_EXTRA[lsym2])
+    w.code(*dist_code[dsym2])
+    w.bits(d2 - _DEFLATE_DIST_BASE[dsym2], _DEFLATE_DIST_EXTRA[dsym2])
+    w.code(*ll_code[256])
+    return w.flush()
+
+
+def inflate_dynamic(payload: bytes) -> dict:
+    """From-spec dynamic-block inflate: HLIT/HDIST/HCLEN header, the
+    permuted 3-bit CL lengths, the CL-coded continuous length sequence
+    with 16 (repeat-prev ×3-6), 17 (zeros ×3-10) and 18 (zeros ×11-138),
+    then the standard literal/match loop on the REBUILT tables.  Also
+    accepts STORED and fixed blocks so mixed streams inflate; returns
+    the same feature dict as ``inflate`` plus table censuses."""
+    r = _DeflateBitReader(payload)
+    out = bytearray()
+    n_blocks = n_matches = n_stored = 0
+    n_lit_codes = n_dist_codes = 0
+    fixed_ll = _deflate_decode_table(_fixed_litlen_lengths())
+    fixed_dist = _deflate_decode_table([5] * 30)
+    while True:
+        bfinal = r.read1()
+        btype = r.bits(2)
+        n_blocks += 1
+        if btype == 0:
+            r.align()
+            ln = r.data[r.pos] | (r.data[r.pos + 1] << 8)
+            nlen = r.data[r.pos + 2] | (r.data[r.pos + 3] << 8)
+            if ln ^ nlen != 0xFFFF:
+                raise ValueError("DEFLATE: LEN/NLEN mismatch")
+            r.pos += 4
+            out += r.data[r.pos : r.pos + ln]
+            n_stored += ln
+            r.pos += ln
+            if bfinal:
+                break
+            continue
+        if btype == 1:
+            ll_tbl, dist_tbl = fixed_ll, fixed_dist
+        elif btype == 2:
+            hlit_n = r.bits(5) + 257
+            hdist_n = r.bits(5) + 1
+            hclen_n = r.bits(4) + 4
+            cl_lengths = [0] * 19
+            for k in range(hclen_n):
+                cl_lengths[_CL_ORDER[k]] = r.bits(3)
+            cl_tbl = _deflate_decode_table(cl_lengths)
+            seq = []
+            while len(seq) < hlit_n + hdist_n:
+                sym = _deflate_decode_symbol(r, cl_tbl)
+                if sym < 16:
+                    seq.append(sym)
+                elif sym == 16:
+                    if not seq:
+                        raise ValueError("DEFLATE: repeat with no prior")
+                    seq += [seq[-1]] * (3 + r.bits(2))
+                elif sym == 17:
+                    seq += [0] * (3 + r.bits(3))
+                else:
+                    seq += [0] * (11 + r.bits(7))
+            if len(seq) != hlit_n + hdist_n:
+                raise ValueError("DEFLATE: length sequence overrun")
+            ll_lengths, dist_lengths = seq[:hlit_n], seq[hlit_n:]
+            n_lit_codes = sum(1 for x in ll_lengths if x)
+            n_dist_codes = sum(1 for x in dist_lengths if x)
+            ll_tbl = _deflate_decode_table(ll_lengths)
+            dist_tbl = _deflate_decode_table(dist_lengths)
+        else:
+            raise ValueError("DEFLATE: reserved BTYPE 11")
+        while True:
+            sym = _deflate_decode_symbol(r, ll_tbl)
+            if sym == 256:
+                break
+            if sym < 256:
+                out.append(sym)
+                continue
+            li = sym - 257
+            length = _DEFLATE_LEN_BASE[li] + r.bits(_DEFLATE_LEN_EXTRA[li])
+            di = _deflate_decode_symbol(r, dist_tbl)
+            distance = _DEFLATE_DIST_BASE[di] + r.bits(_DEFLATE_DIST_EXTRA[di])
+            if distance > len(out):
+                raise ValueError("DEFLATE: distance beyond window")
+            n_matches += 1
+            start = len(out) - distance
+            for t in range(length):
+                out.append(out[start + t])
+        if bfinal:
+            break
+    a = 1
+    b = 0
+    poschk = 0
+    for i, byte in enumerate(out):
+        a = (a + byte) % ADLER_MOD
+        b = (b + a) % ADLER_MOD
+        poschk += (i + 1) * byte
+    return {
+        "n_bytes": len(out),
+        "n_blocks": n_blocks,
+        "n_stored_bytes": n_stored,
+        "n_matches": n_matches,
+        "n_lit_codes": n_lit_codes,
+        "n_dist_codes": n_dist_codes,
+        "adler_a": a,
+        "adler_b": b,
+        "poschk": poschk,
+    }
+
+
+_DEFLATE_DYN_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_matches int, n_dist_codes int, "
+    "adler_a bigint, adler_b bigint, poschk bigint"
+)
+
+
+def _deflate_dyn_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [inflate_dynamic(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)[
+            [
+                "n_bytes",
+                "n_matches",
+                "n_dist_codes",
+                "adler_a",
+                "adler_b",
+                "poschk",
+            ]
+        ]
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out["n_matches"] = out["n_matches"].astype("int32")
+        out["n_dist_codes"] = out["n_dist_codes"].astype("int32")
+        yield out
+
+
+def _deflate_dyn_oracle() -> str:
+    """Byte law over the 4 segments; n_dist_codes is 2 unless both
+    matches share a distance symbol (law-computable: d1's symbol is
+    d1 − 1 since d1 ≤ 5; d2 ≥ 33 always, so the symbols always differ →
+    constant 2)."""
+    return f"""
+    WITH spec AS (
+      SELECT doc_id, doc_id % 256 AS s,
+             24 + doc_id % 256 % 10 AS m,
+             10 + doc_id % 256 % 20 AS l1,
+             1 + doc_id % 256 % 5 AS d1,
+             4 + doc_id % 256 % 5 AS t2,
+             5 + doc_id % 256 % 10 AS l2,
+             doc_id % 256 % 5 AS off
+      FROM documents),
+    bytes AS (
+      SELECT doc_id, i.i AS g,
+             (16 * ((i.i * i.i + i.i + s) % 16) + s) % 256 AS byte
+      FROM spec, LATERAL unnest(range(0, m)) AS i(i)
+      UNION ALL
+      SELECT doc_id, m + t.t,
+             (16 * (((m - d1 + (t.t % d1)) * (m - d1 + (t.t % d1))
+                     + (m - d1 + (t.t % d1)) + s) % 16) + s) % 256
+      FROM spec, LATERAL unnest(range(0, l1)) AS t(t)
+      UNION ALL
+      SELECT doc_id, m + l1 + i.i, (16 * ((3 * i.i + 1 + s) % 16) + s) % 256
+      FROM spec, LATERAL unnest(range(0, t2)) AS i(i)
+      UNION ALL
+      SELECT doc_id, m + l1 + t2 + t.t,
+             (16 * (((off + t.t) * (off + t.t) + (off + t.t) + s) % 16)
+              + s) % 256
+      FROM spec, LATERAL unnest(range(0, l2)) AS t(t)),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(byte) AS BIGINT) AS sum_b,
+             CAST(SUM((g + 1) * byte) AS BIGINT) AS poschk
+      FROM bytes GROUP BY doc_id),
+    wagg AS (
+      SELECT b.doc_id, CAST(SUM((a.n - b.g) * b.byte) AS BIGINT) AS wsum
+      FROM bytes b JOIN agg a USING (doc_id) GROUP BY b.doc_id)
+    SELECT sp.doc_id, a.n AS n_bytes, 2 AS n_matches, 2 AS n_dist_codes,
+           (1 + a.sum_b) % {ADLER_MOD} AS adler_a,
+           (a.n + w.wsum) % {ADLER_MOD} AS adler_b,
+           a.poschk
+    FROM spec sp JOIN agg a USING (doc_id) JOIN wagg w USING (doc_id)
+    """
+
+
+def deflate_dynamic_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(s: pd.Series) -> pd.Series:
+        return pd.Series([synthesize_deflate_dynamic(int(si)) for si in s])
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", (F.col("doc_id") % 256).cast("int").alias("s_spec")
+    ).withColumn("payload", _synth(F.col("s_spec")))
+
+
+@query("archive_deflate_dynamic_decode", oracle=_deflate_dyn_oracle())
+def archive_deflate_dynamic_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-Huffman DEFLATE inflate (RFC 1951 §3.2.7) — the part of
+    the format implementations actually get wrong, and the completion of
+    codec family #10: the block carries its OWN Huffman tables,
+    themselves compressed with a third (code-length) code whose 3-bit
+    lengths arrive in the spec's permuted order, with run codes 17/18
+    expanding a SINGLE length sequence continuously across the
+    literal/distance boundary.  The synthesizer builds Kraft-COMPLETE
+    canonical codes over exactly the symbols the content law uses
+    (DEFLATE decoders reject incomplete codes), RLE-encodes the length
+    table with real zero-run codes, and emits a header stdlib zlib
+    accepts — the conformance test inflates every synthesized stream
+    with zlib and gets the identical bytes.
+
+    The content law forces both back-reference regimes in one stream: an
+    overlapping short-distance copy (the LZ77 RLE idiom) AND a long
+    32-150-byte distance back into the original literal run (distance
+    symbols with extra bits — match1's 1-5 distances use none).
+    n_dist_codes = 2 is header-derived: the decoder counts nonzero
+    distance-code lengths it parsed, pinning the table census against
+    the law.
+
+    Same zlib-boundary outputs as ``archive_deflate_decode`` (Adler-32
+    halves, position-weighted checksum); the oracle is the closed-form
+    4-segment byte law.  Scale: shuffle-free Arrow-batched mapInPandas —
+    real-world gzip/ZIP/PNG streams are overwhelmingly dynamic blocks,
+    so THIS is the decode path a web-scrape pipeline runs."""
+    assets = deflate_dynamic_assets(spark, sf_dir).select("doc_id", "payload")
+    return assets.mapInPandas(_deflate_dyn_batch, schema=_DEFLATE_DYN_SCHEMA)
+
+
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize multimodal assets from documents: payload = utf-8 bytes of
     the text (an opaque blob as far as the pipeline is concerned), kind

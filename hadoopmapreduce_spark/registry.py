@@ -107,6 +107,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "text_wordpiece_train_merges",
     "eval_chrf_components",
     "archive_deflate_decode",
+    "archive_deflate_dynamic_decode",
 )
 
 

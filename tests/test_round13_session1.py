@@ -585,6 +585,75 @@ def test_deflate_canonical_matches_spec_fixed_table():
     assert codes[280] == (0b11000000, 8)    # length 280
 
 
+# --- archive_deflate_dynamic_decode ---------------------------------------------
+
+
+def test_deflate_dynamic_roundtrip_and_zlib_conformance():
+    """(1) the from-scratch dynamic-block decoder reproduces the byte law;
+    (2) stdlib zlib inflates the SAME streams to the same bytes — the
+    synthesized dynamic headers (HLIT/HDIST/HCLEN, permuted CL lengths,
+    17/18 zero runs, Kraft-complete tables) are real RFC 1951."""
+    import zlib
+
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    for seed in range(256):
+        payload = M.synthesize_deflate_dynamic(seed)
+        law = M._deflate_dyn_law(seed)[0]
+        assert zlib.decompress(payload, -15) == law
+        got = M.inflate_dynamic(payload)
+        a32 = zlib.adler32(law)
+        assert got["adler_a"] == a32 & 0xFFFF
+        assert got["adler_b"] == a32 >> 16
+        assert got["n_matches"] == 2 and got["n_dist_codes"] == 2
+
+
+def test_deflate_dynamic_structural():
+    """Header corruptions fail loudly: an HCLEN underflow starves the CL
+    table; a corrupted CL length breaks the sequence decode; repeat-16
+    with no prior length is rejected (synthetic stream)."""
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    good = M.synthesize_deflate_dynamic(42)
+    base = M.inflate_dynamic(good)
+    # flip a bit inside the CL-length header region (byte 2): either the
+    # rebuilt tables break decode or the output changes
+    bad = bytearray(good)
+    bad[2] ^= 0x04
+    try:
+        assert M.inflate_dynamic(bytes(bad)) != base
+    except ValueError:
+        pass
+    # repeat-16 with no prior: hand-build header whose first CL symbol
+    # is 16 (CL code: symbol 16 len 1, symbol 0 len 1)
+    w = M._DeflateBitWriter()
+    w.bits(1, 1)
+    w.bits(2, 2)
+    w.bits(0, 5)  # HLIT = 257
+    w.bits(0, 5)  # HDIST = 1
+    w.bits(15, 4)  # HCLEN = 19
+    lens = {16: 1, 0: 1}
+    for s in M._CL_ORDER:
+        w.bits(lens.get(s, 0), 3)
+    w.bits(1, 1)  # CL symbol 16 (canonical: 0 -> code '0', 16 -> code '1')
+    w.bits(0, 2)  # its 2 repeat-count extra bits
+    with pytest.raises(ValueError, match="no prior"):
+        M.inflate_dynamic(w.flush())
+
+
+def test_complete_lengths_kraft():
+    """The synthesizer's code constructor must be Kraft-complete for any
+    symbol-set size (decoders reject incomplete codes)."""
+    from fractions import Fraction
+
+    from hadoopmapreduce_spark.operators.multimodal import _complete_lengths
+
+    for n in range(2, 40):
+        lens = _complete_lengths(list(range(n)))
+        assert sum(Fraction(1, 2 ** L) for L in lens.values()) == 1
+    assert _complete_lengths([7]) == {7: 1}  # single-code special case
+
+
 # --- _stats_clean fallback must warn (ADVICE r12, low) -------------------------
 
 
