@@ -66,6 +66,11 @@ HEADLINERS = [
     ("ann_lsh_eval", "LSH tuning referee: (table, sig) bucket equi-join candidates semi-joined vs exact-knn truth; counts only cross the final stage"),
     ("text_bpe_train_merges", "marked BPE round: vocab-sized pair explode + partial-agg argmax; substr-fold rewrite is pure codegen with literal pair"),
     ("image_jpeg_huffman_decode", "baseline-JPEG entropy decode: one pruned scan into Arrow-batched mapInPandas, shuffle-free"),
+    ("retrieval_rbo_overlap", "RBO agreement: compacted lexical panel joined to semantic panel on (query, item); suffix-sum contributions, bounded rollup"),
+    ("text_wordpiece_train_merges", "WordPiece round: vocab-sized pair + symbol-count aggregates, broadcast count joins, quantized-likelihood argmax, codegen fold"),
+    ("eval_chrf_components", "one explode emits 4 tagged char-gram orders; (pair, gram) hash join; three per-pair rollups"),
+    ("archive_deflate_decode", "from-spec inflate: one pruned scan into Arrow-batched mapInPandas, shuffle-free"),
+    ("archive_deflate_dynamic_decode", "dynamic-Huffman inflate: same shuffle-free Arrow-batched codec posture"),
     # round-12: queries the r11 sidecar pushed over the 1.5 s coverage
     # threshold (ambient-loaded run — plans documented regardless)
     ("agg_cube", "CUBE over two dims: one Expand + partial/final hash aggregate, no extra shuffles"),
