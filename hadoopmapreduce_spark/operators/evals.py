@@ -1197,3 +1197,87 @@ def eval_chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             *out_cols,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pass@k — the code-generation eval metric (Chen et al. 2021, HumanEval)
+# --------------------------------------------------------------------------
+
+PASS_AT_KS = (1, 5, 10)
+PASS_N_MIN, PASS_N_MOD = 10, 11  # n = 10 + doc_id % 11 samples per task
+
+
+def _pass_products(nvar: str, cvar: str, k: int, div: str = "//") -> str:
+    """SQL for the exact estimator 1 − C(n−c, k)/C(n, k) in ppm: the
+    binomial ratio telescopes to Π_{i=0..k-1} (n−c−i)/(n−i), so
+    num = (n−c)(n−c−1)…(n−c−k+1) and den = n(n−1)…(n−k+1) are plain
+    int64 products (k ≤ 10, n ≤ 20 → den ≤ 20!/10! ≈ 6.7e11).  ``div``
+    is the engine's truncating-division token ('//' DuckDB, 'div'
+    Spark) — both truncate toward zero on these non-negative operands."""
+    num = " * ".join(f"({nvar} - {cvar} - {i})" for i in range(k))
+    den = " * ".join(f"({nvar} - {i})" for i in range(k))
+    return (
+        f"CAST(CASE WHEN {cvar} = 0 THEN 0"
+        f" WHEN {nvar} - {cvar} < {k} THEN 1000000"
+        f" ELSE 1000000 - ({num}) * 1000000 {div} ({den})"
+        f" END AS BIGINT)"
+    )
+
+
+def _pass_at_k_oracle() -> str:
+    cols = ",\n           ".join(
+        _pass_products("n", "c", k) + f" AS pass_at_{k}_ppm"
+        for k in PASS_AT_KS
+    )
+    return f"""
+    WITH tasks AS (
+      SELECT doc_id AS task_id,
+             {PASS_N_MIN} + doc_id % {PASS_N_MOD} AS n,
+             (doc_id * 7) % ({PASS_N_MIN} + doc_id % {PASS_N_MOD} + 1) AS c
+      FROM documents)
+    SELECT task_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(c AS BIGINT) AS n_correct,
+           {cols}
+    FROM tasks
+    """
+
+
+@query("eval_pass_at_k", oracle=_pass_at_k_oracle())
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (Chen et al. 2021 §2.1) — the metric every code-generation
+    eval (HumanEval, MBPP) reports, via the UNBIASED estimator
+    1 − C(n−c, k)/C(n, k) over n samples with c correct, NOT the biased
+    1 − (1 − c/n)^k.  The binomial ratio telescopes to a k-term falling-
+    factorial quotient, so with the fixture bounds (n ≤ 20, k ≤ 10) both
+    products are exact int64 and the metric is one truncating ppm
+    division — no floats, no log-gamma, engine-identical.  Guards: c = 0
+    → 0; n − c < k (can't pick k all-failing samples) → exactly 1e6.
+
+    Per-task (n, c) comes from the deterministic law in the spec CTE —
+    at deployment those columns are the real harness counts and the law
+    CTE is replaced by the results table; the estimator expression is
+    the deliverable.
+
+    Scale shape: embarrassingly parallel row arithmetic — one projection
+    over the task table, no shuffle, no join; the downstream mean-over-
+    tasks is a 1-row aggregate the consumer owns (kept out so the hash
+    pins every task's exact value, not a lossy average)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.lit(PASS_N_MIN) + F.col("doc_id") % PASS_N_MOD
+    tasks = d.select(
+        F.col("doc_id").alias("task_id"),
+        n.cast("long").alias("n"),
+        ((F.col("doc_id") * 7) % (n + 1)).cast("long").alias("c"),
+    )
+    cols = [
+        F.expr(_pass_products("n", "c", k, div="div")).alias(
+            f"pass_at_{k}_ppm"
+        )
+        for k in PASS_AT_KS
+    ]
+    return tasks.select(
+        "task_id",
+        F.col("n").alias("n_samples"),
+        F.col("c").alias("n_correct"),
+        *cols,
+    )

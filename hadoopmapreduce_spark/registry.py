@@ -108,6 +108,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "eval_chrf_components",
     "archive_deflate_decode",
     "archive_deflate_dynamic_decode",
+    "eval_pass_at_k",
 )
 
 

@@ -682,3 +682,33 @@ def test_stats_clean_fallback_warns(spark, monkeypatch, capsys):
     # second call: warn once, not per checkpoint
     G._stats_clean(df)
     assert "stats_clean" not in capsys.readouterr().err
+
+
+# --- eval_pass_at_k -------------------------------------------------------------
+
+
+def test_pass_at_k_matches_comb(spark, sf_dir):
+    """The telescoped falling-factorial estimator must equal the
+    textbook 1 - C(n-c,k)/C(n,k) computed with math.comb on every task,
+    and be monotone in k (more draws can only help)."""
+    import math
+
+    registry = _registry()
+    rows = registry.QUERIES["eval_pass_at_k"](spark, sf_dir).collect()
+    assert rows
+    for row in rows:
+        n, c = row.n_samples, row.n_correct
+        vals = []
+        for k in (1, 5, 10):
+            if c == 0:
+                exact = 0
+            elif n - c < k:
+                exact = 1_000_000
+            else:
+                exact = 1_000_000 - math.comb(n - c, k) * 1_000_000 // math.comb(n, k)
+            got = getattr(row, f"pass_at_{k}_ppm")
+            assert got == exact, (row, k, exact)
+            vals.append(got)
+        assert vals == sorted(vals)  # pass@1 <= pass@5 <= pass@10
+        if 0 < c:
+            assert vals[0] > 0
