@@ -3026,3 +3026,211 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_self"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# UTF-8 structural validation — the ingest gate (RFC 3629 / Unicode 15 §3.9)
+# --------------------------------------------------------------------------
+#
+# Web-scraped corpora arrive as BYTES; the first thing a pipeline does is
+# validate/classify the encoding.  This is a REAL from-spec validator (no
+# codecs module): lead-byte ranges, continuation counts, overlong minima
+# (0x80 / 0x800 / 0x10000), the CESU/surrogate exclusion (U+D800-DFFF),
+# and the U+10FFFF ceiling — with the "skip the maximal subpart" resync
+# policy on error (Unicode §3.9 best practice: an invalid sequence
+# consumes its lead plus any immediately following continuation bytes).
+# The synthesizer plants exactly one law-controlled malformation class
+# per document (or none), so every output column has a closed-form
+# oracle while the validator exercises the full rule table.
+
+UTF8_CLASSES = 5  # doc_id % 5: 0 valid, 1 lone cont, 2 truncated,
+#                   3 overlong/invalid lead, 4 surrogate half
+
+
+def synthesize_utf8(seed: int, cls: int) -> bytes:
+    """ASCII run + one optional malformation + valid 2/3/4-byte runs."""
+    a = 8 + seed % 9
+    k2 = 2 + seed % 3
+    k3 = 1 + seed % 2
+    out = bytearray((32 + (3 * i + seed) % 95) for i in range(a))
+    if cls == 1:
+        out.append(0x80 + seed % 0x40)  # lone continuation byte
+    elif cls == 2:
+        out += bytes((0xE2, 0x82))  # truncated 3-byte lead...
+        out.append(0x41)  # ...resync lands on ASCII 'A'
+    elif cls == 3:
+        out += bytes((0xC0, 0xAF))  # overlong '/': invalid lead C0
+    elif cls == 4:
+        out += bytes((0xED, 0xA0, 0x80))  # U+D800 surrogate half
+    for i in range(k2):
+        cp = 0xA0 + (seed + 37 * i) % 0x60
+        out += bytes((0xC0 | (cp >> 6), 0x80 | (cp & 0x3F)))
+    for i in range(k3):
+        cp = 0x2000 + 64 * i + seed % 64
+        out += bytes(
+            (0xE0 | (cp >> 12), 0x80 | ((cp >> 6) & 0x3F), 0x80 | (cp & 0x3F))
+        )
+    cp = 0x10000 + (seed % 0x400) * 17
+    out += bytes(
+        (
+            0xF0 | (cp >> 18),
+            0x80 | ((cp >> 12) & 0x3F),
+            0x80 | ((cp >> 6) & 0x3F),
+            0x80 | (cp & 0x3F),
+        )
+    )
+    return bytes(out)
+
+
+def validate_utf8(payload: bytes) -> dict:
+    """Full-rule structural walk; returns per-class codepoint counts,
+    error count, and the first error's byte offset (-1 if clean)."""
+    i = 0
+    n = len(payload)
+    n_ascii = n_2b = n_3b = n_4b = n_errors = 0
+    first_error = -1
+
+    def err(pos: int) -> int:
+        nonlocal n_errors, first_error
+        n_errors += 1
+        if first_error < 0:
+            first_error = pos
+        # maximal-subpart resync: skip lead + following continuations
+        j = pos + 1
+        while j < n and 0x80 <= payload[j] <= 0xBF:
+            j += 1
+        return j
+
+    while i < n:
+        b0 = payload[i]
+        if b0 < 0x80:
+            n_ascii += 1
+            i += 1
+            continue
+        if 0x80 <= b0 <= 0xBF or b0 in (0xC0, 0xC1) or b0 >= 0xF5:
+            i = err(i)  # stray continuation / overlong lead / >U+10FFFF
+            continue
+        if b0 < 0xE0:
+            need, lo, hi, nb = 1, 0x80, 0xBF, 2
+        elif b0 < 0xF0:
+            # E0: second byte A0-BF (overlong); ED: 80-9F (surrogates)
+            need, nb = 2, 3
+            lo = 0xA0 if b0 == 0xE0 else 0x80
+            hi = 0x9F if b0 == 0xED else 0xBF
+        else:
+            # F0: second byte 90-BF (overlong); F4: 80-8F (ceiling)
+            need, nb = 3, 4
+            lo = 0x90 if b0 == 0xF0 else 0x80
+            hi = 0x8F if b0 == 0xF4 else 0xBF
+        if i + need >= n:  # truncated sequence at end of input
+            i = err(i)
+            continue
+        b1 = payload[i + 1]
+        if not (lo <= b1 <= hi):
+            i = err(i)
+            continue
+        ok = True
+        for k in range(2, need + 1):
+            bk = payload[i + k]
+            if not (0x80 <= bk <= 0xBF):
+                ok = False
+                break
+        if not ok:
+            i = err(i)
+            continue
+        if nb == 2:
+            n_2b += 1
+        elif nb == 3:
+            n_3b += 1
+        else:
+            n_4b += 1
+        i += need + 1
+    return {
+        "n_bytes": n,
+        "n_codepoints": n_ascii + n_2b + n_3b + n_4b,
+        "n_ascii": n_ascii,
+        "n_2b": n_2b,
+        "n_3b": n_3b,
+        "n_4b": n_4b,
+        "n_errors": n_errors,
+        "first_error": first_error,
+        "valid": 1 if n_errors == 0 else 0,
+    }
+
+
+UTF8_ORACLE_SQL = """
+    WITH spec AS (
+      SELECT doc_id, doc_id % 256 AS s, CAST(doc_id % 5 AS INT) AS cls,
+             8 + doc_id % 256 % 9 AS a,
+             2 + doc_id % 256 % 3 AS k2,
+             1 + doc_id % 256 % 2 AS k3
+      FROM documents)
+    SELECT doc_id,
+           CAST(a + CASE cls WHEN 1 THEN 1 WHEN 2 THEN 3
+                             WHEN 3 THEN 2 WHEN 4 THEN 3 ELSE 0 END
+                + 2 * k2 + 3 * k3 + 4 AS BIGINT) AS n_bytes,
+           CAST(a + CASE WHEN cls = 2 THEN 1 ELSE 0 END + k2 + k3 + 1
+                AS BIGINT) AS n_codepoints,
+           CAST(a + CASE WHEN cls = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_ascii,
+           CAST(k2 AS BIGINT) AS n_2b,
+           CAST(k3 AS BIGINT) AS n_3b,
+           CAST(1 AS BIGINT) AS n_4b,
+           CAST(CASE WHEN cls = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_errors,
+           CAST(CASE WHEN cls = 0 THEN -1 ELSE a END AS BIGINT) AS first_error,
+           CAST(CASE WHEN cls = 0 THEN 1 ELSE 0 END AS INT) AS valid
+    FROM spec
+    """
+
+
+@query("text_utf8_validate", oracle=UTF8_ORACLE_SQL)
+def text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-spec UTF-8 structural validation (RFC 3629 / Unicode §3.9) —
+    the byte-level ingest gate every web-scrape pipeline runs before any
+    text op: per blob, codepoint counts by encoded width, malformation
+    count, the first error's byte offset, and the valid verdict.  The
+    validator implements the FULL rule table — lead ranges (C0/C1 and
+    F5+ rejected outright), per-lead second-byte windows (E0/A0-BF,
+    ED/80-9F excluding surrogates, F0/90-BF, F4/80-8F capping U+10FFFF),
+    continuation counts, and Unicode's maximal-subpart resync — while
+    the law plants exactly one malformation class per document (lone
+    continuation, truncated lead, overlong, surrogate half, or none), so
+    every column has a closed-form oracle.  tests pin the validator
+    against Python's strict codec on all synthesized payloads AND on the
+    classic Markus Kuhn decoder-torture cases.
+
+    Scale: shuffle-free Arrow-batched mapInPandas, one linear pass per
+    blob — at 100 TB this runs as the first stage of ingest, fused with
+    the scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(s: pd.Series, cls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_utf8(int(si), int(ci))
+                for si, ci in zip(s, cls)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        (F.col("doc_id") % 256).cast("int").alias("s_spec"),
+        (F.col("doc_id") % UTF8_CLASSES).cast("int").alias("cls_spec"),
+    ).withColumn("payload", _synth(F.col("s_spec"), F.col("cls_spec")))
+
+    def batch(batches):
+        for pdf in batches:
+            feats = [validate_utf8(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["valid"] = out["valid"].astype("int32")
+            yield out
+
+    schema = (
+        "doc_id bigint, n_bytes bigint, n_codepoints bigint, n_ascii bigint,"
+        " n_2b bigint, n_3b bigint, n_4b bigint, n_errors bigint,"
+        " first_error bigint, valid int"
+    )
+    return assets.select("doc_id", "payload").mapInPandas(batch, schema=schema)

@@ -109,6 +109,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "archive_deflate_decode",
     "archive_deflate_dynamic_decode",
     "eval_pass_at_k",
+    "text_utf8_validate",
 )
 
 

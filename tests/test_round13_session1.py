@@ -712,3 +712,60 @@ def test_pass_at_k_matches_comb(spark, sf_dir):
         assert vals == sorted(vals)  # pass@1 <= pass@5 <= pass@10
         if 0 < c:
             assert vals[0] > 0
+
+
+# --- text_utf8_validate ---------------------------------------------------------
+
+
+def test_utf8_validator_vs_python_codec():
+    """The from-spec validator's verdict must agree with Python's strict
+    UTF-8 codec on every synthesized payload (all 5 malformation
+    classes x 256 seeds), and clean payloads' codepoint count must match
+    len(decoded)."""
+    from hadoopmapreduce_spark.operators import textops as T
+
+    for doc_id in range(512):
+        p = T.synthesize_utf8(doc_id % 256, doc_id % 5)
+        got = T.validate_utf8(p)
+        try:
+            dec = p.decode("utf-8", "strict")
+            ok = True
+        except UnicodeDecodeError:
+            ok = False
+        assert (got["valid"] == 1) == ok, doc_id
+        if ok:
+            assert got["n_codepoints"] == len(dec)
+            assert got["n_errors"] == 0 and got["first_error"] == -1
+
+
+def test_utf8_torture_cases():
+    """Markus Kuhn decoder-torture classics: overlongs (C0 AF and the E0
+    window), the surrogate range via ED, the U+10FFFF ceiling via F4,
+    invalid lead F5, stray continuation, truncation at EOF — each must
+    count exactly one error under maximal-subpart resync; boundary-valid
+    sequences must pass."""
+    from hadoopmapreduce_spark.operators.textops import validate_utf8
+
+    bad = [
+        b"\x80", b"\xc0\xaf", b"\xc1\xbf", b"\xe0\x80\xaf",
+        b"\xe0\x9f\xbf", b"\xed\xa0\x80", b"\xed\xbf\xbf",
+        b"\xf0\x80\x80\x80", b"\xf0\x8f\xbf\xbf", b"\xf4\x90\x80\x80",
+        b"\xf5\x80\x80\x80", b"\xff", b"\xe2\x82", b"\xc3",
+    ]
+    for p in bad:
+        got = validate_utf8(p)
+        assert got["valid"] == 0 and got["n_errors"] == 1, p
+    good = [
+        b"\x7f",                  # highest ASCII
+        b"\xc2\x80",              # lowest 2-byte (U+0080)
+        b"\xdf\xbf",              # highest 2-byte (U+07FF)
+        b"\xe0\xa0\x80",          # lowest legal E0 (U+0800)
+        b"\xed\x9f\xbf",          # just below surrogates (U+D7FF)
+        b"\xee\x80\x80",          # just above surrogates (U+E000)
+        b"\xef\xbf\xbf",          # U+FFFF
+        b"\xf0\x90\x80\x80",      # lowest 4-byte (U+10000)
+        b"\xf4\x8f\xbf\xbf",      # U+10FFFF exactly
+    ]
+    for p in good:
+        got = validate_utf8(p)
+        assert got["valid"] == 1 and got["n_codepoints"] == 1, p
