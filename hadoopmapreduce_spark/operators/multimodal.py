@@ -1122,6 +1122,309 @@ def archive_deflate_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_deflate_batch, schema=_DEFLATE_SCHEMA)
 
 
+# --- restart-marker JPEG (DRI/RSTn: the parallel-decode geometry) ----------
+#
+# Production JPEGs carry restart markers so decoders can resync after
+# corruption AND decode intervals in parallel — the property that makes
+# JPEG splittable at 100 TB.  Semantics (T.81 §B.2.1.2, §E.1.4): a DRI
+# segment sets the interval Ri (MCUs); every Ri MCUs the entropy stream
+# is padded to a byte boundary and an RSTn marker (FFD0+n, n cycling
+# 0-7) is emitted; at each restart the DC PREDICTOR RESETS to zero and
+# bit reading restarts byte-aligned.  A decoder that misses the reset
+# corrupts every DC after the first interval; one that misses the
+# realignment desynchronizes the Huffman stream — both shift the
+# law-checked checksums.
+
+JPEG_RST0 = 0xD0
+
+
+def synthesize_jpeg_restart(wb: int, hb: int, seed: int, ri: int) -> bytes:
+    """Baseline stream with DRI=ri and RSTn markers: same coefficient law
+    as the plain baseline query, but DC DIFFS accumulate per interval
+    (the predictor resets at each restart)."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    dc_syms = bytes(_JPEG_HUFF_DC_SYMBOLS)
+    ac_syms = bytes(_JPEG_HUFF_AC_SYMBOLS)
+    dc_bits = _canonical_lengths(_JPEG_HUFF_DC_SYMBOLS)
+    ac_bits = _canonical_lengths(_JPEG_HUFF_AC_SYMBOLS)
+    dc_code = _canonical_codes(dc_bits, dc_syms)
+    ac_code = _canonical_codes(ac_bits, ac_syms)
+
+    n_blocks = wb * hb
+    scan = bytearray()
+    w = _BitWriter()
+    rst = 0
+    for b, (diff, acs) in enumerate(_jpeg_coeff_law(n_blocks, seed)):
+        if b and b % ri == 0:
+            scan += w.flush()
+            w = _BitWriter()
+            scan += bytes((0xFF, JPEG_RST0 + rst))
+            rst = (rst + 1) % 8
+        s = abs(diff).bit_length()
+        w.write(*dc_code[s])
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        prev = 0
+        for p, v in acs:
+            run = p - prev - 1
+            while run > 15:
+                w.write(*ac_code[0xF0])
+                run -= 16
+            sz = abs(v).bit_length()
+            w.write(*ac_code[(run << 4) | sz])
+            w.write(v if v > 0 else v + (1 << sz) - 1, sz)
+            prev = p
+        w.write(*ac_code[0x00])
+    scan += w.flush()
+
+    dqt = seg(0xDB, bytes((0,)) + bytes((i % 255 + 1) for i in range(64)))
+    sof0 = seg(
+        JPEG_SOF0,
+        bytes((8,)) + struct.pack(">HH", hb * 8, wb * 8) + bytes((1,))
+        + bytes((1, 0x11, 0)),
+    )
+    dri = seg(0xDD, struct.pack(">H", ri))
+    dht_dc = seg(0xC4, bytes((0x00,)) + dc_bits + dc_syms)
+    dht_ac = seg(0xC4, bytes((0x10,)) + ac_bits + ac_syms)
+    sos = seg(JPEG_SOS, bytes((1,)) + bytes((1, 0x00)) + bytes((0, 63, 0)))
+    return (
+        bytes((0xFF, JPEG_SOI)) + dqt + sof0 + dri + dht_dc + dht_ac + sos
+        + scan + bytes((0xFF, JPEG_EOI))
+    )
+
+
+def decode_jpeg_restart(payload: bytes) -> dict:
+    """Restart-aware baseline decode: parses DRI, splits the scan into
+    entropy intervals at RSTn markers (validating the 0-7 modulo cycle),
+    resets the DC predictor and byte-aligns at each, and checks the
+    block count against DRI geometry.  Same checksum surface as
+    ``decode_jpeg_huffman``, plus the restart census."""
+    import struct
+
+    if payload[:2] != bytes((0xFF, JPEG_SOI)):
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quant = dc_table = ac_table = None
+    width = height = None
+    ri = 0
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            quant = list(body[1:65])
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xC4:
+            table = _decode_table(body[1:17], body[17:])
+            if body[0] >> 4 == 0:
+                dc_table = table
+            else:
+                ac_table = table
+        elif marker == JPEG_SOF0:
+            _p, height, width, _nc = struct.unpack(">BHHB", body[:6])
+        pos += 2 + seg_len
+        if marker == JPEG_SOS:
+            break
+    if not ri:
+        raise ValueError("JPEG: no DRI before a restart-marker scan")
+
+    # split scan into unstuffed entropy intervals at RSTn markers
+    intervals: list = [bytearray()]
+    expected_rst = 0
+    n_restarts = 0
+    while True:
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                intervals[-1].append(0xFF)
+                pos += 2
+                continue
+            if JPEG_RST0 <= nxt <= 0xD7:
+                if nxt - JPEG_RST0 != expected_rst:
+                    raise ValueError(
+                        f"JPEG: restart out of sequence ({nxt - JPEG_RST0}"
+                        f" vs {expected_rst})"
+                    )
+                expected_rst = (expected_rst + 1) % 8
+                n_restarts += 1
+                intervals.append(bytearray())
+                pos += 2
+                continue
+            if nxt == JPEG_EOI:
+                break
+            raise ValueError(f"JPEG: unexpected marker {nxt:#x} in scan")
+        intervals[-1].append(b)
+        pos += 1
+
+    n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+    if len(intervals) != (n_blocks + ri - 1) // ri:
+        raise ValueError("JPEG: interval count disagrees with DRI geometry")
+    b = 0
+    dc_final = sum_dc = dc_poschk = 0
+    n_nonzero_ac = sum_ac_dequant = ac_poschk = 0
+    for seg_bytes in intervals:
+        r = _BitReader(bytes(seg_bytes))
+        dc = 0  # the predictor reset — the point of restarts
+        for _ in range(min(ri, n_blocks - b)):
+            s = _read_symbol(r, dc_table)
+            dc += _extend(r.read(s), s)
+            sum_dc += dc * quant[0]
+            dc_poschk += (b + 1) * dc
+            p = 0
+            while p < 63:
+                sym = _read_symbol(r, ac_table)
+                if sym == 0x00:
+                    break
+                run, sz = sym >> 4, sym & 0x0F
+                p += run + 1
+                if p > 63:
+                    raise ValueError("JPEG: AC run past block end")
+                if sz == 0:
+                    continue
+                v = _extend(r.read(sz), sz)
+                n_nonzero_ac += 1
+                sum_ac_dequant += v * quant[p]
+                ac_poschk += (64 * b + p) * v
+            dc_final = dc
+            b += 1
+    return {
+        "n_blocks": n_blocks,
+        "n_restarts": n_restarts,
+        "dc_final": dc_final,
+        "sum_dc_dequant": sum_dc,
+        "dc_poschk": dc_poschk,
+        "n_nonzero_ac": n_nonzero_ac,
+        "sum_ac_dequant": sum_ac_dequant,
+        "ac_poschk": ac_poschk,
+    }
+
+
+_JPEG_RST_SCHEMA = (
+    "doc_id bigint, n_blocks int, n_restarts int, dc_final bigint, "
+    "sum_dc_dequant bigint, dc_poschk bigint, n_nonzero_ac bigint, "
+    "sum_ac_dequant bigint, ac_poschk bigint"
+)
+
+
+JPEG_RESTART_ORACLE_SQL = """
+    WITH spec AS (
+      SELECT doc_id,
+             CAST((doc_id % 3 + 2) * (doc_id % 2 + 2) AS BIGINT) AS nb,
+             doc_id % 256 AS s,
+             2 + doc_id % 3 AS ri
+      FROM documents),
+    blk AS (
+      SELECT doc_id, nb, s, ri, b.b AS b,
+             (5 * b.b + s) % 19 - 9 AS diff,
+             (b.b + s) % 4 AS n_ac,
+             1 + (b.b + s) % 5 AS start
+      FROM spec, LATERAL unnest(range(0, nb)) AS b(b)),
+    dc AS (
+      SELECT *, SUM(diff) OVER (
+               PARTITION BY doc_id, b // ri ORDER BY b) AS dcv
+      FROM blk),
+    ac AS (
+      SELECT doc_id, b, start + 2 * k.k AS p,
+             CASE WHEN (3 * b + 7 * k.k + s) % 13 - 6 = 0 THEN 1
+                  ELSE (3 * b + 7 * k.k + s) % 13 - 6 END AS v
+      FROM blk, LATERAL unnest(range(0, n_ac)) AS k(k)
+      UNION ALL
+      SELECT doc_id, b, 50 AS p, 64 + (11 * b + s) % 64 AS v FROM blk),
+    dca AS (
+      SELECT doc_id,
+             CAST(MAX(CASE WHEN b = nb - 1 THEN dcv END) AS BIGINT)
+               AS dc_final,
+             CAST(SUM(dcv) AS BIGINT) AS sum_dc_dequant,
+             CAST(SUM((b + 1) * dcv) AS BIGINT) AS dc_poschk
+      FROM dc GROUP BY doc_id),
+    aca AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_nonzero_ac,
+             CAST(SUM(v * (p + 1)) AS BIGINT) AS sum_ac_dequant,
+             CAST(SUM((64 * b + p) * v) AS BIGINT) AS ac_poschk
+      FROM ac GROUP BY doc_id)
+    SELECT sp.doc_id, CAST(sp.nb AS INT) AS n_blocks,
+           CAST((sp.nb + sp.ri - 1) // sp.ri - 1 AS INT) AS n_restarts,
+           d.dc_final, d.sum_dc_dequant, d.dc_poschk,
+           COALESCE(a.n_nonzero_ac, 0) AS n_nonzero_ac,
+           COALESCE(a.sum_ac_dequant, 0) AS sum_ac_dequant,
+           COALESCE(a.ac_poschk, 0) AS ac_poschk
+    FROM spec sp
+    JOIN dca d USING (doc_id)
+    LEFT JOIN aca a USING (doc_id)
+"""
+
+
+@query("image_jpeg_restart_decode", oracle=JPEG_RESTART_ORACLE_SQL)
+def image_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-marker JPEG decode (T.81 §B.2.1.2 / §E.1.4) — the
+    geometry that makes JPEG SPLITTABLE: with DRI set, every interval of
+    Ri MCUs is byte-aligned, independently decodable (DC predictor
+    resets to zero), and delimited by RSTn markers whose n cycles 0-7.
+    This is how a 100 TB image pipeline parallelizes WITHIN one large
+    scan, and how production decoders resync past corruption.  The
+    decoder validates the full protocol: the modulo-8 restart sequence,
+    interval count against DRI geometry, per-interval byte realignment,
+    and the predictor reset — the law's per-interval cumulative DC
+    (windowed by b div Ri in the oracle) makes a missed reset shift
+    dc_poschk from the second interval on, and a missed realignment
+    desynchronize the Huffman stream entirely.
+
+    Same coefficient law and checksum surface as
+    ``image_jpeg_huffman_decode`` (4-24 blocks, Ri = 2-4, so every image
+    has ≥1 restart); differential tests corrupt a restart's modulo index
+    and strip the DRI segment.  Shuffle-free Arrow-batched mapInPandas."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(
+        wb: pd.Series, hb: pd.Series, s: pd.Series, ri: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_jpeg_restart(int(w), int(h), int(si), int(r))
+                for w, h, si, r in zip(wb, hb, s, ri)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 2).cast("int").alias("wb_spec"),
+        (F.col("doc_id") % 2 + 2).cast("int").alias("hb_spec"),
+        (F.col("doc_id") % 256).cast("int").alias("s_spec"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("ri_spec"),
+    ).withColumn(
+        "payload",
+        _synth(
+            F.col("wb_spec"), F.col("hb_spec"), F.col("s_spec"),
+            F.col("ri_spec"),
+        ),
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            feats = [decode_jpeg_restart(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["n_blocks"] = out["n_blocks"].astype("int32")
+            out["n_restarts"] = out["n_restarts"].astype("int32")
+            yield out
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        batch, schema=_JPEG_RST_SCHEMA
+    )
+
+
 # --- dynamic-Huffman DEFLATE (the inflate capstone) ------------------------
 #
 # BTYPE=10 is the part of inflate implementations actually get wrong: the

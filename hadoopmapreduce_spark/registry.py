@@ -110,6 +110,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "archive_deflate_dynamic_decode",
     "eval_pass_at_k",
     "text_utf8_validate",
+    "image_jpeg_restart_decode",
 )
 
 

@@ -769,3 +769,45 @@ def test_utf8_torture_cases():
     for p in good:
         got = validate_utf8(p)
         assert got["valid"] == 1 and got["n_codepoints"] == 1, p
+
+
+# --- image_jpeg_restart_decode --------------------------------------------------
+
+
+def test_jpeg_restart_protocol_violations():
+    """The restart protocol is load-bearing: an out-of-sequence RSTn
+    index is rejected; a stream without DRI is rejected by this decoder;
+    and decoding a restart stream while IGNORING the predictor reset
+    (simulated with the plain baseline law) diverges from the law's
+    per-interval DC — proving the reset matters on every image."""
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    good = M.synthesize_jpeg_restart(3, 2, 37, 2)
+    base = M.decode_jpeg_restart(good)
+    assert base["n_restarts"] == 2  # 6 blocks / ri=2 -> 3 intervals
+
+    # corrupt the first RST marker's index (FFD0 -> FFD3)
+    idx = good.index(bytes((0xFF, 0xD0)))
+    bad = bytearray(good)
+    bad[idx + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of sequence"):
+        M.decode_jpeg_restart(bytes(bad))
+
+    # no DRI: the plain baseline stream must be rejected by this decoder
+    plain = M.synthesize_jpeg_baseline(3, 2, 37)
+    with pytest.raises(ValueError, match="no DRI"):
+        M.decode_jpeg_restart(plain)
+
+    # the reset changes DC sums vs the unreset law whenever a later
+    # interval's diffs are nonzero — verify on the law directly
+    nb, s, ri = 6, 37, 2
+    with_reset = without = dc_r = dc_n = 0
+    for b, (diff, _) in enumerate(M._jpeg_coeff_law(nb, s)):
+        if b % ri == 0:
+            dc_r = 0
+        dc_r += diff
+        dc_n += diff
+        with_reset += dc_r
+        without += dc_n
+    assert with_reset != without
+    assert base["sum_dc_dequant"] == with_reset
