@@ -1425,6 +1425,185 @@ def image_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- WARC container probe (ISO 28500 — the web-archive format) -------------
+#
+# Common Crawl — the de-facto source corpus for LLM training data — ships
+# as WARC: concatenated records, each a CRLF header block (version line,
+# named fields, Content-Length) followed by exactly Content-Length payload
+# bytes and a CRLF CRLF terminator.  A training pipeline's first
+# structured read is exactly this walk: record census by WARC-Type, byte
+# accounting, target-URI extraction.  The parser is strict (version line
+# required, Content-Length mandatory and exact, terminator enforced,
+# case-insensitive field names per the spec) and the synthesizer's law
+# makes every output column closed-form.
+
+_WARC_TYPES = ("request", "response", "metadata")
+
+
+def synthesize_warc(seed: int) -> bytes:
+    """2-5 records; types cycle (i + seed) % 3; payload j of record i is
+    (5j + 11i + seed) % 93 + 33 (printable), length 20 + (7i + seed) % 50."""
+    n_rec = 2 + seed % 4
+    out = bytearray()
+    for i in range(n_rec):
+        wtype = _WARC_TYPES[(i + seed) % 3]
+        pl = 20 + (7 * i + seed) % 50
+        payload = bytes((5 * j + 11 * i + seed) % 93 + 33 for j in range(pl))
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {wtype}",
+            f"WARC-Record-ID: <urn:uuid:{seed:08x}-{i:04x}>",
+            "WARC-Date: 2024-01-01T00:00:00Z",
+        ]
+        if wtype in ("request", "response"):
+            headers.append(f"WARC-Target-URI: http://ex{seed}.com/{i}")
+        headers.append(f"Content-Length: {pl}")
+        out += ("\r\n".join(headers) + "\r\n\r\n").encode()
+        out += payload
+        out += b"\r\n\r\n"
+    return bytes(out)
+
+
+def probe_warc(payload: bytes) -> dict:
+    """Strict record walk: version line, case-insensitive headers,
+    mandatory exact Content-Length, CRLF CRLF terminator."""
+    pos = 0
+    n = len(payload)
+    n_records = n_req = n_resp = n_meta = 0
+    total_payload = 0
+    poschk = 0
+    uri_len = 0
+    while pos < n:
+        hdr_end = payload.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("WARC: unterminated header block")
+        lines = payload[pos:hdr_end].split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            raise ValueError(f"WARC: bad version line at {pos}")
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().lower()] = v.strip()
+        if b"content-length" not in fields:
+            raise ValueError("WARC: missing Content-Length")
+        cl = int(fields[b"content-length"])
+        wtype = fields.get(b"warc-type", b"").decode()
+        body_start = hdr_end + 4
+        if body_start + cl + 4 > n:
+            raise ValueError("WARC: truncated record body")
+        body = payload[body_start : body_start + cl]
+        if payload[body_start + cl : body_start + cl + 4] != b"\r\n\r\n":
+            raise ValueError("WARC: missing record terminator")
+        n_records += 1
+        if wtype == "request":
+            n_req += 1
+        elif wtype == "response":
+            n_resp += 1
+        elif wtype == "metadata":
+            n_meta += 1
+        total_payload += cl
+        poschk += sum((j + 1) * b for j, b in enumerate(body))
+        uri_len += len(fields.get(b"warc-target-uri", b""))
+        pos = body_start + cl + 4
+    return {
+        "n_records": n_records,
+        "n_requests": n_req,
+        "n_responses": n_resp,
+        "n_metadata": n_meta,
+        "total_payload_bytes": total_payload,
+        "payload_poschk": poschk,
+        "uri_len_sum": uri_len,
+    }
+
+
+WARC_ORACLE_SQL = """
+    WITH spec AS (
+      SELECT doc_id, doc_id % 256 AS s, 2 + doc_id % 256 % 4 AS n_rec
+      FROM documents),
+    rec AS (
+      SELECT doc_id, s, i.i AS i,
+             (i.i + s) % 3 AS ty,
+             20 + (7 * i.i + s) % 50 AS pl
+      FROM spec, LATERAL unnest(range(0, n_rec)) AS i(i)),
+    body AS (
+      SELECT doc_id, i,
+             CAST(SUM((j.j + 1) * ((5 * j.j + 11 * i + s) % 93 + 33))
+                  AS BIGINT) AS chk
+      FROM rec, LATERAL unnest(range(0, pl)) AS j(j)
+      GROUP BY doc_id, i),
+    uri AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN ty IN (0, 1)
+                  THEN len('http://ex' || CAST(s AS VARCHAR) || '.com/'
+                           || CAST(i AS VARCHAR))
+                  ELSE 0 END) AS BIGINT) AS uri_len_sum
+      FROM rec GROUP BY doc_id)
+    SELECT r.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN ty = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_requests,
+           CAST(SUM(CASE WHEN ty = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_responses,
+           CAST(SUM(CASE WHEN ty = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_metadata,
+           CAST(SUM(pl) AS BIGINT) AS total_payload_bytes,
+           CAST(SUM(b.chk) AS BIGINT) AS payload_poschk,
+           MAX(u.uri_len_sum) AS uri_len_sum
+    FROM rec r
+    JOIN body b USING (doc_id, i)
+    JOIN uri u USING (doc_id)
+    GROUP BY r.doc_id
+"""
+
+
+@query("archive_warc_probe", oracle=WARC_ORACLE_SQL)
+def archive_warc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record walk (ISO 28500) — the container Common Crawl ships
+    in, i.e. the first structured read of essentially every web-scale
+    training-data pipeline: per archive blob, the record census by
+    WARC-Type (request/response/metadata), exact payload byte
+    accounting (Content-Length is mandatory and verified against the
+    CRLF CRLF terminator position), a position-weighted payload
+    checksum, and target-URI length accounting.  The parser is strict —
+    version line required, case-insensitive field names, truncated
+    bodies and missing terminators rejected — because a lenient WARC
+    reader silently mis-frames every subsequent record.
+
+    The request/response cycle in the law means every archive carries a
+    mix of record types, and the type census is what a crawl pipeline
+    filters on (responses only) before any text extraction.
+
+    Scale: shuffle-free Arrow-batched mapInPandas over one pruned scan;
+    at 100 TB the blobs are real WARC shards and record-level filtering
+    happens HERE, before anything heavier runs — mirroring how
+    `wtype = 'response'` predicates prune 2/3 of crawl bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(s: pd.Series) -> pd.Series:
+        return pd.Series([synthesize_warc(int(si)) for si in s])
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id", (F.col("doc_id") % 256).cast("int").alias("s_spec")
+    ).withColumn("payload", _synth(F.col("s_spec")))
+
+    def batch(batches):
+        for pdf in batches:
+            feats = [probe_warc(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    schema = (
+        "doc_id bigint, n_records bigint, n_requests bigint,"
+        " n_responses bigint, n_metadata bigint, total_payload_bytes bigint,"
+        " payload_poschk bigint, uri_len_sum bigint"
+    )
+    return assets.select("doc_id", "payload").mapInPandas(batch, schema=schema)
+
+
 # --- dynamic-Huffman DEFLATE (the inflate capstone) ------------------------
 #
 # BTYPE=10 is the part of inflate implementations actually get wrong: the

@@ -111,6 +111,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "eval_pass_at_k",
     "text_utf8_validate",
     "image_jpeg_restart_decode",
+    "archive_warc_probe",
 )
 
 

@@ -811,3 +811,41 @@ def test_jpeg_restart_protocol_violations():
         without += dc_n
     assert with_reset != without
     assert base["sum_dc_dequant"] == with_reset
+
+
+# --- archive_warc_probe ---------------------------------------------------------
+
+
+def test_warc_strictness():
+    """Framing errors must fail loudly: a wrong Content-Length mis-frames
+    the terminator; a missing terminator is rejected; a bad version line
+    is rejected; field names parse case-insensitively."""
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    good = M.synthesize_warc(37)
+    base = M.probe_warc(good)
+    assert base["n_records"] == 2 + 37 % 4
+
+    # inflate the first Content-Length by 1 -> terminator check fails
+    bad = good.replace(b"Content-Length: 20", b"Content-Length: 21", 1)
+    if bad == good:  # first record's length isn't 20 for this seed
+        import re
+
+        mobj = re.search(rb"Content-Length: (\d+)", good)
+        n = int(mobj.group(1))
+        bad = good.replace(
+            b"Content-Length: %d" % n, b"Content-Length: %d" % (n + 1), 1
+        )
+    with pytest.raises(ValueError):
+        M.probe_warc(bad)
+    # strip the final terminator
+    with pytest.raises(ValueError):
+        M.probe_warc(good[:-2])
+    # corrupt the version line of the first record
+    with pytest.raises(ValueError, match="version"):
+        M.probe_warc(b"XARC" + good[4:])
+    # case-insensitive headers: lowercase the first record's field names
+    lower = good.replace(b"WARC-Type:", b"warc-type:", 1).replace(
+        b"Content-Length:", b"content-length:", 1
+    )
+    assert M.probe_warc(lower) == base
