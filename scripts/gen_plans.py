@@ -71,6 +71,10 @@ HEADLINERS = [
     ("eval_chrf_components", "one explode emits 4 tagged char-gram orders; (pair, gram) hash join; three per-pair rollups"),
     ("archive_deflate_decode", "from-spec inflate: one pruned scan into Arrow-batched mapInPandas, shuffle-free"),
     ("archive_deflate_dynamic_decode", "dynamic-Huffman inflate: same shuffle-free Arrow-batched codec posture"),
+    ("eval_pass_at_k", "pass@k: pure codegen falling-factorial arithmetic over the task table, no shuffle"),
+    ("text_utf8_validate", "UTF-8 ingest gate: one pruned scan into Arrow-batched mapInPandas, shuffle-free"),
+    ("image_jpeg_restart_decode", "restart-interval JPEG decode: shuffle-free Arrow-batched codec posture"),
+    ("archive_warc_probe", "WARC record walk: shuffle-free Arrow-batched codec posture"),
     # round-12: queries the r11 sidecar pushed over the 1.5 s coverage
     # threshold (ambient-loaded run — plans documented regardless)
     ("agg_cube", "CUBE over two dims: one Expand + partial/final hash aggregate, no extra shuffles"),
