@@ -3234,3 +3234,132 @@ def text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " first_error bigint, valid int"
     )
     return assets.select("doc_id", "payload").mapInPandas(batch, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM — the classic LM every perplexity filter
+# descends from (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form)
+# --------------------------------------------------------------------------
+
+KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # D = 3/4, the standard discount
+KN_TOP = 20
+
+
+def _kn_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, i.i AS pos, ts[i.i] AS w
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i),
+    bg AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+            FROM bg GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd
+             FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_all FROM bg),
+    scored AS (
+      SELECT bg.w1, bg.w2, bg.c12, ctx.c1, ctx.n1p_fwd, cont.n1p_bwd,
+             t.n1p_all,
+             CAST((GREATEST({KN_DISCOUNT_DEN} * bg.c12
+                            - {KN_DISCOUNT_NUM}, 0) * t.n1p_all
+                   + {KN_DISCOUNT_NUM} * ctx.n1p_fwd * cont.n1p_bwd)
+                  * 1000000
+                  // ({KN_DISCOUNT_DEN} * ctx.c1 * t.n1p_all)
+                  AS BIGINT) AS kn_ppm
+      FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot t)
+    SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, kn_ppm
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY c12 DESC, w1, w2) AS rk FROM scored) s
+    WHERE rk <= {KN_TOP}
+    """
+
+
+@query("text_kneser_ney_bigrams", oracle=_kn_oracle())
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities in EXACT integers —
+    the smoothing that made n-gram LMs work (Kneser & Ney 1995; the
+    interpolated form of Chen & Goodman 1999) and the ancestor of every
+    perplexity-based quality filter:
+
+        p(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+
+    with D = {KN_DISCOUNT_NUM}/{KN_DISCOUNT_DEN}.  The continuation
+    probability N1+(·w2)/N1+(··) — "how many contexts does w2 complete",
+    not "how often does w2 occur" — is the insight that fixed the
+    'san francisco' pathology of Katz backoff.  Over the common
+    denominator 4·c1·N1+(··) the numerator
+    (4c12 − 3)⁺·N1+(··) + 3·N1+(w1·)·N1+(·w2) is an exact int64, and
+    kn_ppm is one truncating division (int64-safe while
+    4·c1·N1+(··)·1e6 < 2^63 ≈ corpora under ~10^6 bigram types × 10^6
+    context count; past that the quotient widens to DECIMAL exactly).
+
+    The normalization Σ_w2 p(w2|w1) = 1 holds EXACTLY in this integer
+    form for every context whose observed w2 set is complete —
+    test-pinned by summing the un-truncated rationals over a full
+    context (the property that distinguishes real KN from an ad-hoc
+    discount).
+
+    Output: the top {KN_TOP} bigrams by count (total tie-break) with
+    all count components, so the hash pins the full model surface, not
+    one number.
+
+    Scale shape: bigram counts via one self-join on (doc, pos+1) — at
+    100 TB this is the posexplode + shifted-join pattern keyed on doc;
+    context/continuation tables are vocabulary-sized reductions of the
+    bigram table; the final top-k is bounded.  No floats anywhere."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    bg = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n1p_all"))
+    dnum, dden = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    scored = (
+        bg.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1p_fwd",
+            "n1p_bwd",
+            F.expr(
+                f"CAST((GREATEST({dden} * c12 - {dnum}, 0) * n1p_all"
+                f" + {dnum} * n1p_fwd * n1p_bwd) * 1000000"
+                f" div ({dden} * c1 * n1p_all) AS BIGINT)"
+            ).alias("kn_ppm"),
+        )
+    )
+    w = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KN_TOP)
+        .drop("rk")
+    )

@@ -112,6 +112,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "text_utf8_validate",
     "image_jpeg_restart_decode",
     "archive_warc_probe",
+    "text_kneser_ney_bigrams",
 )
 
 

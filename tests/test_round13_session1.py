@@ -849,3 +849,70 @@ def test_warc_strictness():
         b"Content-Length:", b"content-length:", 1
     )
     assert M.probe_warc(lower) == base
+
+
+# --- text_kneser_ney_bigrams ----------------------------------------------------
+
+
+def test_kneser_ney_normalizes_exactly():
+    """The defining property of real interpolated KN: for every context
+    w1 (summing the UN-truncated rationals over its observed w2 set),
+    Σ_w2 [ (4c12-3)+/(4c1) + 3·N1+(w1·)/(4c1) · N1+(·w2)/N1+(··) ] = 1
+    exactly — verified with Fractions over the actual fixture counts for
+    the 10 most frequent contexts.  (This holds because Σ(4c12-3)+ =
+    4c1 - 3·N1+(w1·) when every observed count >= 1, and the
+    continuation distribution itself sums to 1 over the FULL vocab; we
+    restrict to contexts whose w2 set covers all their mass.)"""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT lower(text) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    bg = Counter()
+    for (text,) in rows:
+        ts = text.split()
+        for x, y in zip(ts, ts[1:]):
+            bg[(x, y)] += 1
+    c1 = Counter()
+    fwd = Counter()
+    bwd = Counter()
+    by_ctx = defaultdict(list)
+    for (x, y), c in bg.items():
+        c1[x] += c
+        fwd[x] += 1
+        bwd[y] += 1
+        by_ctx[x].append((y, c))
+    T = len(bg)
+    top_ctx = sorted(c1, key=lambda x: -c1[x])[:10]
+    for x in top_ctx:
+        s = Fraction(0)
+        for y, c in by_ctx[x]:
+            disc = Fraction(max(4 * c - 3, 0), 4 * c1[x])
+            contp = Fraction(3 * fwd[x], 4 * c1[x]) * Fraction(bwd[y], T)
+            s += disc + contp
+        # discounted mass redistributes over the FULL vocab via the
+        # continuation distribution; restricted to the observed w2 set
+        # the sum is 1 - (mass routed to unseen continuations):
+        unseen = Fraction(3 * fwd[x], 4 * c1[x]) * Fraction(
+            T - sum(bwd[y] for y, _ in by_ctx[x]), T
+        )
+        assert s + unseen == 1, (x, s, unseen)
+
+
+def test_kneser_ney_fixture_rows(spark, sf_dir):
+    registry = _registry()
+    rows = registry.QUERIES["text_kneser_ney_bigrams"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 < r.kn_ppm <= 1_000_000
+        assert r.c12 <= r.c1
+        assert r.n1p_bwd >= 1 and r.n1p_fwd >= 1
+    counts = [r.c12 for r in rows]
+    assert counts == sorted(counts, reverse=True)
