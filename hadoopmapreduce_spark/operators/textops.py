@@ -2961,10 +2961,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # tf feeds FOUR consumers (dl, df, the query-panel join, the scoring
+    # join); materialize it once — at 100 TB this checkpoint IS the
+    # inverted-index build the docstring describes, not an extra cost
     tf = (
         d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
@@ -3324,6 +3328,11 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = toks.alias("a")
     b = toks.alias("b")
+    # the bigram table feeds FOUR consumers (ctx, cont, tot, the scoring
+    # join); without a cut each re-derives the corpus self-join — measured
+    # 14 exchanges / 8 scans in the composed plan.  One eager checkpoint
+    # materializes the vocab²-bounded count table instead (at 100 TB this
+    # materialization IS the bigram model build).
     bg = (
         a.join(
             b,
@@ -3332,6 +3341,7 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
     )
     ctx = bg.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
