@@ -113,6 +113,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "image_jpeg_restart_decode",
     "archive_warc_probe",
     "text_kneser_ney_bigrams",
+    "archive_gzip_member_probe",
 )
 
 

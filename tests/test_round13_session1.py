@@ -916,3 +916,40 @@ def test_kneser_ney_fixture_rows(spark, sf_dir):
         assert r.n1p_bwd >= 1 and r.n1p_fwd >= 1
     counts = [r.c12 for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+# --- archive_gzip_member_probe --------------------------------------------------
+
+
+def test_gzip_member_crc_gate_and_conformance():
+    """(1) crc32_from_scratch matches zlib.crc32 (incl. the 0xCBF43926
+    check value); (2) stdlib gzip decompresses every synthesized member
+    to the law bytes (all 4 header classes); (3) the trailer gate trips
+    on a flipped content byte AND a flipped trailer byte — a mis-inflate
+    cannot pass."""
+    import gzip
+    import zlib
+
+    from hadoopmapreduce_spark.operators import multimodal as M
+
+    assert M.crc32_from_scratch(b"123456789") == 0xCBF43926
+    for data in (b"", b"x", bytes(range(256)) * 2):
+        assert M.crc32_from_scratch(data) == zlib.crc32(data)
+    for doc_id in range(128):
+        s, cls = doc_id % 256, doc_id % 4
+        p = M.synthesize_gzip_member(s, cls)
+        law = M._deflate_law(s)[0]
+        assert gzip.decompress(p) == law
+        got = M.parse_gzip_member(p)
+        assert got["crc_checked"] == 1 and got["n_bytes"] == len(law)
+    good = M.synthesize_gzip_member(42, 3)  # FNAME+FCOMMENT class
+    for mutate_at in (len(good) // 2, len(good) - 6, len(good) - 2):
+        bad = bytearray(good)
+        bad[mutate_at] ^= 0x01
+        with pytest.raises(ValueError):
+            M.parse_gzip_member(bytes(bad))
+    # reserved FLG bits must be rejected
+    bad = bytearray(good)
+    bad[3] |= 0x20
+    with pytest.raises(ValueError, match="reserved"):
+        M.parse_gzip_member(bytes(bad))
