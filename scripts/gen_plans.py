@@ -76,6 +76,7 @@ HEADLINERS = [
     ("image_jpeg_restart_decode", "restart-interval JPEG decode: shuffle-free Arrow-batched codec posture"),
     ("archive_warc_probe", "WARC record walk: shuffle-free Arrow-batched codec posture"),
     ("text_kneser_ney_bigrams", "KN bigram LM: (doc, pos+1) self-join -> bigram agg; vocab-sized context/continuation joins; bounded top-20"),
+    ("archive_gzip_member_probe", "gzip member walk over from-scratch inflate + CRC gate: shuffle-free Arrow-batched codec posture"),
     # round-12: queries the r11 sidecar pushed over the 1.5 s coverage
     # threshold (ambient-loaded run — plans documented regardless)
     ("agg_cube", "CUBE over two dims: one Expand + partial/final hash aggregate, no extra shuffles"),
