@@ -77,6 +77,26 @@ HEADLINERS = [
     ("archive_warc_probe", "WARC record walk: shuffle-free Arrow-batched codec posture"),
     ("text_kneser_ney_bigrams", "KN bigram LM: (doc, pos+1) self-join -> bigram agg; vocab-sized context/continuation joins; bounded top-20"),
     ("archive_gzip_member_probe", "gzip member walk over from-scratch inflate + CRC gate: shuffle-free Arrow-batched codec posture"),
+    # round-13: queries the close sidecar's ambient-loaded early segment
+    # pushed over the 1.5 s coverage threshold (all re-read at their r12
+    # levels standalone — see COMPARE_r13.json; plans documented regardless)
+    ("agg_count_distinct", "COUNT(DISTINCT) via Expand + two-phase hash aggregate, one fact scan"),
+    ("dq_k_anonymity", "QI-keyed aggregates under the (nation, segment) quasi-identifier; classes bounded by the QI domain"),
+    ("dq_mad_outliers", "exact median/MAD via two bounded percentile aggregates + broadcast stats join"),
+    ("dq_referential_integrity", "orphan audit: left anti joins against each parent dim, counts only cross the final stage"),
+    ("dq_uniqueness_audit", "PK audit: distinct-agg legs over one scan"),
+    ("embedding_label_centroids", "per-label integer-grid centroid sums: one scan, posexplode, (label, dim)-keyed agg"),
+    ("embedding_quantize_int8", "per-row HOF arithmetic (scale/code/dequant/error) — no shuffle, no Python"),
+    ("encode_decode_kv_roundtrip", "[REF] KV codec roundtrip: pure-codegen encode/decode projections, equality audit"),
+    ("join_semi_urgent_customers", "LEFT SEMI on the urgent-orders subquery, broadcast below threshold"),
+    ("join_temporal_scd2_fact", "event-time dim lookup: equi-join + validity-window residual over broadcast history"),
+    ("knn_filtered_topk", "metadata predicate pushed to scan, broadcast probes, bounded per-query top-k"),
+    ("lang_id_markers", "marker-ngram language ID: per-row codegen scoring + lang-domain rollup"),
+    ("q3_shipping_priority", "TPC-H Q3: two broadcast-filtered joins + date predicates pushed, bounded top-10"),
+    ("q8_market_share", "TPC-H Q8: eight-table join tree, dims broadcast, year pivot in one aggregate"),
+    ("q9_product_profit", "TPC-H Q9: part-filtered six-table tree; profit expression folded before the (nation, year) rollup"),
+    ("scan_fixed_width_source", "fixed-width text source roundtrip: format_string writer + codegen substring/trim/cast reader"),
+    ("text_lm_surprise", "bigram-LM surprise: checkpointed tokenize feeds unigram+bigram aggs + scoring join; bounded top-k"),
     # round-12: queries the r11 sidecar pushed over the 1.5 s coverage
     # threshold (ambient-loaded run — plans documented regardless)
     ("agg_cube", "CUBE over two dims: one Expand + partial/final hash aggregate, no extra shuffles"),
