@@ -2708,3 +2708,171 @@ def graph_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, n_proposed bigint, n_applied bigint, q_num bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Borůvka round — the distributed-MST building block
+# --------------------------------------------------------------------------
+
+BORUVKA_JUMPS = 9  # pointer-jump unroll: reaches chains up to 2^9 = 512
+#                    components (fixture has ~325; the round is re-runnable
+#                    on its own output exactly like the Louvain phases)
+
+
+def _boruvka_oracle() -> str:
+    """One Borůvka round, fully unrolled: weighted thresholded edges
+    (distance = 1e6 div support — rarely-co-purchased parts are far),
+    per-component min incident edge under the TOTAL order (d, u, v),
+    2-cycle break to the lesser endpoint (mutual-min pairs are the only
+    cycles a totally ordered selection admits), then {BORUVKA_JUMPS}
+    pointer-jump CTEs contract every selection chain to its root."""
+    jumps = "".join(
+        f""",
+    g{k + 1} AS MATERIALIZED (
+      SELECT a.c, b.p FROM g{k} a JOIN g{k} b ON b.c = a.p)"""
+        for k in range(BORUVKA_JUMPS)
+    )
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    wedges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {WCC_MIN_SUPPORT}),
+    e AS (SELECT u, v, CAST(1000000 // n AS BIGINT) AS d FROM wedges),
+    dir AS (SELECT u AS c, v AS o, d, u, v FROM e
+            UNION ALL SELECT v, u, d, u, v FROM e),
+    sel AS (
+      SELECT c, o, d, u, v FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY d, u, v) AS rn
+        FROM dir) t
+      WHERE rn = 1),
+    f AS (SELECT c, o FROM sel),
+    g0 AS MATERIALIZED (
+      SELECT f.c, CASE WHEN f2.o = f.c THEN LEAST(f.c, f.o)
+                       ELSE f.o END AS p
+      FROM f JOIN f f2 ON f2.c = f.o){jumps},
+    lab AS (SELECT c AS node, p AS root FROM g{BORUVKA_JUMPS}),
+    tree AS (
+      SELECT DISTINCT l.root, s.d, s.u, s.v
+      FROM sel s JOIN lab l ON l.node = s.c)
+    SELECT l.root AS new_label,
+           CAST(COUNT(DISTINCT l.node) AS BIGINT) AS n_merged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tree t
+            WHERE t.root = l.root) AS n_tree_edges,
+           (SELECT CAST(COALESCE(SUM(t.d), 0) AS BIGINT) FROM tree t
+            WHERE t.root = l.root) AS sum_d,
+           (SELECT CAST(COALESCE(SUM(t.u * 31 + t.v), 0) AS BIGINT)
+            FROM tree t WHERE t.root = l.root) AS edge_poschk
+    FROM lab l
+    GROUP BY l.root
+    """
+
+
+@query("graph_boruvka_round", oracle=_boruvka_oracle())
+def graph_boruvka_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Borůvka round over the weighted co-purchase graph — the
+    building block of THE distributed MST algorithm (Borůvka 1926;
+    every parallel MST from PRAM to MapReduce to GraphX is rounds of
+    exactly this): each component selects its minimum-distance incident
+    edge under the total order (d, u, v), the selections form a
+    pseudoforest whose only cycles are mutual-min 2-cycles (a totally
+    ordered selection admits no longer cycle), the 2-cycle breaks to its
+    lesser endpoint, and pointer jumping contracts every chain to its
+    root.  Distance = 1e6 div co-purchase support: the MST backbone
+    keeps the STRONGEST ties (smallest distance spans first).
+
+    Structural theorem the output pins: within each merged cluster the
+    distinct selected edges form a spanning TREE of the merged
+    components, so n_tree_edges = n_merged − 1 on every row —
+    asserted in tests and visible to the oracle hash.  Components
+    halve (at least) per round; re-running on the contracted graph is
+    the full MST exactly as the Louvain phases compose.
+
+    Scale shape: the min selection is one node-keyed window over the
+    directed edge view; each of the {BORUVKA_JUMPS} pointer jumps is a
+    component-sized self-join with an eager lineage cut
+    (localCheckpoint + _stats_clean — the iterated-checkpoint lessons
+    from BFS and the Louvain loop applied from the start); the rollup
+    is component-keyed.  No step touches anything bigger than the edge
+    list."""
+    from pyspark.sql.window import Window
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= WCC_MIN_SUPPORT)
+        .select("u", "v", F.expr("1000000 div n").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    dirv = e.selectExpr("u AS c", "v AS o", "d", "u", "v").unionAll(
+        e.selectExpr("v AS c", "u AS o", "d", "u", "v")
+    )
+    w = Window.partitionBy("c").orderBy("d", "u", "v")
+    sel = (
+        dirv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    f = sel.select("c", "o")
+    f2 = f.selectExpr("c AS c2", "o AS o2")
+    g = _stats_clean(
+        f.join(f2, F.col("o") == F.col("c2"))
+        .select(
+            "c",
+            F.when(F.col("o2") == F.col("c"), F.least("c", "o"))
+            .otherwise(F.col("o"))
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BORUVKA_JUMPS):
+        gp = g.selectExpr("c AS cj", "p AS pj")
+        g = _stats_clean(
+            g.join(gp, F.col("p") == F.col("cj"))
+            .select("c", F.col("pj").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    lab = g.selectExpr("c AS node", "p AS root")
+    tree = (
+        sel.join(lab, sel["c"] == lab["node"])
+        .select("root", "d", "u", "v")
+        .distinct()
+    )
+    nodes = lab.groupBy("root").agg(
+        F.countDistinct("node").alias("n_merged")
+    )
+    edges = tree.groupBy("root").agg(
+        F.count(F.lit(1)).alias("n_tree_edges"),
+        F.sum("d").alias("sum_d"),
+        F.sum(F.col("u") * 31 + F.col("v")).alias("edge_poschk"),
+    )
+    return (
+        nodes.join(edges, "root", "left")
+        .select(
+            F.col("root").alias("new_label"),
+            "n_merged",
+            F.coalesce("n_tree_edges", F.lit(0)).cast("long").alias(
+                "n_tree_edges"
+            ),
+            F.coalesce("sum_d", F.lit(0)).cast("long").alias("sum_d"),
+            F.coalesce("edge_poschk", F.lit(0)).cast("long").alias(
+                "edge_poschk"
+            ),
+        )
+    )

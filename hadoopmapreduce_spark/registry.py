@@ -114,6 +114,7 @@ ADJUDICATION_DEFERRED: tuple[str, ...] = (
     "archive_warc_probe",
     "text_kneser_ney_bigrams",
     "archive_gzip_member_probe",
+    "graph_boruvka_round",
 )
 
 

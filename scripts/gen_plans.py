@@ -77,6 +77,7 @@ HEADLINERS = [
     ("archive_warc_probe", "WARC record walk: shuffle-free Arrow-batched codec posture"),
     ("text_kneser_ney_bigrams", "KN bigram LM: (doc, pos+1) self-join -> bigram agg; vocab-sized context/continuation joins; bounded top-20"),
     ("archive_gzip_member_probe", "gzip member walk over from-scratch inflate + CRC gate: shuffle-free Arrow-batched codec posture"),
+    ("graph_boruvka_round", "Boruvka round: node-keyed min-edge window; 9 component-sized pointer-jump self-joins, checkpointed; component-keyed rollup"),
     # round-13: queries the close sidecar's ambient-loaded early segment
     # pushed over the 1.5 s coverage threshold (all re-read at their r12
     # levels standalone — see COMPARE_r13.json; plans documented regardless)

