@@ -630,8 +630,15 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidate, reference) alignment column a real eval set carries."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ts = d.select("doc_id", F.split("text", r"\s+").alias("ts"))
+    # one pass: the pair key and a side flag ride the bigram explode, and
+    # per-(pair, bigram) presence bits replace both the per-doc DISTINCT
+    # and the former full-outer join (which re-executed the explode
+    # subtree once per side — 2 Generates, 4 Exchanges).  max(when(...))
+    # over the raw multiset IS the distinct-presence bit, so the set
+    # semantics (ROUGE's distinct-bigram form) are unchanged.
     bg = ts.select(
-        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("cand_id"),
+        (F.col("doc_id") % 2).alias("side"),
         F.explode(
             F.expr(
                 "CASE WHEN size(ts) < 2 THEN array()"
@@ -640,36 +647,15 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " END"
             )
         ).alias("bg"),
-    ).distinct()
-    cand = bg.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("cand_id"), F.col("bg").alias("cbg")
     )
-    ref = bg.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("cand_id"), F.col("bg").alias("rbg")
+    present = bg.groupBy("cand_id", "bg").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cp"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("rp"),
     )
-    pair = cand.join(
-        ref,
-        (cand["cand_id"] == ref["cand_id"]) & (F.col("cbg") == F.col("rbg")),
-        "full_outer",
-    ).select(
-        F.coalesce(cand["cand_id"], ref["cand_id"]).alias("cand_id"),
-        "cbg",
-        "rbg",
-    )
-    stats = pair.groupBy("cand_id").agg(
-        F.sum(F.when(F.col("cbg").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_cand"),
-        F.sum(F.when(F.col("rbg").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_ref"),
-        F.sum(
-            F.when(
-                F.col("cbg").isNotNull() & F.col("rbg").isNotNull(), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_common"),
+    stats = present.groupBy("cand_id").agg(
+        F.sum("cp").cast("long").alias("n_cand"),
+        F.sum("rp").cast("long").alias("n_ref"),
+        F.sum(F.col("cp") * F.col("rp")).cast("long").alias("n_common"),
     )
     ppm = lambda num, den: F.when(  # noqa: E731
         F.expr(den) == 0, F.lit(None).cast("long")
@@ -971,24 +957,30 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "), array())"
         for n in range(1, BLEU_MAX_N + 1)
     ) + ")"
-    grams = ts.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
-    tf = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("tf"))
-    ctf = tf.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("cand_id"), "gram", F.col("tf").alias("tfc")
+    # one pass over the gram stream: the pair key and a side flag ride the
+    # explode, so candidate and reference tf are two conditional counts of
+    # the SAME (pair, gram) group — the former ctf/rtf split re-executed
+    # the explode+count subtree once per join input (2 Generates).  A
+    # gram seen only on the reference side lands as tfc = 0, contributing
+    # total = 0 / clipped = 0 to every sum — identical to its absence
+    # from the former candidate-driven LEFT join.
+    grams = ts.select(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("cand_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.expr(grams_expr)).alias("gram"),
     )
-    rtf = tf.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("cand_id"),
-        "gram",
-        F.col("tf").alias("tfr"),
+    tf = grams.groupBy("cand_id", "gram").agg(
+        F.count(F.when(F.col("side") == 0, F.lit(1))).alias("tfc"),
+        F.count(F.when(F.col("side") == 1, F.lit(1))).alias("tfr"),
     )
-    j = ctf.join(rtf, ["cand_id", "gram"], "left").select(
+    j = tf.select(
         "cand_id",
         F.substring("gram", 1, 1).cast("int").alias("n"),
         F.col("tfc").alias("total"),
-        F.least(F.col("tfc"), F.coalesce(F.col("tfr"), F.lit(0))).alias(
-            "clipped"
-        ),
+        F.least(F.col("tfc"), F.col("tfr")).alias("clipped"),
     )
+    # _anyc reproduces the former inner join on px: a pair whose candidate
+    # doc emitted zero grams had no px row and was dropped
     px = j.groupBy("cand_id").agg(
         *[
             F.expr(
@@ -998,20 +990,27 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" END AS BIGINT)"
             ).alias(f"p{n}_ppm")
             for n in range(1, BLEU_MAX_N + 1)
-        ]
-    )
-    lens = ts.select(
-        "doc_id", F.size("ts").cast("long").alias("len")
-    )
-    lc = lens.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("cand_id"), F.col("len").alias("len_c")
-    )
-    lr = lens.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("cand_id"), F.col("len").alias("len_r")
+        ],
+        F.sum("total").alias("_anyc"),
+    ).filter(F.col("_anyc") > 0)
+    # pair lengths via the same conditional-aggregate fold (one scan of
+    # ts instead of the former lc/lr double scan); the non-null filter
+    # reproduces the former lc ⋈ lr INNER join (both docs must exist)
+    lens = (
+        ts.select(
+            (F.col("doc_id") - F.col("doc_id") % 2).alias("cand_id"),
+            (F.col("doc_id") % 2).alias("side"),
+            F.size("ts").cast("long").alias("len"),
+        )
+        .groupBy("cand_id")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("len"))).alias("len_c"),
+            F.max(F.when(F.col("side") == 1, F.col("len"))).alias("len_r"),
+        )
+        .filter(F.col("len_c").isNotNull() & F.col("len_r").isNotNull())
     )
     return (
-        lc.join(lr, "cand_id")
-        .join(px, "cand_id")
+        lens.join(px, "cand_id")
         .select(
             "cand_id",
             (F.col("cand_id") + 1).alias("ref_id"),
@@ -1112,10 +1111,15 @@ def eval_chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE explode emits all {CHRF_MAX_N} tagged orders (rows
     ≈ 4× corpus chars — the same linear position-table posture as
-    ``dedup_substring_spans``), multiset tf via (doc, gram) map-side
-    combined counts, one (pair, gram) hash join for matches, and three
-    per-pair rollups.  Never a cross product; keys on (pair, gram) end
-    to end."""
+    ``dedup_substring_spans``), then exactly TWO keyed aggregations:
+    (pair, gram) conditional tf counts for both sides at once, and a
+    per-pair rollup of all 3×{CHRF_MAX_N} outputs.  The earlier
+    formulation filtered the tf table into cand/ref frames and joined
+    them back — Spark re-executed the explode+count subtree once per
+    reference (4 Generates, 20 Exchanges, 5 joins at sf0.1); folding the
+    side split into conditional aggregates is the same arithmetic with
+    1 Generate, 2 Exchanges and 0 joins.  Never a cross product; keys on
+    (pair, gram) end to end."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.regexp_replace("text", r"\s+", "").alias("cs")
     )
@@ -1125,77 +1129,80 @@ def eval_chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> '{n}:' || substr(cs, i, {n})), array())"
         for n in range(1, CHRF_MAX_N + 1)
     ) + ")"
+    # one pass: pair key + side flag ride the explode, so candidate and
+    # reference tf land as two conditional counts of the SAME group
     tf = (
-        d.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        d.select(
+            (F.col("doc_id") - F.col("doc_id") % 2).alias("cand_id"),
+            (F.col("doc_id") % 2).alias("side"),
+            F.explode(F.expr(grams_expr)).alias("gram"),
+        )
+        .groupBy("cand_id", "gram")
+        .agg(
+            F.count(F.when(F.col("side") == 0, F.lit(1))).alias("tfc"),
+            F.count(F.when(F.col("side") == 1, F.lit(1))).alias("tfr"),
+        )
         .select(
-            "doc_id",
-            "gram",
+            "cand_id",
             F.substring("gram", 1, 1).cast("int").alias("n"),
-            "tf",
+            "tfc",
+            "tfr",
         )
     )
-    ctf = tf.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("cand_id"), "gram", "n", F.col("tf").alias("tfc")
-    )
-    rtf = tf.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("cand_id"),
-        "gram",
-        "n",
-        F.col("tf").alias("tfr"),
-    )
-    mt = ctf.join(rtf.drop("n"), ["cand_id", "gram"]).select(
-        "cand_id", "n", F.least("tfc", "tfr").alias("mm")
-    )
-    m = mt.groupBy("cand_id").agg(
-        *[
-            F.sum(F.when(F.col("n") == n, F.col("mm")))
+    # per-pair rollup: m_n = Σ_g min(tfc, tfr) (0 when either side lacks
+    # the gram — identical to the former inner join's matched-gram sum),
+    # tc_n/tr_n the per-side totals.  Pairs missing a whole side (no cand
+    # or no ref grams at all) were dropped by the former c⋈r inner join;
+    # the HAVING-style filter reproduces that.
+    agg_cols = []
+    for n in range(1, CHRF_MAX_N + 1):
+        isn = F.col("n") == n
+        agg_cols.append(
+            F.coalesce(
+                F.sum(F.when(isn, F.least(F.col("tfc"), F.col("tfr")))),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"m{n}")
-            for n in range(1, CHRF_MAX_N + 1)
-        ]
-    )
-    c = ctf.groupBy("cand_id").agg(
-        *[
-            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("tfc"))), F.lit(0))
+        )
+        agg_cols.append(
+            F.coalesce(F.sum(F.when(isn, F.col("tfc"))), F.lit(0))
             .cast("long")
             .alias(f"tc{n}")
-            for n in range(1, CHRF_MAX_N + 1)
-        ]
-    )
-    r = rtf.groupBy("cand_id").agg(
-        *[
-            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("tfr"))), F.lit(0))
+        )
+        agg_cols.append(
+            F.coalesce(F.sum(F.when(isn, F.col("tfr"))), F.lit(0))
             .cast("long")
             .alias(f"tr{n}")
-            for n in range(1, CHRF_MAX_N + 1)
-        ]
+        )
+    per_pair = (
+        tf.groupBy("cand_id")
+        .agg(
+            *agg_cols,
+            F.sum("tfc").alias("_anyc"),
+            F.sum("tfr").alias("_anyr"),
+        )
+        .filter((F.col("_anyc") > 0) & (F.col("_anyr") > 0))
     )
     out_cols = []
     for n in range(1, CHRF_MAX_N + 1):
-        mn = F.coalesce(F.col(f"m{n}"), F.lit(0))
-        out_cols.append(mn.cast("long").alias(f"m{n}"))
+        out_cols.append(F.col(f"m{n}"))
         out_cols.append(
             F.when(F.col(f"tc{n}") == 0, F.lit(None).cast("long"))
-            .otherwise(F.expr(f"coalesce(m{n}, 0) * 1000000 div tc{n}"))
+            .otherwise(F.expr(f"m{n} * 1000000 div tc{n}"))
             .cast("long")
             .alias(f"p{n}_ppm")
         )
         out_cols.append(
             F.when(F.col(f"tr{n}") == 0, F.lit(None).cast("long"))
-            .otherwise(F.expr(f"coalesce(m{n}, 0) * 1000000 div tr{n}"))
+            .otherwise(F.expr(f"m{n} * 1000000 div tr{n}"))
             .cast("long")
             .alias(f"r{n}_ppm")
         )
-    return (
-        c.join(r, "cand_id")
-        .join(m, "cand_id", "left")
-        .select(
-            "cand_id",
-            (F.col("cand_id") + 1).alias("ref_id"),
-            *out_cols,
-        )
+    return per_pair.select(
+        "cand_id",
+        (F.col("cand_id") + 1).alias("ref_id"),
+        *out_cols,
     )
 
 
