@@ -21,7 +21,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve under
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_table, spread_for_expansion
 from hadoopmapreduce_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -44,7 +44,9 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic canonical representative.  One shuffle on the 128-bit
     content hash (never on the text itself — shuffle bytes stay tiny no
     matter how long documents get)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return (
         d.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
         .groupBy("text_hash")
@@ -68,7 +70,9 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after canonicalization (lowercase, whitespace collapse) —
     catches trivially-reformatted copies that byte-exact hashing misses."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return (
         d.select(F.md5(norm.cast("binary")).alias("norm_hash"), "doc_id")
@@ -114,7 +118,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than a per-index slice+concat lambda (which allocates a subarray
     per element) — ~2× cheaper in Spark's interpreted higher-order-function
     evaluator, same output strings."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     ts = F.split(F.col("text"), r"\s+")
     n = F.size(ts)
     first = F.slice(ts, 1, n - 2)
@@ -378,7 +384,9 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (long, long) — vastly cheaper to materialize than to recompute from
     text.  Semantic correctness is additionally pinned by unit tests on
     perturbed documents (tests/test_dedup_semantics.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     )
@@ -471,7 +479,9 @@ def exact_cosine_pairs(
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_expansion(
+        load_table(spark, sf_dir, "embeddings"), spark, sf_dir, "embeddings"
+    ).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
         (F.col("vec_id") % COSINE_BLOCKS).alias("blk"),
@@ -956,7 +966,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1).  At 100 TB the scan arrives already partitioned and this
     # exchange drops out — keyed on doc_id so it stays a plain hash spread.
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread_for_expansion(
+            load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        )
         .select("doc_id", "text")
         .filter(F.length("text") >= k)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -1207,7 +1219,9 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's duplicate Jaccard levels (≥0.9) is 1-2e-14, so the banded
     path equals the exact-Jaccard oracle.  Output is the per-status
     rollup (count + id range) — stable under re-partitioning."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     delta_ids = F.col("doc_id") % 5 == 0
     h = F.md5(F.col("text").cast("binary"))
     dh = d.filter(delta_ids).select("doc_id", h.alias("h"))
@@ -1326,7 +1340,9 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     All pure string/array codegen (parse_url + filter/array_sort/
     array_join) — one shuffle on the canonical key, same linear shape as
     exact_dedup."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     base = (F.col("doc_id") / 2).cast("long").cast("string")
     url = F.when(
         F.col("doc_id") % 2 == 0,
@@ -1414,7 +1430,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct IS the sort key, so no zipWithIndex/window over the
     vocabulary)."""
     t_num, t_den = 4, 5  # Jaccard threshold 0.8 as an exact rational
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     ts = F.split(F.col("text"), r"\s+")
     n_t = F.size(ts)
     sh = F.zip_with(
@@ -2000,7 +2018,9 @@ def _semantic_assignment_parts(spark: SparkSession, sf_dir: str):
     so per-cluster size stays ~TARGET_M — the SQL twin derives the same
     G/seed in `_SEMDEDUP_ASSIGN_CTES` with identical integer
     arithmetic."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_expansion(
+        load_table(spark, sf_dir, "embeddings"), spark, sf_dir, "embeddings"
+    ).select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),

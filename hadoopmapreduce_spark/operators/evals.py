@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_spread, load_table
 from hadoopmapreduce_spark.operators.similarity import _dot, _embeddings
 from hadoopmapreduce_spark.registry import query
 
@@ -38,7 +38,7 @@ _SCORE_ORACLE = """
 
 
 def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.expr(
@@ -628,7 +628,7 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything keys on (pair, bigram) — embarrassingly
     parallel, output one row per pair; at 100 TB the pairing key is the
     (candidate, reference) alignment column a real eval set carries."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     ts = d.select("doc_id", F.split("text", r"\s+").alias("ts"))
     # one pass: the pair key and a side flag ride the bigram explode, and
     # per-(pair, bigram) presence bits replace both the per-doc DISTINCT
@@ -751,7 +751,7 @@ def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot,
     )
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -942,7 +942,7 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the pairing key is the eval set's alignment column.
     [REF] parity: composes the reference's join+aggregate surface
     (ClickThru.java:98-168) at MT-eval semantics."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     ts = d.select("doc_id", F.split("text", r"\s+").alias("ts"))
     # Per-order emptiness guard: sequence(1, stop) DESCENDS when stop < 1
     # (default step -1), so a doc shorter than n tokens would evaluate
@@ -1120,7 +1120,7 @@ def eval_chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     side split into conditional aggregates is the same arithmetic with
     1 Generate, 2 Exchanges and 0 joins.  Never a cross product; keys on
     (pair, gram) end to end."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.regexp_replace("text", r"\s+", "").alias("cs")
     )
     grams_expr = "concat(" + ", ".join(
@@ -1269,7 +1269,7 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the task table, no shuffle, no join; the downstream mean-over-
     tasks is a 1-row aggregate the consumer owns (kept out so the hash
     pins every task's exact value, not a lossy average)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     n = F.lit(PASS_N_MIN) + F.col("doc_id") % PASS_N_MOD
     tasks = d.select(
         F.col("doc_id").alias("task_id"),

@@ -30,7 +30,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_spread, load_table
 from hadoopmapreduce_spark.registry import query
 
 # rank scale: each node starts at 1e12; teleport term is 0.15 * 1e12
@@ -61,7 +61,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     of re-running the distinct + self-join per query (the edge build dominated
     the family's cold cost when derived three times)."""
     items = (
-        load_table(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -628,7 +628,7 @@ def graph_basket_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     support HAVING prunes before the dimension joins, and the 1-row order
     count broadcasts."""
     items = (
-        load_table(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -694,7 +694,7 @@ def thresholded_copurchase_edges(
     near-clique; thresholding restores real community structure, so the
     component/community operators (WCC, LPA) both consume THIS graph."""
     items = (
-        load_table(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -2800,7 +2800,7 @@ def graph_boruvka_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     items = (
-        load_table(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_table, spread_for_expansion
 from hadoopmapreduce_spark.registry import query
 
 _KINDS = ("image", "audio", "video")
@@ -142,7 +142,11 @@ def audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             [synthesize_wav(int(n), int(a)) for n, a in zip(n_frames, amp)]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     n_frames = F.length(F.encode(F.col("text"), "utf-8")) % 400 + 10
     amp = (F.col("doc_id") % 7 + 1) * 1000
     return d.select(
@@ -349,7 +353,11 @@ def image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % 16 + 4)
@@ -544,7 +552,11 @@ def video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     nb = F.length(F.encode(F.col("text"), "utf-8"))
     return d.select(
         "doc_id",
@@ -669,7 +681,11 @@ def zip_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             [synthesize_zip(int(d), int(b)) for d, b in zip(doc_id, base_len)]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     base = F.length(F.encode(F.col("text"), "utf-8")) % ZIP_BASE_MOD + 5
     return d.select(
         "doc_id", base.cast("int").alias("base_spec")
@@ -1086,7 +1102,11 @@ def deflate_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _synth(s: pd.Series) -> pd.Series:
         return pd.Series([synthesize_deflate(int(si)) for si in s])
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id", (F.col("doc_id") % 256).cast("int").alias("s_spec")
     ).withColumn("payload", _synth(F.col("s_spec")))
@@ -1396,7 +1416,11 @@ def image_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     assets = d.select(
         "doc_id",
         (F.col("doc_id") % 3 + 2).cast("int").alias("wb_spec"),
@@ -1659,7 +1683,11 @@ def archive_gzip_member_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     assets = d.select(
         "doc_id",
         (F.col("doc_id") % 256).cast("int").alias("s_spec"),
@@ -1842,7 +1870,11 @@ def archive_warc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _synth(s: pd.Series) -> pd.Series:
         return pd.Series([synthesize_warc(int(si)) for si in s])
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     assets = d.select(
         "doc_id", (F.col("doc_id") % 256).cast("int").alias("s_spec")
     ).withColumn("payload", _synth(F.col("s_spec")))
@@ -2200,7 +2232,11 @@ def deflate_dynamic_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _synth(s: pd.Series) -> pd.Series:
         return pd.Series([synthesize_deflate_dynamic(int(si)) for si in s])
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id", (F.col("doc_id") % 256).cast("int").alias("s_spec")
     ).withColumn("payload", _synth(F.col("s_spec")))
@@ -2244,7 +2280,11 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize multimodal assets from documents: payload = utf-8 bytes of
     the text (an opaque blob as far as the pipeline is concerned), kind
     assigned round-robin, metadata struct alongside."""
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     kind = F.element_at(
         F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
     )
@@ -2909,7 +2949,11 @@ def jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % 24 + 8).cast("int").alias("w_spec"),
@@ -3359,7 +3403,11 @@ def jpeg_baseline_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id",
         (F.col("doc_id") % 3 + 1).cast("int").alias("wb_spec"),
@@ -3616,7 +3664,11 @@ def tiff_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % TIFF_W_MOD + 4)
@@ -4111,7 +4163,11 @@ def gif_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % GIF_W_MOD + 4)
@@ -4214,7 +4270,11 @@ def gif_interlaced_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % GIF_W_MOD + 4)
@@ -4531,7 +4591,11 @@ def bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    # blob synth + decode are per-row expansion work: spread the
+    # single-split documents scan (no-op at >= cores input splits)
+    d = spread_for_expansion(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % BMP_W_MOD + 4)

@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_spread
 from hadoopmapreduce_spark.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
@@ -43,7 +43,7 @@ def _dot(u, v):
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -343,7 +343,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     same three sequential folds (bit-stable, like every dot product in
     this module); floor(x+0.5) replaces round() because Spark and DuckDB
     disagree on banker's-vs-away rounding at .5 boundaries."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -418,7 +418,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operands and one correctly-rounded result in both
     engines).  2⁻³⁰ sits well under float32's ulp for |v| ≥ 2⁻⁷, so the
     quantization is lossless for real embedding magnitudes."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -477,7 +477,7 @@ def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast probes, one-scan scoring, bounded per-query top-k) matches
     :func:`knn_cosine_topk`.  At scale the same predicate composes with
     the IVF/LSH bucket join instead."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -780,7 +780,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be model state).  At 100 TB the IVF mini-KMeans of
     ``ann_ivf_topk`` trains the codebooks instead; every downstream
     stage (encode, LUT, ADC, shortlist, re-rank) is unchanged."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         (
             F.col("label").cast("int") * PQ_SEED_GROUPS
             + (F.col("vec_id") % PQ_SEED_GROUPS).cast("int")
@@ -1429,7 +1429,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unchanged results), coarsening gracefully past ~30M rows; the
     oracle reproduces the identical derivation in SQL (VERDICT r9 ask
     #3)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         F.transform(F.col("embedding"), lambda c: c.cast("double")).alias(
             "v"
         )

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_spread, load_table
 from hadoopmapreduce_spark.registry import query
 
 
@@ -44,7 +44,7 @@ def _tokens(col):
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document statistics: char/token/distinct-token counts, mean token
     length, type-token ratio, longest token."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ts = _tokens(F.col("text"))
     n_tokens = F.size(ts)
     n_distinct = F.size(F.array_distinct(ts))
@@ -78,7 +78,7 @@ def topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalized from the reference's shuffle-and-count skeleton.  Partial
     aggregation absorbs token skew map-side; the final top-k is
     TakeOrderedAndProject (bounded heaps, no global sort)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return (
         d.select(F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -139,7 +139,7 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen expression while HOF lambdas are interpreted per element — this
     cut the sf0.1 bench time ~6x with identical semantics (duplicates still
     counted, matching the oracle's list_filter)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     tokens = d.select("doc_id", "lang", _tokens(F.col("text")).alias("ts"))
     ts = F.col("ts")
     n = F.size(ts)
@@ -203,7 +203,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio, with a keep/drop verdict (the filter stage of a
     training-data pipeline).  Fixed-order double arithmetic over exact
     integer inputs → bit-stable."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ts = _tokens(F.col("text"))
     n_tokens = F.size(ts).cast("double")
     distinct_ratio = F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
@@ -234,7 +234,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish pre-tokenizer regex (word runs +
     isolated punctuation) — the budget-estimation pass of a training
     pipeline, aggregated per language."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
     return (
         d.select("lang", n_tok.alias("n_tok"))
@@ -268,7 +268,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     local edits, the 1-hash special case of the MinHash signature used by
     minhash_dedup).  md5 hex is identical across engines, so unlike
     xxhash-based sketches this one is oracle-checkable."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ts = _tokens(F.col("text"))
     joined = F.array_join(ts, " ")
     # shifted-slice zip (2 array passes) beats per-index slice+concat —
@@ -317,7 +317,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is reproducible across runs/engines and needs no RNG state;
     at 100 TB it is a stateless narrow filter.  Output: per-language totals
     and sampled counts (the full sampled set is `bucket < rate`)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
     rate = None
     for lang, r in SAMPLE_RATES.items():
@@ -366,7 +366,7 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards number in the millions."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
     w = (
         W.partitionBy("lang")
@@ -415,7 +415,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap), broadcast to the token stream — the per-doc pass is one explode +
     broadcast hash join + re-group on doc_id.  The corpus-wide term count is
     the same aggregation topk_terms runs; nothing is quadratic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     vocab = (
         toks.groupBy("tok")
@@ -466,7 +466,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure regexp codegen, embarrassingly parallel; note DuckDB's
     regexp_replace needs the 'g' flag to match Spark's replace-all
     default."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -524,7 +524,7 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates (doc×gram counts, then doc-level maxima/sums).  All
     shuffle keys include doc_id, so data spreads over the cluster; the
     fractions are int/int double divisions — bit-exact cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), r"\s+")
     n = F.size(ts)
     bigrams = F.zip_with(
@@ -593,7 +593,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle of text: at 100 TB you'd hash the grams
     (xxhash64) before the join; here they stay as strings so the DuckDB
     twin is byte-identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), r"\s+")
     n = F.size(ts)
     # 5-grams via a zip_with ladder over shifted slices (2-gram → 4-gram →
@@ -674,7 +674,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     on term.  The doc-count scalar broadcasts; the join is shuffle-on-term
     (vocab follows a Zipf law, so AQE's skew split handles the stopword
     keys); the final per-doc top-k is a bounded window."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
     tf = (
@@ -738,7 +738,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bound attribute — inlining the split() expression would re-evaluate
     it for every chunk.  Start offsets come from a strided ``sequence``;
     everything is codegen array ops, one explode, zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("ts"))
     n = F.size(F.col("ts"))
     starts = F.sequence(
@@ -787,7 +787,7 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships.  One narrow pass (token counts are array lengths, no explode)
     into a tiny grouped aggregate; integer sums are exact, and the single
     double division is int/int — bit-stable."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     nt = F.size(F.split(F.col("text"), r"\s+"))
     return (
         d.select("source", "lang", "n_chars", nt.alias("n_tokens"))
@@ -863,7 +863,7 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pmi_scored_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(F.split(F.col("text"), r"\s+").alias("ts"))
     n = F.size(F.col("ts"))
     uni = (
@@ -969,7 +969,7 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure per-row expressions + one hash aggregate: embarrassingly parallel,
     no shuffle before the final count rollup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     md5 = F.md5(F.col("text").cast("binary"))
 
     def nib(i: int):
@@ -1013,7 +1013,7 @@ def topk_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, so ranks are engine-deterministic."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     counts = (
         d.select("lang", F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("lang", "term")
@@ -1116,7 +1116,7 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism end-to-end: md5 content hash for dedup and split bucket,
     integer token counts, no floats anywhere."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     deduped = (
         d.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id", "text", "lang")
         .groupBy("h")
@@ -1259,7 +1259,7 @@ def _bpe_merge_loop(
     in too (the apply query needs ``v`` with every merge applied; the
     learn query skips the last fold since only the merge LIST is its
     output)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     ).filter(F.col("w").rlike("^[a-z0-9]+$"))
@@ -1367,7 +1367,7 @@ def text_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         word.alias("w"),
         (F.length("sym") - F.length(word)).cast("long").alias("n_tok"),
     )
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     corpus = d.select(
         "lang",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
@@ -1493,7 +1493,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage exactly as the learn sibling and the Louvain loop do.  At
     100 TB the vocabulary is millions of types — still a single
     executor-comfortable table."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     ).filter(F.col("w").rlike("^[a-z0-9]+$"))
@@ -1686,7 +1686,7 @@ def text_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     then per round a vocab-sized pair count, a vocab-sized symbol count
     (one extra explode+groupBy vs BPE, joined to the pair table on the
     two symbol keys), a 1-row argmax collect, and the codegen fold."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     ).filter(F.col("w").rlike("^[a-z0-9]+$"))
@@ -1825,7 +1825,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by a partitioned sink.  collect_set order is
     nondeterministic but sorted before slicing, so the digest is
     hash-stable."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
     )
@@ -1898,7 +1898,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression inputs are 5 scalars; at a 100 TB corpus the vocabulary
     rank would go through the repartitionByRange + per-partition
     row_number + driver prefix-sum pattern of agg_decile_lift_table."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
     uni = (
@@ -1985,7 +1985,7 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one machine; contrast with contamination_check, which broadcasts a
     small benchmark side.  Docs under 3 tokens have no trigram stream and
     drop out (both engines agree by construction)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     nib = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
     ).cast("int")
@@ -2049,7 +2049,7 @@ def pipeline_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order emerges from arithmetic, not a global sort — the same
     distributed-ranking idiom as agg_decile_lift_table, proven equivalent
     by the oracle's direct formulation."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
     ranked = d.select("doc_id", "lang", "n_chars").withColumn(
@@ -2205,7 +2205,7 @@ def pipeline_mixture_cap_rebalance(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: one corpus scan into a per-lang partial+final aggregate;
     every window runs over the LANGUAGE-sized table (the band-offset
     pattern) — metadata-sized no matter the corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     per = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens(F.col("text")))).alias("tokens"),
@@ -2296,7 +2296,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: len(zlib.compress(t.encode("utf-8"), DEFLATE_LEVEL))
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     nb = F.length(F.encode(F.col("text"), "utf-8")).cast("bigint")
     out = d.select(
         "doc_id",
@@ -2401,7 +2401,7 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — also the portability contract a production scrubber needs
     across scan engines.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     aug = d.select(
         "doc_id",
         "lang",
@@ -2540,7 +2540,7 @@ def text_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-k is orderBy+limit (TakeOrderedAndProject — bounded
     heaps, no global sort, no single-partition window).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     # ONE tokenize, materialized: `tok_table` feeds the unigram aggregate
     # and the bigram stream; `occ` is consumed twice (the bigram count AND
     # the scoring join), so it is checkpointed — without these the regex
@@ -2680,7 +2680,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket table is the entire learned model (the paper's point).
     Documents with fewer than two tokens carry no features and are
     absent by construction (both engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ts = d.select("doc_id", "lang", _tokens(F.col("text")).alias("ts"))
     # sequence(1, n) DESCENDS when n < 1, so guard the 1-token edge the
     # way DuckDB's exclusive range(1, len) handles it for free
@@ -2803,7 +2803,7 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus scan into a per-lang partial+final aggregate;
     every window runs over the LANGUAGE-sized table — metadata-sized no
     matter the corpus, same as the other mixture queries."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     per = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens(F.col("text")))).alias("tokens"),
@@ -2960,7 +2960,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     # tf feeds FOUR consumers (dl, df, the query-panel join, the scoring
     # join); materialize it once — at 100 TB this checkpoint IS the
     # inverted-index build the docstring describes, not an extra cost
@@ -3217,7 +3217,7 @@ def text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     assets = d.select(
         "doc_id",
         (F.col("doc_id") % 256).cast("int").alias("s_spec"),
@@ -3319,7 +3319,7 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram table; the final top-k is bounded.  No floats anywhere."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from hadoopmapreduce_spark.catalog import load_table
+from hadoopmapreduce_spark.catalog import load_spread, load_table
 from hadoopmapreduce_spark.registry import query
 
 
@@ -137,7 +137,8 @@ def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i, f"{toks[i]} {toks[i + 1]}"
 
     spark.udtf.register("bigram_expand", BigramExpand)
-    d = load_table(spark, sf_dir, "documents")
+    # row-at-a-time Python expansion: spread the single-split scan
+    d = load_spread(spark, sf_dir, "documents")
     d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         "SELECT b.doc_id, b.pos, b.bigram "
@@ -465,7 +466,7 @@ def udf_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: embarrassingly parallel map over scan batches — no shuffle, no
     state; the Arrow boundary cost is per-batch, not per-row."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(
         _arrow_token_stats,
         "doc_id bigint, n_chars bigint, n_tokens bigint",

@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from hadoopmapreduce_spark.catalog import scratch_base
+
 
 def get_spark(
     app_name: str = "hadoopmapreduce-spark",
@@ -43,6 +45,10 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
         )
+        # shuffle/spill scratch on the fastest local storage (tmpfs here,
+        # executor-local NVMe at cluster scale); static conf — applies at
+        # JVM start, ignored on session reuse
+        .config("spark.local.dir", scratch_base())
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -197,12 +197,15 @@ def test_tfidf_partial_aggregates_and_bounded_topk(spark, sf_dir):
 
 
 def test_quantization_is_shuffle_free(spark, sf_dir):
-    """int8 quantization is a pure per-row map — any Exchange in the plan
-    means an accidental shuffle of the embedding payload."""
+    """int8 quantization is a pure per-row map — the only Exchange allowed
+    is the declared input spread (RoundRobinPartitioning, fires only when
+    the scan has fewer splits than cores; a no-op at scale).  Any KEYED
+    exchange means an accidental shuffle of the embedding payload."""
     from hadoopmapreduce_spark.operators.similarity import embedding_quantize_int8
 
     plan = physical_plan(embedding_quantize_int8(spark, sf_dir))
-    assert "Exchange" not in plan
+    for keyed in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert keyed not in plan, plan
 
 
 def test_dq_referential_integrity_never_broadcasts_facts(spark, sf_dir):
@@ -426,11 +429,14 @@ def test_bitmap_distinct_partial_aggregation(spark, sf_dir):
 
 
 def test_chunk_manifest_no_shuffle(spark, sf_dir):
-    """The chunk manifest is a narrow per-row explode — zero exchanges."""
+    """The chunk manifest is a narrow per-row explode — no KEYED exchange
+    (the declared round-robin input spread is allowed; it only fires when
+    the scan has fewer splits than cores and is a no-op at scale)."""
     from hadoopmapreduce_spark.operators.multimodal import mm_chunk_manifest
 
     plan = physical_plan(mm_chunk_manifest(spark, sf_dir))
-    assert "Exchange" not in plan, plan
+    for keyed in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert keyed not in plan, plan
 
 
 def test_filtered_knn_predicate_reaches_scan(spark, sf_dir):
