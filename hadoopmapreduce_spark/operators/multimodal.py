@@ -142,11 +142,7 @@ def audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             [synthesize_wav(int(n), int(a)) for n, a in zip(n_frames, amp)]
         )
 
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     n_frames = F.length(F.encode(F.col("text"), "utf-8")) % 400 + 10
     amp = (F.col("doc_id") % 7 + 1) * 1000
     return d.select(
@@ -353,11 +349,7 @@ def image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % 16 + 4)
@@ -552,11 +544,7 @@ def video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     nb = F.length(F.encode(F.col("text"), "utf-8"))
     return d.select(
         "doc_id",
@@ -681,11 +669,7 @@ def zip_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             [synthesize_zip(int(d), int(b)) for d, b in zip(doc_id, base_len)]
         )
 
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     base = F.length(F.encode(F.col("text"), "utf-8")) % ZIP_BASE_MOD + 5
     return d.select(
         "doc_id", base.cast("int").alias("base_spec")
@@ -1870,11 +1854,7 @@ def archive_warc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _synth(s: pd.Series) -> pd.Series:
         return pd.Series([synthesize_warc(int(si)) for si in s])
 
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     assets = d.select(
         "doc_id", (F.col("doc_id") % 256).cast("int").alias("s_spec")
     ).withColumn("payload", _synth(F.col("s_spec")))
@@ -2280,11 +2260,7 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize multimodal assets from documents: payload = utf-8 bytes of
     the text (an opaque blob as far as the pipeline is concerned), kind
     assigned round-robin, metadata struct alongside."""
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     kind = F.element_at(
         F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
     )
@@ -3664,11 +3640,7 @@ def tiff_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % TIFF_W_MOD + 4)
@@ -4591,11 +4563,7 @@ def bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    # blob synth + decode are per-row expansion work: spread the
-    # single-split documents scan (no-op at >= cores input splits)
-    d = spread_for_expansion(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-    )
+    d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         (F.length(F.encode(F.col("text"), "utf-8")) % BMP_W_MOD + 4)

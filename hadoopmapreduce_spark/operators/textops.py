@@ -3217,7 +3217,12 @@ def text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    d = load_spread(spark, sf_dir, "documents")
+    # deliberately NOT spread: the per-row Python work here is light
+    # (synth from two ints + one short validate pass), and the measured
+    # A/B at sf0.1 read 0.8 s unspread vs 2.1-3.4 s spread — 32-way
+    # fan-out just multiplies Python-worker spin-up for sub-batch-sized
+    # partitions (guide §4.2: keep batches large enough to amortize)
+    d = load_table(spark, sf_dir, "documents")
     assets = d.select(
         "doc_id",
         (F.col("doc_id") % 256).cast("int").alias("s_spec"),
