@@ -1116,9 +1116,10 @@ def eval_chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair rollup of all 3×{CHRF_MAX_N} outputs.  The earlier
     formulation filtered the tf table into cand/ref frames and joined
     them back — Spark re-executed the explode+count subtree once per
-    reference (4 Generates, 20 Exchanges, 5 joins at sf0.1); folding the
+    reference (4 Generates, 4 scans, 7 shuffle + 3 broadcast Exchanges,
+    3 joins — plans/r13/eval_chrf_components_before.txt); folding the
     side split into conditional aggregates is the same arithmetic with
-    1 Generate, 2 Exchanges and 0 joins.  Never a cross product; keys on
+    1 Generate, 1 scan, 0 joins.  Never a cross product; keys on
     (pair, gram) end to end."""
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.regexp_replace("text", r"\s+", "").alias("cs")
