@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
-# (abspath(sf_dir), table) -> StructType; see load_table
-_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+# (abspath(sf_dir), table, size, mtime_ns) -> StructType; see load_table.
+# size+mtime in the key (ADVICE r13): a fixture regenerated mid-process at
+# the same path with a different schema must MISS, or reads would pass a
+# stale explicit schema and parquet silently nulls missing/renamed columns.
+_SCHEMA_CACHE: dict[tuple[str, str, int, int], StructType] = {}
 
 # sessions _ensure_session_confs already configured (weak: a stopped
 # session's entry dies with it, and id-reuse can't false-positive)
@@ -75,7 +78,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # immutable per (dir, table) within a session, so the DDL is cached
     # and passed explicitly; scan-time footer reads (row groups, stats,
     # pushdown) are unaffected.  Metadata only — never row data.
-    key = (os.path.abspath(sf_dir), name)
+    try:
+        st = os.stat(path)  # works for single files AND dataset directories
+        sig = (st.st_size, st.st_mtime_ns)
+    except OSError:  # unstat-able (non-local) path: pre-r14 keying — local
+        sig = (-1, -1)  # regeneration is the case the signature guards
+
+    key = (os.path.abspath(sf_dir), name, *sig)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
@@ -94,14 +103,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _size_bytes(conf_value: str) -> int:
-    """Parse a Spark byte-size conf string ("128m", "1g", "134217728b")."""
+    """Parse a Spark byte-size conf string ("128m", "128mb", "1g",
+    "134217728b").  Two-letter suffixes are handled first (ADVICE r13:
+    stripping only the trailing 'b' left "128m" → ValueError, silently
+    swallowed into the 128m default by the caller's broad except)."""
     s = conf_value.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+             "p": 1 << 50}
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
-        if s.endswith(suffix):
-            s = s[: -len(suffix)]
-            mult = m
-            break
+    if len(s) >= 2 and s.endswith("b") and s[-2] in units:
+        mult = units[s[-2]]
+        s = s[:-2]
+    elif s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    elif s.endswith("b"):
+        s = s[:-1]
     return int(float(s)) * mult
 
 
@@ -133,25 +150,73 @@ def spread_for_expansion(
     if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":  # measurement A/B
         return df
     try:
-        max_split = _size_bytes(
+        max_part = _size_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
         )
     except Exception:
-        max_split = 128 << 20
-    total = 0
+        max_part = 128 << 20
+    try:
+        open_cost = _size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+        )
+    except Exception:
+        open_cost = 4 << 20
+    sizes: list[tuple[int, str]] = []  # (bytes, path) per data file
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isdir(path):
             for root, _dirs, files in os.walk(path):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f)) for f in files
+                sizes.extend(
+                    (os.path.getsize(os.path.join(root, f)), os.path.join(root, f))
+                    for f in files
                 )
         elif os.path.exists(path):
-            total += os.path.getsize(path)
+            sizes.append((os.path.getsize(path), path))
+    total = sum(s for s, _ in sizes)
     par = spark.sparkContext.defaultParallelism
-    if total == 0 or (total + max_split - 1) // max_split >= par:
+    # Mirror Spark's FilePartition sizing (ADVICE r13) so the guard no-ops
+    # as soon as the scan itself can spread: maxSplitBytes shrinks toward
+    # bytesPerCore for mid-sized inputs, so the scan yields ~cores splits
+    # well below cores × maxPartitionBytes.  A byte-range split only
+    # carries rows when a ROW GROUP starts inside it, so each file's
+    # contribution is additionally capped by its row-group count (exact,
+    # from a cached local footer read) — a single 200 MB one-row-group
+    # file is still ONE task no matter how many ranges the scan cuts.
+    charged = total + len(sizes) * open_cost
+    bytes_per_core = max(1, charged // max(1, par))
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    est = sum(
+        min((sz + open_cost + max_split - 1) // max_split, _row_groups(p))
+        for sz, p in sizes
+    )
+    if total == 0 or est >= par:
         return df
     return df.repartition(par)
+
+
+def _row_groups(path: str) -> int:
+    """Row-group count of a local parquet file (cached by size+mtime);
+    'unbounded' when the footer cannot be read so the byte estimate
+    stands alone."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return 1 << 30
+    got = _ROW_GROUP_CACHE.get(key)
+    if got is not None:
+        return got
+    try:
+        import pyarrow.parquet as pq
+
+        n = max(1, pq.ParquetFile(path).metadata.num_row_groups)
+    except Exception:
+        n = 1 << 30
+    _ROW_GROUP_CACHE[key] = n
+    return n
+
+
+_ROW_GROUP_CACHE: dict[tuple[str, int, int], int] = {}
 
 
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -163,24 +228,75 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-def scratch_base() -> str:
+# /dev/shm is RAM-backed and capped (typically half of RAM): a dataset-
+# sized write there competes with executor memory instead of spilling to
+# disk (guide §5).  Routing rule (VERDICT r13 ask #6): tmpfs is used only
+# when its FREE space covers the expected write plus this reserve;
+# $SPARK_GRAFT_SCRATCH overrides unconditionally for operators who know
+# their host.
+SHM_RESERVE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SHM_RESERVE", str(2 << 30))
+)
+
+
+def _free_bytes(path: str) -> int:
+    try:
+        st = os.statvfs(path)
+        return st.f_bavail * st.f_frsize
+    except OSError:
+        return 0
+
+
+def scratch_base(need_bytes: int = 0) -> str:
     """Fastest writable local scratch for checkpoints, streaming state and
     sink round-trips: ``$SPARK_GRAFT_SCRATCH`` if set, else ``/dev/shm``
-    when writable (RAM-backed tmpfs — this host's fast local storage; the
+    when writable AND its free space covers ``need_bytes`` plus the
+    reserve (RAM-backed tmpfs — this host's fast local storage; the
     cluster-scale analogue is the executor-local NVMe every production
     deployment points state/shuffle scratch at), else the system tempdir.
     Measured on the stream-stream outer join at sf0.1: the per-partition
     HDFSBackedStateStore delta-file commits are fsync-bound on ext4 /tmp —
-    4.8 s → 2.4 s end-to-end with the checkpoint+sink on tmpfs."""
+    4.8 s → 2.4 s end-to-end with the checkpoint+sink on tmpfs.
+
+    ``need_bytes`` is the caller's write-volume estimate (0 = metadata-
+    sized: checkpoints, streaming state).  Callers that round-trip
+    DATASET-sized output pass an input-derived estimate (see work_dir) so
+    a big scale factor on a small-RAM host degrades to disk instead of
+    OOMing the page cache."""
     import tempfile
 
     base = os.environ.get("SPARK_GRAFT_SCRATCH")
     if base:
         return base
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+    if (
+        os.path.isdir(shm)
+        and os.access(shm, os.W_OK)
+        and _free_bytes(shm) >= need_bytes + SHM_RESERVE_BYTES
+    ):
         return shm
     return tempfile.gettempdir()
+
+
+def _dir_bytes(sf_dir: str) -> int:
+    """Total bytes under a fixture dir (cached per abspath; fixture dirs
+    are immutable per session — same contract as the schema cache)."""
+    key = os.path.abspath(sf_dir)
+    got = _DIR_BYTES_CACHE.get(key)
+    if got is not None:
+        return got
+    total = 0
+    for root, _dirs, files in os.walk(key):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    _DIR_BYTES_CACHE[key] = total
+    return total
+
+
+_DIR_BYTES_CACHE: dict[str, int] = {}
 
 
 def work_dir(name: str, sf_dir: str, fresh: bool = False) -> str:
@@ -201,7 +317,14 @@ def work_dir(name: str, sf_dir: str, fresh: bool = False) -> str:
     import tempfile
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(scratch_base(), f"hmr_{name}_{key}")
+    # sink round-trips write up to dataset-sized output: size the scratch
+    # request from the source fixture (4x headroom covers multi-version
+    # snapshots and uncompressed intermediates) so tmpfs is only used when
+    # it actually has room (VERDICT r13 ask #6)
+    path = os.path.join(
+        scratch_base(need_bytes=4 * _dir_bytes(sf_dir)),
+        f"hmr_{name}_{key}",
+    )
     if fresh and os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)

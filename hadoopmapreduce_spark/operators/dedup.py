@@ -966,9 +966,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1).  At 100 TB the scan arrives already partitioned and this
     # exchange drops out — keyed on doc_id so it stays a plain hash spread.
     docs = (
-        spread_for_expansion(
-            load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
-        )
+        load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.length("text") >= k)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -2372,7 +2370,15 @@ def dedup_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns one row per vector: (vec_id, cluster, n_earlier_dups, kept).
     """
-    probes = semantic_assignment_multiprobe(spark, sf_dir)
+    # the probe table feeds BOTH the pair kernel and the primary-assignment
+    # join-back: one non-eager localCheckpoint per invocation (the
+    # ann_lsh_eval recipe, VERDICT r13 ask #1) materializes the assignment
+    # once instead of planning+executing the centroid/fold subtree per
+    # consumer (plans/r14/dedup_semantic_multiprobe_before.txt: 32
+    # Exchanges / 8 scans)
+    probes = semantic_assignment_multiprobe(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     pairs = (
         probes.select("cluster", "vec_id", "v")
         .groupBy("cluster")
@@ -2485,11 +2491,27 @@ def dedup_semantic_eval(
     assignment, both kernels, and the truth referee, so the quadratic
     cost shrinks as fraction² while the ppm metrics stay coherent
     (every side measured on the same sub-corpus)."""
-    assigned = semantic_assignment(spark, sf_dir)
+    # ONE assignment build feeds every counting branch (VERDICT r13 ask
+    # #1, the ann_lsh_eval recipe): the top-SEMDEDUP_NPROBE probe table is
+    # localCheckpoint-ed (non-eager, per-invocation — what a real index
+    # build materializes; recomputed on every call, never reused across
+    # runs) and the single-probe assignment is its rank-1 slice.
+    # Equivalence: the top-n fold inserts with STRICTLY-GREATER at every
+    # slot, so slot 1 is exactly the single-probe argmax fold (first max
+    # wins, label-ascending tie-break); the derived-K pandas path computes
+    # both from one stable argsort.  Before this change the assignment
+    # subtree (centroid aggregation + scored-array fold) was planned and
+    # executed once per branch — 82 Exchanges / 18 scans in one plan
+    # (plans/r14/dedup_semantic_eval_before.txt).
+    probes = semantic_assignment_multiprobe(spark, sf_dir)
     if audit_fraction < 1.0:
-        assigned = assigned.filter(
+        probes = probes.filter(
             _audit_sample(F.col("vec_id"), audit_fraction)
         )
+    probes = probes.localCheckpoint(eager=False)
+    assigned = probes.filter(F.col("probe_rank") == 1).select(
+        "vec_id", "cluster", "v"
+    )
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("m"))
     nc = sizes.agg(
         F.coalesce(F.sum(F.expr("m * (m - 1) div 2")), F.lit(0)).alias(
@@ -2503,11 +2525,6 @@ def dedup_semantic_eval(
     nh = kern.agg(
         F.coalesce(F.sum("n_earlier_dups"), F.lit(0)).alias("n_hits")
     )
-    probes = semantic_assignment_multiprobe(spark, sf_dir)
-    if audit_fraction < 1.0:
-        probes = probes.filter(
-            _audit_sample(F.col("vec_id"), audit_fraction)
-        )
     mp_sizes = probes.groupBy("cluster").agg(F.count(F.lit(1)).alias("m"))
     mp_nc = mp_sizes.agg(
         F.coalesce(F.sum(F.expr("m * (m - 1) div 2")), F.lit(0)).alias(

@@ -19,7 +19,9 @@ from hadoopmapreduce_spark import registry  # noqa: E402
 from hadoopmapreduce_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
 )
 
 

@@ -30,11 +30,39 @@ def test_spread_fires_below_parallelism(spark):
     assert spread.count() == base.count()
 
 
-def test_spread_noop_when_splits_cover_cores(spark, monkeypatch):
-    """When bytes / maxPartitionBytes >= cores (the 100 TB regime), the
-    helper must return the input UNCHANGED — no repartition node, no
-    shuffle.  Simulated by shrinking maxPartitionBytes below the fixture
-    file size."""
+def test_spread_noop_when_splits_cover_cores(spark, monkeypatch, tmp_path):
+    """When the scan itself can spread the work across >= cores tasks (the
+    100 TB regime), the helper must return the input UNCHANGED — no
+    repartition node, no shuffle.  Since r14 the split estimate is capped
+    by the actual ROW-GROUP count (a byte-range split only carries rows
+    when a row group starts inside it), so the at-scale regime is
+    simulated with a genuinely multi-row-group file, not by shrinking
+    maxPartitionBytes under a one-row-group fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoopmapreduce_spark.catalog import spread_for_expansion
+
+    par = spark.sparkContext.defaultParallelism
+    n = max(4096, par * 64)
+    tbl = pa.table({"doc_id": list(range(n)), "text": ["x" * 64] * n})
+    # one row group per ~64 rows -> row groups >> cores
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"), row_group_size=64)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        df = spark.read.parquet(str(tmp_path / "documents.parquet"))
+        out = spread_for_expansion(df, spark, str(tmp_path), "documents")
+        assert out is df  # identity, not just equal
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_spread_fires_on_one_row_group_despite_byte_splits(spark):
+    """A single-ROW-GROUP file is one real scan task no matter how many
+    byte ranges the scan cuts, so the helper must still spread it even
+    when bytes / maxPartitionBytes >= cores (the r13 byte-only estimate
+    called this a no-op; r14's row-group cap fixes it)."""
     from hadoopmapreduce_spark.catalog import load_table, spread_for_expansion
 
     prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -42,7 +70,7 @@ def test_spread_noop_when_splits_cover_cores(spark, monkeypatch):
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
         df = load_table(spark, SF_SMALL, "documents")
         out = spread_for_expansion(df, spark, SF_SMALL, "documents")
-        assert out is df  # identity, not just equal
+        assert out is not df
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
